@@ -1,0 +1,134 @@
+"""Static model specification and the pure mean/noise/cov evaluators.
+
+A :class:`ModelSpec` is a hashable, frozen description of the GP model
+family (covariance kind, mean kind, noise feature flags, dimension).  It is
+passed as a static argument to jitted functions, so each model family
+compiles once per data shape.
+
+Hyperparameter vector layout matches the reference exactly
+(gaussian_process.py:174: cov hyps, then noise hyps, then mean hyps).
+"""
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+from ..ops.kernels import cov_hyp_count, kernel_matrix
+
+COV_KINDS = (
+    "se",
+    "m1",
+    "m3",
+    "m5",
+    "rq",
+    "se_iso",
+    "m1_iso",
+    "m3_iso",
+    "m5_iso",
+)
+MEAN_KINDS = ("zero", "const", "negquad")
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    """Static GP model family description (hashable; jit-static)."""
+
+    D: int
+    cov: str  # one of COV_KINDS
+    mean: str  # one of MEAN_KINDS
+    noise_constant: bool  # constant_add
+    noise_user: int  # 0: none, 1: add s2 as-is, 2: scaled by exp(hyp)
+    noise_rectified: bool  # rectified-linear output-dependent noise
+
+    def __post_init__(self):
+        if self.cov not in COV_KINDS:
+            raise ValueError(f"Unknown covariance kind {self.cov}")
+        if self.mean not in MEAN_KINDS:
+            raise ValueError(f"Unknown mean kind {self.mean}")
+
+    @property
+    def cov_N(self) -> int:
+        return cov_hyp_count(self.cov, self.D)
+
+    @property
+    def mean_N(self) -> int:
+        # reference mean_functions.py:27,155,284
+        return {"zero": 0, "const": 1, "negquad": 1 + 2 * self.D}[self.mean]
+
+    @property
+    def noise_N(self) -> int:
+        # reference noise_functions.py:43-59
+        n = 0
+        if self.noise_constant:
+            n += 1
+        if self.noise_user == 2:
+            n += 1
+        if self.noise_rectified:
+            n += 2
+        return n
+
+    @property
+    def hyp_N(self) -> int:
+        return self.cov_N + self.noise_N + self.mean_N
+
+    # --- hyp slicing (cov | noise | mean ordering) ---
+
+    def split_hyp(self, hyp):
+        c, n = self.cov_N, self.noise_N
+        return hyp[:c], hyp[c : c + n], hyp[c + n :]
+
+
+def mean_value(spec: ModelSpec, hyp_mean, X):
+    """Mean function m(X), shape (N,).
+
+    Parity: reference mean_functions.py (ZeroMean :126, ConstantMean :255,
+    NegativeQuadratic :384-388).
+    """
+    N, D = X.shape
+    if spec.mean == "zero":
+        return jnp.zeros((N,), dtype=X.dtype)
+    if spec.mean == "const":
+        return hyp_mean[0] * jnp.ones((N,), dtype=X.dtype)
+    # negquad: m0 - 0.5 * sum(((x - xm) / omega)^2)
+    m0 = hyp_mean[0]
+    xm = hyp_mean[1 : 1 + D]
+    omega = jnp.exp(hyp_mean[1 + D : 1 + 2 * D])
+    z2 = ((X - xm) / omega) ** 2
+    return m0 - 0.5 * jnp.sum(z2, axis=1)
+
+
+def noise_variance(spec: ModelSpec, hyp_noise, y, s2, dtype):
+    """Observation noise variance sn2.
+
+    Returns a scalar jnp array if the noise is input/output independent,
+    else a (N,1) array — mirroring reference noise_functions.py:179-283.
+    ``y`` and ``s2`` are (N,1) arrays or None (None handled statically).
+    """
+    i = 0
+    if spec.noise_constant:
+        sn2 = jnp.exp(2.0 * hyp_noise[i])
+        i += 1
+    else:
+        # Floor at machine spacing, reference noise_functions.py:251.
+        sn2 = jnp.asarray(jnp.finfo(jnp.float64).eps, dtype=dtype)
+
+    if spec.noise_user == 1 and s2 is not None:
+        sn2 = sn2 + s2
+    elif spec.noise_user == 2:
+        if s2 is not None:
+            sn2 = sn2 + jnp.exp(hyp_noise[i]) * s2
+        i += 1
+
+    if spec.noise_rectified:
+        if y is not None:
+            y_thresh = hyp_noise[i]
+            w2 = jnp.exp(2.0 * hyp_noise[i + 1])
+            zz = jnp.maximum(0.0, y_thresh - y)
+            sn2 = sn2 + w2 * zz**2
+        i += 2
+
+    return sn2
+
+
+def cov_matrix(spec: ModelSpec, hyp_cov, X, Z=None, diag=False):
+    return kernel_matrix(spec.cov, hyp_cov, X, Z=Z, diag=diag)

@@ -1,0 +1,539 @@
+"""Coordinate-wise slice sampling with bounds and adaptive widths.
+
+API parity with reference slice_sample.py (SliceSampler class, options,
+result dict, exit flags, Gelman-Rubin / effective-N diagnostics).
+
+This host-driven implementation mirrors the reference algorithm exactly
+(single chain, NumPy global RNG, data-dependent shrink loops) and works
+with arbitrary Python log-density callables.  When used from ``GP.fit``
+the log density is a jitted device function, so each evaluation is one
+device call on the O(N^3) NLML — the Python loop overhead is amortized
+for all but tiny problems.  A fully-jitted vmapped multi-chain sampler
+for the TPU hot path lives in gpyreg_tpu/inference/device_slice.py.
+"""
+
+import logging
+import math
+
+import numpy as np
+
+
+class SliceSampler:
+    """Coordinate-wise slice sampler (see reference slice_sample.py:9-117
+    for the full interface contract and literature references).
+
+    Parameters
+    ----------
+    log_f : callable
+        Log density of the target (up to a constant).  May return a
+        scalar or a vector of per-datapoint log densities (summed).
+    x0 : ndarray, shape (D,)
+        Starting point, inside the domain.
+    widths : scalar or ndarray, optional
+        Typical slice widths per dimension; adapted during burn-in.
+    LB, UB : scalar or ndarray, optional
+        Domain bounds; LB[i] == UB[i] fixes dimension i.
+    options : dict, optional
+        step_out (False), display ('full'), log_prior (None),
+        adaptive (True), diagnostics (True), metropolis_pdf/rnd (None).
+    """
+
+    def __init__(
+        self,
+        log_f,
+        x0: np.ndarray,
+        widths=None,
+        LB=None,
+        UB=None,
+        options: dict = None,
+    ):
+        D = x0.size
+        self.log_f = log_f
+        self.x0 = x0.copy()
+
+        if LB is None:
+            self.LB = np.tile(-np.inf, D)
+        elif np.size(LB) == 1:
+            self.LB = np.tile(LB, D)
+        else:
+            self.LB = LB.copy()
+        self.LB_out = np.nextafter(self.LB, -np.inf)
+
+        if UB is None:
+            self.UB = np.tile(np.inf, D)
+        elif np.size(UB) == 1:
+            self.UB = np.tile(UB, D)
+        else:
+            self.UB = UB.copy()
+        self.UB_out = np.nextafter(self.UB, np.inf)
+
+        if widths is None:
+            self.widths = ((self.UB - self.LB) / 2).copy()
+            self.base_widths = None
+        else:
+            if np.size(widths) == 1:
+                self.widths = np.tile(widths, D).astype(np.float64)
+            else:
+                self.widths = np.asarray(widths, dtype=np.float64).copy()
+            self.base_widths = self.widths.copy()
+
+        self.widths[np.isinf(self.widths)] = 10
+        # Width is irrelevant for fixed dimensions; avoid zeros.
+        self.widths[self.LB == self.UB] = 1
+
+        if np.ndim(self.x0) > 1:
+            raise ValueError(
+                "The initial point x0 needs to be a scalar or a 1D array"
+            )
+        if np.shape(self.LB) != np.shape(self.x0) or np.shape(
+            self.UB
+        ) != np.shape(self.x0):
+            raise ValueError(
+                "LB and UB need to be None, scalars, or 1D arrays of "
+                "the same size as X0."
+            )
+        if not np.all(self.UB >= self.LB):
+            raise ValueError(
+                "All upper bounds UB need to be equal or greater than "
+                "lower bounds LB."
+            )
+        if (
+            np.any(self.widths <= 0)
+            or np.any(~np.isfinite(self.widths))
+            or np.any(~np.isreal(self.widths))
+        ):
+            raise ValueError(
+                "The widths vector needs to be all positive real numbers."
+            )
+        if np.any(self.x0 < self.LB) or np.any(self.x0 > self.UB):
+            raise ValueError(
+                "The initial starting point X0 is outside the bounds."
+            )
+
+        self.func_count = 0
+
+        if options is None:
+            options = {}
+        self.step_out = options.get("step_out", False)
+        self.display = options.get("display", "full")
+        self.adaptive = options.get("adaptive", True)
+        self.log_prior = options.get("log_prior", None)
+        self.diagnostics = options.get("diagnostics", True)
+        self.metropolis_pdf = options.get("metropolis_pdf", None)
+        self.metropolis_rnd = options.get("metopolis_rnd", None)
+        self.metropolis_flag = (
+            self.metropolis_pdf is not None and self.metropolis_rnd is not None
+        )
+
+        self.logger = logging.getLogger("SliceSampler")
+        if len(self.logger.handlers) == 0:
+            self.logger.addHandler(logging.StreamHandler())
+        if self.display == "off":
+            self.logger.setLevel(logging.WARN)
+        elif self.display == "summary":
+            self.logger.setLevel(logging.INFO)
+        else:
+            self.logger.setLevel(logging.DEBUG)
+
+    def sample(self, N: int, thin: int = 1, burn: int = None):
+        """Draw N samples (after optional burn-in and thinning).
+
+        Returns the reference's result dict: samples, f_vals, exit_flag,
+        log_priors, R, eff_N (reference slice_sample.py:232-602).
+        """
+        xx = self.x0  # updated in place across repeated calls
+        D = xx.size
+
+        if burn is None:
+            burn = 0 if self.func_count > 0 else round(N / 3)
+
+        if not np.isscalar(thin) or thin <= 0:
+            raise ValueError(
+                "The thinning factor option needs to be a positive integer."
+            )
+        if not np.isscalar(burn) or burn < 0:
+            raise ValueError(
+                "The burn-in samples option needs to be a non-negative "
+                "integer."
+            )
+        if (
+            burn == 0
+            and self.base_widths is None
+            and self.adaptive
+            and self.func_count == 0
+        ):
+            self.logger.warning(
+                "WIDTHS not specified and adaptation is ON, but burn-in is "
+                "set to 0. Attempting to use default values for WIDTHS."
+            )
+
+        eff_N = N + (N - 1) * (thin - 1)
+
+        samples = np.zeros((N, D))
+        xx_sum = np.zeros((D,))
+        xx_sq_sum = np.zeros((D,))
+
+        log_Px, f_val, log_prior = self._log_pdf_bound(xx)
+        log_priors = np.zeros((N,))
+        f_vals = np.zeros((N, np.size(f_val)))
+
+        if np.any(~np.isfinite(log_Px)):
+            raise ValueError(
+                "The initial starting point X0 needs to evaluate to a "
+                "real number (not Inf or NaN)."
+            )
+
+        xx_shape = xx.shape
+        xx = xx.ravel()
+        logdist = lambda x: self._log_pdf_bound(np.reshape(x, xx_shape))
+
+        self.logger.debug(
+            " Iteration     f-count       log p(x)                   Action"
+        )
+        fmt = " %7.0f     %8.0f    %12.6g    %26s"
+
+        perm = np.arange(D)
+        for i in range(eff_N + burn):
+            if i == burn:
+                self.logger.debug(
+                    fmt, i - burn + 1, self.func_count, log_Px,
+                    "start recording",
+                )
+
+            if self.metropolis_flag:
+                xx, log_Px, f_val, log_prior = self._metropolis_step(
+                    xx, logdist, log_Px, f_val, log_prior
+                )
+
+            # One slice-sampling sweep over a random axis order.
+            x_l = xx.copy()
+            x_r = xx.copy()
+            xprime = xx.copy()
+            np.random.shuffle(perm)
+
+            for dd in perm:
+                if self.LB[dd] == self.UB[dd]:
+                    continue  # fixed dimension
+
+                # Slice level and initial bracket around xx[dd].
+                log_uprime = log_Px + np.log(np.random.rand())
+                rr = np.random.rand()
+                x_l[dd] -= rr * self.widths[dd]
+                x_r[dd] += (1 - rr) * self.widths[dd]
+                x_l[dd] = np.fmax(x_l[dd], self.LB_out[dd])
+                x_r[dd] = np.fmin(x_r[dd], self.UB_out[dd])
+
+                if self.step_out:
+                    steps = 0
+                    while logdist(x_l)[0] > log_uprime:
+                        x_l[dd] -= self.widths[dd]
+                        steps += 1
+                    while logdist(x_r)[0] > log_uprime:
+                        x_r[dd] += self.widths[dd]
+                        steps += 1
+                    if steps >= 10:
+                        self.logger.debug(
+                            fmt, i - burn + 1, self.func_count, log_Px,
+                            f"step-out dim {dd} ({steps} steps)",
+                        )
+
+                # Shrinkage loop: propose until inside the slice.
+                shrink = 0
+                while True:
+                    shrink += 1
+                    xprime[dd] = (
+                        np.random.rand() * (x_r[dd] - x_l[dd]) + x_l[dd]
+                    )
+                    log_Px, f_val, log_prior = logdist(xprime)
+                    if log_Px > log_uprime:
+                        break
+                    if xprime[dd] > xx[dd]:
+                        x_r[dd] = xprime[dd]
+                    elif xprime[dd] < xx[dd]:
+                        x_l[dd] = xprime[dd]
+                    else:
+                        self.logger.warning(
+                            "WARNING: Shrunk to current position and still "
+                            " not acceptable!"
+                        )
+                        break
+
+                # Adapt widths during burn-in (may break detailed balance,
+                # hence burn-in only).
+                if i < burn and self.adaptive:
+                    delta = self.UB[dd] - self.LB[dd]
+                    if shrink > 3:
+                        if np.isfinite(delta):
+                            self.widths[dd] = np.maximum(
+                                self.widths[dd] / 1.1,
+                                np.abs(np.spacing(delta)),
+                            )
+                        else:
+                            self.widths[dd] = np.maximum(
+                                self.widths[dd] / 1.1, np.spacing(1)
+                            )
+                    elif shrink < 2:
+                        self.widths[dd] = np.minimum(
+                            self.widths[dd] * 1.2, delta
+                        )
+
+                if shrink >= 10:
+                    self.logger.debug(
+                        fmt, i - burn + 1, self.func_count, log_Px,
+                        f"shrink dim {dd} ({shrink} steps)",
+                    )
+
+                xx[dd] = xprime[dd]
+
+            if self.metropolis_flag:
+                xx, log_Px, f_val, log_prior = self._metropolis_step(
+                    xx, logdist, log_Px, f_val, log_prior
+                )
+
+            # Record (post burn-in, thinned).
+            record = i >= burn and np.mod(i - burn, thin) == 0
+            if record:
+                i_smpl = (i - burn) // thin
+                samples[i_smpl, :] = xx
+                f_vals[i_smpl, :] = f_val
+                log_priors[i_smpl] = log_prior
+
+            # Accumulate moments over the second half of burn-in for the
+            # end-of-burn-in width adaptation (reference :513-543).
+            if burn / 2 <= i < burn:
+                xx_sum += xx
+                xx_sq_sum += xx**2
+
+                if i == burn - 1 and self.adaptive:
+                    burn_stored = np.floor(burn / 2)
+                    new_widths = np.fmin(
+                        5
+                        * np.sqrt(
+                            np.maximum(
+                                xx_sq_sum / burn_stored
+                                - (xx_sum / burn_stored) ** 2,
+                                0,
+                            )
+                        ),
+                        self.UB_out - self.LB_out,
+                    )
+                    if not np.all(np.isreal(new_widths)):
+                        new_widths = self.widths
+                    if self.base_widths is None:
+                        self.widths = new_widths
+                    else:
+                        # Bias towards keeping larger user-supplied widths.
+                        self.widths = np.maximum(
+                            new_widths,
+                            np.sqrt(new_widths * self.base_widths),
+                        )
+
+            if i < burn:
+                action = "burn"
+            elif not record:
+                action = "thin"
+            else:
+                action = "record"
+            self.logger.debug(
+                fmt, i - burn + 1, self.func_count, log_Px, action
+            )
+
+        if thin > 1:
+            thin_msg = "   and keeping 1 sample every " + str(thin) + ", "
+        else:
+            thin_msg = "   "
+        thin_msg += "for a total of %d function evaluations."
+        self.logger.info("\nSampling terminated: ")
+        self.logger.info(
+            " * %d samples obtained after a burn-in period of %d samples",
+            N,
+            burn,
+        )
+        self.logger.info(thin_msg, self.func_count)
+
+        R = eff_N_est = None
+        exit_flag = 0
+        if self.diagnostics:
+            exit_flag, R, eff_N_est = self._diagnose(samples)
+            diag_msg = ""
+            if exit_flag in (-2, -3):
+                diag_msg = (
+                    " * Try sampling for longer, by increasing N "
+                    " or the thinning factor"
+                )
+            elif exit_flag == -1:
+                diag_msg = (
+                    " * Try increasing thinning factor to obtain "
+                    "more uncorrelated samples"
+                )
+            elif exit_flag == 0:
+                diag_msg = (
+                    " * No violations of convergence have been "
+                    "detected (this does NOT guarantee convergence)"
+                )
+            if diag_msg != "":
+                self.logger.info(diag_msg)
+
+        return {
+            "samples": samples,
+            "exit_flag": exit_flag,
+            "f_vals": f_vals,
+            "log_priors": log_priors,
+            "R": R,
+            "eff_N": eff_N_est,
+        }
+
+    def _diagnose(self, samples: np.ndarray):
+        """Split-chain R-hat and effective-N diagnosis with the
+        reference's thresholds and exit flags (slice_sample.py:604-647)."""
+        N = samples.shape[0]
+        half = math.floor(N / 2)
+        split = np.array([samples[0:half, :], samples[half : 2 * half]])
+        R = gelman_rubin(split)
+        eff_N = effective_n(split)
+
+        diag_msg = None
+        exit_flag = 0
+        if np.any(R > 1.5):
+            diag_msg = (
+                " * Detected lack of convergence! (max R = %.2f >> 1"
+                ", mean R = %.2f)" % (np.max(R), np.mean(R))
+            )
+            exit_flag = -3
+        elif np.any(R > 1.1):
+            diag_msg = (
+                " * Detected probable lack of convergence! (max R = %.2f"
+                " > 1, mean R = %.2f)" % (np.max(R), np.mean(R))
+            )
+            exit_flag = -2
+
+        if np.any(eff_N < N / 10.0):
+            diag_msg = (
+                " * Low number of effective samples! (min eff_N = %.1f"
+                ", mean eff_N = %.1f, requested N = %d)"
+                % (np.min(eff_N), np.mean(eff_N), N)
+            )
+            if exit_flag == 0:
+                exit_flag = -1
+
+        if diag_msg is None and exit_flag == 0:
+            exit_flag = 1
+        if diag_msg is not None:
+            self.logger.info(diag_msg)
+
+        return exit_flag, R, eff_N
+
+    def _log_pdf_bound(self, x):
+        """Evaluate the log pdf with bound masking and optional prior;
+        NaN target values map to -inf with a warning."""
+        y = f_val = log_prior = None
+
+        if np.any(x < self.LB) or np.any(x > self.UB):
+            y = -np.inf
+        else:
+            if self.log_prior is not None:
+                log_prior = self.log_prior(x)
+                if np.isnan(log_prior):
+                    y = -np.inf
+                    self.logger.warning(
+                        "Prior density function returned NaN. "
+                        "Trying to continue."
+                    )
+                    return y, f_val, log_prior
+                if not np.isfinite(log_prior):
+                    y = -np.inf
+                    return y, f_val, log_prior
+            else:
+                log_prior = 0
+
+            f_val = np.asarray(self.log_f(x))
+            self.func_count += 1
+
+            if np.any(np.isnan(f_val)):
+                self.logger.warning(
+                    "Target density function returned NaN. "
+                    "Trying to continue."
+                )
+                y = -np.inf
+            else:
+                y = np.sum(f_val) + log_prior
+
+        return y, f_val, log_prior
+
+    def _metropolis_step(self, x, log_f, log_Px, f_val, log_prior):
+        """Independence-Metropolis step from a user-provided proposal."""
+        xx_new = self.metropolis_rnd()
+        log_Px_new, f_val_new, log_prior_new = log_f(xx_new)
+        a = np.exp(log_Px_new - log_Px) * (
+            self.metropolis_pdf(x) / self.metropolis_pdf(xx_new)
+        )
+        if np.random.rand() < a:
+            return xx_new, log_Px_new, f_val_new, log_prior_new
+        return x, log_Px, f_val, log_prior
+
+
+def gelman_rubin(x, return_var=False):
+    """Potential scale reduction factor R-hat across chains.
+
+    ``x`` has shape (m, n) for one parameter or (m, n, k); mirrors
+    reference slice_sample.py:701-773.
+    """
+    if np.shape(x) < (2,):
+        raise ValueError(
+            "Gelman-Rubin diagnostic requires multiple chains of the "
+            "same length."
+        )
+    try:
+        m, n = np.shape(x)
+    except ValueError:
+        return np.array(
+            [gelman_rubin(np.transpose(y)) for y in np.transpose(x)]
+        )
+
+    # Between-chain and within-chain variances.
+    B_over_n = np.sum((np.mean(x, 1) - np.mean(x)) ** 2) / (m - 1)
+    W = np.sum(
+        [(x[i] - xbar) ** 2 for i, xbar in enumerate(np.mean(x, 1))]
+    ) / (m * (n - 1))
+
+    s2 = W * (n - 1) / n + B_over_n
+    if return_var:
+        return s2
+    return np.sqrt(s2 / W)
+
+
+def effective_n(x):
+    """Effective sample size from the variogram autocorrelation estimate
+    (reference slice_sample.py:775-836)."""
+    if np.shape(x) < (2,):
+        raise ValueError(
+            "Calculation of effective sample size requires multiple "
+            "chains of the same length."
+        )
+    try:
+        m, n = np.shape(x)
+    except ValueError:
+        return np.array(
+            [effective_n(np.transpose(y)) for y in np.transpose(x)]
+        )
+
+    s2 = gelman_rubin(x, return_var=True)
+
+    negative_autocorr = False
+    t = 1
+    variogram = lambda t: (
+        sum(
+            sum((x[j][i] - x[j][i - t]) ** 2 for i in range(t, n))
+            for j in range(m)
+        )
+        / (m * (n - t))
+    )
+    rho = np.ones(n)
+    # Sum autocorrelations until consecutive estimates turn negative.
+    while not negative_autocorr and (t < n):
+        rho[t] = 1.0 - variogram(t) / (2.0 * s2)
+        if t % 2:
+            negative_autocorr = sum(rho[t - 1 : t + 1]) < 0
+        t += 1
+
+    return m * n / (-1 + 2 * rho[0 : t - 2].sum())
