@@ -1,0 +1,81 @@
+"""Headline benchmark (driver-run): NLML+grad evals/sec, N=4096, D=8 ARD-SE.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The baseline is the CPU reference (acerbilab/gpyreg, NumPy/SciPy,
+single-threaded) measured on this machine via
+``GP._GP__compute_nlZ(hyp, True, False)`` at the same N/D/model:
+0.1012 evals/sec (9.884 s/eval), see BASELINE.md.  ``vs_baseline`` is our
+throughput divided by that number.
+
+Dtype note: the TPU production path is float32 (f64 matmul is emulated on
+TPU and wildly slow); numerical parity with the f64 reference (1e-8 rtol)
+is validated separately in tests/test_parity_reference.py on the CPU
+backend.  Float32 NLML at N=4096 agrees with the reference to ~1e-4
+relative, which is far below hyperparameter-fit tolerance.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import gpyreg_tpu  # noqa: F401  (enables x64; inputs below pin f32)
+import jax
+import jax.numpy as jnp
+
+from gpyreg_tpu.core.model import ModelSpec
+from gpyreg_tpu.core.nlml import nlz
+
+# CPU reference throughput measured on this machine (see module docstring).
+REF_EVALS_PER_SEC = 0.1012
+
+N, D, B = 4096, 8, 8
+
+
+def main():
+    spec = ModelSpec(
+        D=D, cov="se", mean="const",
+        noise_constant=True, noise_user=0, noise_rectified=False,
+    )
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(N, D)), dtype=jnp.float32)
+    y = jnp.asarray(
+        np.sum(np.sin(np.asarray(X)), axis=1, keepdims=True)
+        + 0.1 * rng.normal(size=(N, 1)),
+        dtype=jnp.float32,
+    )
+    hyps = jnp.asarray(
+        0.05 * rng.normal(size=(B, spec.hyp_N)), dtype=jnp.float32
+    )
+
+    @jax.jit
+    def batch_nlml_grad(hyps, X, y):
+        f = lambda h: nlz(spec, h, X, y, None)
+        return jax.vmap(jax.value_and_grad(f))(hyps)
+
+    # Warm-up / compile.
+    v, g = batch_nlml_grad(hyps, X, y)
+    jax.block_until_ready((v, g))
+
+    # Timed: enough iterations for a stable measurement.
+    n_iter = 20
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        v, g = batch_nlml_grad(hyps + 1e-4 * i, X, y)
+    jax.block_until_ready((v, g))
+    elapsed = time.perf_counter() - t0
+
+    evals_per_sec = B * n_iter / elapsed
+    print(json.dumps({
+        "metric": "nlml_grad_evals_per_sec_N4096_D8_ardse",
+        "value": round(evals_per_sec, 3),
+        "unit": "evals/sec",
+        "vs_baseline": round(evals_per_sec / REF_EVALS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,431 @@
+"""Fully-jitted coordinate-wise slice sampler (device-resident MCMC).
+
+TPU-native counterpart of the host :class:`~gpyreg_tpu.slice_sample.SliceSampler`
+(itself a parity port of reference slice_sample.py).  The entire chain —
+random axis scan, bracket placement, shrinkage loop, burn-in width
+adaptation — runs inside one XLA program, so sampling a GP hyperposterior
+costs zero host round-trips per NLML evaluation (the reference pays one
+Python call per evaluation, reference gaussian_process.py:1221 →
+slice_sample.py:369-554).
+
+Algorithmic parity notes (vs reference slice_sample.py):
+- bracket: ``x_l = x - r*w``, ``x_r = x + (1-r)*w``, clamped to just
+  outside the bounds (:414-424); proposals outside [LB, UB] evaluate to
+  -inf (the bound mask in __log_pdf_bound :649-683).
+- shrinkage: propose uniformly in [x_l, x_r], shrink the side of the
+  proposal until accepted (:437-457).  The reference's unbounded loop is
+  capped at ``max_shrink`` proposals (it warns at >= 10); on cap-exit the
+  current point is kept.
+- burn-in width adaptation: shrink>3 -> w/1.1, shrink<2 -> w*1.2 (:461-478)
+  and the 5*std(second half of burn) rule at the end of burn-in (:513-543).
+- fixed dimensions (LB == UB) are skipped (:406).
+
+The sampler is a pure function of a PRNG key: same key -> same chain
+(the determinism analog of reference testing/test_slice_sample.py:18-36).
+``vmap``-able over chains; the inner while_loops batch as masked selects.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class SliceState(NamedTuple):
+    """Chain state, resumable across sample() calls."""
+
+    x: jnp.ndarray  # (D,) current position
+    log_Px: jnp.ndarray  # () current log density
+    widths: jnp.ndarray  # (D,) current slice widths
+    key: jnp.ndarray  # PRNG key
+
+
+def _masked_log_f(log_f, LB, UB):
+    """Wrap log_f with the bound mask and NaN -> -inf handling
+    (reference slice_sample.py:649-683)."""
+
+    def f(x):
+        v = log_f(x)
+        in_bounds = jnp.all((x >= LB) & (x <= UB))
+        v = jnp.where(jnp.isnan(v), -jnp.inf, v)
+        return jnp.where(in_bounds, v, -jnp.inf)
+
+    return f
+
+
+def _sweep(logpdf, LB, UB, LB_out, UB_out, fixed, max_shrink, adapt):
+    """One full coordinate sweep (random scan order).
+
+    Returns a function (state) -> (state, shrink_counts) where the widths
+    in the output state are adapted iff ``adapt``.
+    """
+    D = LB.shape[0]
+
+    def do_dim(dd, x, log_Px, width, key):
+        k_level, k_pos, k_prop = jax.random.split(key, 3)
+        log_uprime = log_Px + jnp.log(
+            jax.random.uniform(k_level, minval=jnp.finfo(x.dtype).tiny)
+        )
+        rr = jax.random.uniform(k_pos)
+        x_l = jnp.maximum(x[dd] - rr * width, LB_out[dd])
+        x_r = jnp.minimum(x[dd] + (1.0 - rr) * width, UB_out[dd])
+
+        def cond(c):
+            _, _, _, _, _, shrink, done = c
+            return jnp.logical_and(~done, shrink < max_shrink)
+
+        def body(c):
+            key, x_l, x_r, xp, log_Pp, shrink, _ = c
+            key, ku = jax.random.split(key)
+            u = jax.random.uniform(ku)
+            xp_new = u * (x_r - x_l) + x_l
+            log_Pp_new = logpdf(x.at[dd].set(xp_new))
+            accept = log_Pp_new > log_uprime
+            stuck = xp_new == x[dd]
+            # Shrink the side the rejected proposal fell on.
+            x_r_new = jnp.where(~accept & (xp_new > x[dd]), xp_new, x_r)
+            x_l_new = jnp.where(~accept & (xp_new < x[dd]), xp_new, x_l)
+            return (
+                key,
+                x_l_new,
+                x_r_new,
+                xp_new,
+                log_Pp_new,
+                shrink + 1,
+                accept | stuck,
+            )
+
+        init = (
+            k_prop,
+            x_l,
+            x_r,
+            x[dd],
+            log_Px,
+            jnp.asarray(0, dtype=jnp.int32),
+            jnp.asarray(False),
+        )
+        _, _, _, xp, log_Pp, shrink, _ = lax.while_loop(cond, body, init)
+        return x.at[dd].set(xp), log_Pp, shrink
+
+    def dim_body(j, carry):
+        x, log_Px, widths, key, perm, shrinks = carry
+        dd = perm[j]
+        key, k_dim = jax.random.split(key)
+
+        def process(_):
+            x_new, log_Px_new, shrink = do_dim(
+                dd, x, log_Px, widths[dd], k_dim
+            )
+            w = widths[dd]
+            if adapt:
+                delta = UB[dd] - LB[dd]
+                w_floor = jnp.where(
+                    jnp.isfinite(delta),
+                    jnp.abs(jnp.spacing(delta)),
+                    jnp.spacing(jnp.asarray(1.0, dtype=x.dtype)),
+                )
+                w = jnp.where(
+                    shrink > 3,
+                    jnp.maximum(w / 1.1, w_floor),
+                    jnp.where(shrink < 2, jnp.minimum(w * 1.2, delta), w),
+                )
+            return x_new, log_Px_new, w, shrink
+
+        def skip(_):
+            return x, log_Px, widths[dd], jnp.asarray(0, dtype=jnp.int32)
+
+        x_new, log_Px_new, w_new, shrink = lax.cond(
+            fixed[dd], skip, process, operand=None
+        )
+        return (
+            x_new,
+            log_Px_new,
+            widths.at[dd].set(w_new),
+            key,
+            perm,
+            shrinks.at[dd].set(shrink),
+        )
+
+    def sweep(state: SliceState):
+        key, k_perm = jax.random.split(state.key)
+        perm = jax.random.permutation(k_perm, D)
+        shrinks = jnp.zeros((D,), dtype=jnp.int32)
+        x, log_Px, widths, key, _, shrinks = lax.fori_loop(
+            0,
+            D,
+            dim_body,
+            (state.x, state.log_Px, state.widths, key, perm, shrinks),
+        )
+        return SliceState(x, log_Px, widths, key), shrinks
+
+    return sweep
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "log_f",
+        "n_samples",
+        "thin",
+        "burn",
+        "adaptive",
+        "max_shrink",
+    ),
+)
+def _run_chain(
+    log_f,
+    state: SliceState,
+    LB,
+    UB,
+    base_widths_or_none,
+    n_samples: int,
+    thin: int,
+    burn: int,
+    adaptive: bool,
+    max_shrink: int,
+):
+    LB_out = jnp.nextafter(LB, -jnp.inf)
+    UB_out = jnp.nextafter(UB, jnp.inf)
+    fixed = LB == UB
+    logpdf = _masked_log_f(log_f, LB, UB)
+
+    state = state._replace(log_Px=logpdf(state.x))
+    init_log_Px = state.log_Px
+
+    sweep_adapt = _sweep(
+        logpdf, LB, UB, LB_out, UB_out, fixed, max_shrink, adapt=True
+    )
+    sweep_fixed = _sweep(
+        logpdf, LB, UB, LB_out, UB_out, fixed, max_shrink, adapt=False
+    )
+
+    # --- burn-in phase (optional width adaptation) ---
+    if burn > 0:
+        half = burn // 2
+
+        def burn_body(carry, i):
+            state, s_sum, s_sq = carry
+            state, _ = (sweep_adapt if adaptive else sweep_fixed)(state)
+            in_window = i >= half
+            s_sum = jnp.where(in_window, s_sum + state.x, s_sum)
+            s_sq = jnp.where(in_window, s_sq + state.x**2, s_sq)
+            return (state, s_sum, s_sq), None
+
+        z = jnp.zeros_like(state.x)
+        (state, s_sum, s_sq), _ = lax.scan(
+            burn_body, (state, z, z), jnp.arange(burn)
+        )
+        if adaptive:
+            # End-of-burn-in 5*std rule (reference slice_sample.py:513-543).
+            n_st = burn - half
+            var = jnp.maximum(s_sq / n_st - (s_sum / n_st) ** 2, 0.0)
+            new_widths = jnp.minimum(5.0 * jnp.sqrt(var), UB_out - LB_out)
+            if base_widths_or_none is not None:
+                new_widths = jnp.maximum(
+                    new_widths,
+                    jnp.sqrt(new_widths * base_widths_or_none),
+                )
+            # Keep old widths where the estimate degenerated to zero.
+            new_widths = jnp.where(
+                new_widths > 0, new_widths, state.widths
+            )
+            state = state._replace(widths=new_widths)
+
+    # --- sampling phase (no adaptation; detailed balance holds) ---
+    eff_N = n_samples + (n_samples - 1) * (thin - 1)
+
+    def sample_body(state, _):
+        state, _ = sweep_fixed(state)
+        return state, (state.x, state.log_Px)
+
+    state, (xs, log_Pxs) = lax.scan(
+        sample_body, state, None, length=eff_N
+    )
+    samples = xs[::thin][:n_samples]
+    f_vals = log_Pxs[::thin][:n_samples]
+    return state, samples, f_vals, init_log_Px
+
+
+def sample(
+    log_f,
+    x0,
+    key,
+    widths=None,
+    LB=None,
+    UB=None,
+    n_samples: int = 100,
+    thin: int = 1,
+    burn: int = None,
+    adaptive: bool = True,
+    max_shrink: int = 256,
+    state: SliceState = None,
+):
+    """Draw ``n_samples`` (thinned) samples from ``log_f`` on device.
+
+    Parameters mirror :class:`gpyreg_tpu.slice_sample.SliceSampler` /
+    ``sample`` (reference slice_sample.py:119-230, :232).  ``log_f`` must
+    be a jittable function (D,) -> scalar log density.
+
+    Returns ``(result_dict, final_state)``; pass ``state=final_state`` to
+    continue the chain (same-key chaining gives the determinism property
+    of reference testing/test_slice_sample.py:18-36).
+    """
+    x0 = jnp.asarray(x0, dtype=jnp.float64).ravel()
+    D = x0.shape[0]
+
+    def _expand(v, default):
+        if v is None:
+            return jnp.full((D,), default, dtype=x0.dtype)
+        v = jnp.asarray(v, dtype=x0.dtype)
+        return jnp.broadcast_to(v.ravel(), (D,))
+
+    LB = _expand(LB, -jnp.inf)
+    UB = _expand(UB, jnp.inf)
+
+    if np.any(np.asarray(x0) < np.asarray(LB)) or np.any(
+        np.asarray(x0) > np.asarray(UB)
+    ):
+        raise ValueError(
+            "The initial starting point X0 is outside the bounds."
+        )
+
+    base_widths = None
+    if widths is None:
+        w = (np.asarray(UB) - np.asarray(LB)) / 2.0
+    else:
+        w = np.broadcast_to(
+            np.asarray(widths, dtype=np.float64).ravel(), (D,)
+        ).copy()
+        base_widths = jnp.asarray(w)
+    w = np.where(np.isinf(w), 10.0, w)
+    w = np.where(np.asarray(LB == UB), 1.0, w)
+    if np.any(w <= 0) or np.any(~np.isfinite(w)):
+        raise ValueError(
+            "The widths vector needs to be all positive real numbers."
+        )
+
+    if burn is None:
+        burn = round(n_samples / 3) if state is None else 0
+    if thin <= 0:
+        raise ValueError(
+            "The thinning factor option needs to be a positive integer."
+        )
+    if burn < 0:
+        raise ValueError(
+            "The burn-in samples option needs to be a non-negative integer."
+        )
+
+    if state is None:
+        state = SliceState(
+            x=x0,
+            log_Px=jnp.asarray(0.0, dtype=x0.dtype),
+            widths=jnp.asarray(w),
+            key=key,
+        )
+
+    state, samples, f_vals, init_log_Px = _run_chain(
+        log_f,
+        state,
+        LB,
+        UB,
+        base_widths,
+        int(n_samples),
+        int(thin),
+        int(burn),
+        bool(adaptive),
+        int(max_shrink),
+    )
+    if not np.isfinite(float(init_log_Px)):
+        raise ValueError(
+            "The initial starting point X0 needs to evaluate to a real "
+            "number (not Inf or NaN)."
+        )
+
+    samples = np.asarray(samples)
+    result = {
+        "samples": samples,
+        "f_vals": np.asarray(f_vals).reshape(-1, 1),
+        "log_priors": np.zeros((samples.shape[0],)),
+        "exit_flag": 0,
+        "R": None,
+        "eff_N": None,
+    }
+    return result, state
+
+
+def sample_chains(
+    log_f,
+    x0s,
+    key,
+    widths=None,
+    LB=None,
+    UB=None,
+    n_samples: int = 100,
+    thin: int = 1,
+    burn: int = None,
+    adaptive: bool = True,
+    max_shrink: int = 256,
+):
+    """Run B independent chains in parallel (vmapped), one per row of
+    ``x0s`` (B, D).  Returns (samples (B, n, D), f_vals (B, n)).
+
+    This is the TPU answer to the reference's single sequential chain:
+    the NLML evaluations of all chains batch into one XLA Cholesky per
+    step (SURVEY.md section 2.3, "MCMC-chain parallelism").
+    """
+    x0s = jnp.asarray(x0s, dtype=jnp.float64)
+    B, D = x0s.shape
+
+    def _expand(v, default):
+        if v is None:
+            return jnp.full((D,), default, dtype=x0s.dtype)
+        return jnp.broadcast_to(
+            jnp.asarray(v, dtype=x0s.dtype).ravel(), (D,)
+        )
+
+    LB = _expand(LB, -jnp.inf)
+    UB = _expand(UB, jnp.inf)
+
+    base_widths = None
+    if widths is None:
+        w = (np.asarray(UB) - np.asarray(LB)) / 2.0
+    else:
+        w = np.broadcast_to(
+            np.asarray(widths, dtype=np.float64).ravel(), (D,)
+        ).copy()
+        base_widths = jnp.asarray(w)
+    w = np.where(np.isinf(w), 10.0, w)
+    w = np.where(np.asarray(LB == UB), 1.0, w)
+
+    if burn is None:
+        burn = round(n_samples / 3)
+
+    keys = jax.random.split(key, B)
+    states = SliceState(
+        x=x0s,
+        log_Px=jnp.zeros((B,), dtype=x0s.dtype),
+        widths=jnp.broadcast_to(jnp.asarray(w), (B, D)),
+        key=keys,
+    )
+
+    def one(state):
+        _, samples, f_vals, _ = _run_chain(
+            log_f,
+            state,
+            LB,
+            UB,
+            base_widths,
+            int(n_samples),
+            int(thin),
+            int(burn),
+            bool(adaptive),
+            int(max_shrink),
+        )
+        return samples, f_vals
+
+    samples, f_vals = jax.vmap(one)(states)
+    return np.asarray(samples), np.asarray(f_vals)

@@ -1,0 +1,111 @@
+"""Smoothbox distribution and uuinv tests (reference
+testing/test_smoothbox.py / test_smoothbox_student_t.py): pdf
+normalization, cdf/ppf inverse round-trips, limiting values."""
+
+import numpy as np
+import scipy.integrate
+import scipy.stats
+
+from gpyreg_tpu.f_min_fill import (
+    smoothbox_cdf,
+    smoothbox_ppf,
+    smoothbox_student_t_cdf,
+    smoothbox_student_t_ppf,
+    uuinv,
+)
+
+
+def _smoothbox_pdf(x, sigma, a, b):
+    C = 1.0 + (b - a) / (sigma * np.sqrt(2 * np.pi))
+    if x < a:
+        return scipy.stats.norm.pdf(x, loc=a, scale=sigma) / C
+    if x <= b:
+        return 1.0 / (C * sigma * np.sqrt(2 * np.pi))
+    return scipy.stats.norm.pdf(x, loc=b, scale=sigma) / C
+
+
+def _smoothbox_t_pdf(x, df, sigma, a, b):
+    c = scipy.special.gamma(0.5 * (df + 1)) / (
+        scipy.special.gamma(0.5 * df) * sigma * np.sqrt(df * np.pi)
+    )
+    C = 1.0 + (b - a) * c
+    if x < a:
+        return scipy.stats.t.pdf(x, df, loc=a, scale=sigma) / C
+    if x <= b:
+        return c / C
+    return scipy.stats.t.pdf(x, df, loc=b, scale=sigma) / C
+
+
+def test_smoothbox_pdf_integrates_to_one():
+    sigma, a, b = 0.7, -1.0, 2.0
+    val, _ = scipy.integrate.quad(
+        lambda x: _smoothbox_pdf(x, sigma, a, b), -np.inf, np.inf
+    )
+    assert abs(val - 1.0) < 1e-8
+
+
+def test_smoothbox_t_pdf_integrates_to_one():
+    df, sigma, a, b = 3, 0.7, -1.0, 2.0
+    val, _ = scipy.integrate.quad(
+        lambda x: _smoothbox_t_pdf(x, df, sigma, a, b), -np.inf, np.inf
+    )
+    assert abs(val - 1.0) < 1e-8
+
+
+def test_smoothbox_cdf_limits():
+    sigma, a, b = 0.5, -1.0, 1.5
+    assert smoothbox_cdf(-np.inf, sigma, a, b) == 0.0
+    assert abs(smoothbox_cdf(np.inf, sigma, a, b) - 1.0) < 1e-12
+    # cdf is the integral of the pdf
+    for x in [-2.0, -1.0, 0.3, 1.5, 2.5]:
+        val, _ = scipy.integrate.quad(
+            lambda t: _smoothbox_pdf(t, sigma, a, b), -np.inf, x
+        )
+        assert abs(smoothbox_cdf(x, sigma, a, b) - val) < 1e-8
+
+
+def test_smoothbox_ppf_roundtrip():
+    sigma, a, b = 0.5, -1.0, 1.5
+    for q in [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]:
+        x = smoothbox_ppf(q, sigma, a, b)
+        assert abs(smoothbox_cdf(x, sigma, a, b) - q) < 1e-10
+
+
+def test_smoothbox_t_ppf_roundtrip():
+    df, sigma, a, b = 3, 0.5, -1.0, 1.5
+    for q in [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]:
+        x = smoothbox_student_t_ppf(q, df, sigma, a, b)
+        assert abs(smoothbox_student_t_cdf(x, df, sigma, a, b) - q) < 1e-10
+
+
+def test_uuinv_basic():
+    B = [-2.0, -1.0, 1.0, 2.0]
+    w = 0.5
+    p = np.linspace(0, 1, 101)
+    x = uuinv(p, B, w)
+    assert np.all(np.diff(x) >= 0)  # monotone
+    assert x[0] == B[0] and abs(x[-1] - B[3]) < 1e-12
+    # Half the mass lands inside the plausible box.
+    inner = (x >= B[1]) & (x <= B[2])
+    assert abs(np.mean(inner) - w) < 0.05
+
+
+def test_uuinv_w_one():
+    B = [-2.0, -1.0, 1.0, 2.0]
+    p = np.linspace(0, 1, 11)
+    x = uuinv(p, B, 1.0)
+    assert np.allclose(x, p * 2 - 1)
+
+
+def test_uuinv_degenerate():
+    # Outer intervals are points: delta + uniform mixture.
+    B = [-1.0, -1.0, 1.0, 1.0]
+    p = np.array([0.0, 0.2, 0.5, 0.8, 1.0])
+    x = uuinv(p, B, 0.6)
+    assert x[0] == -1.0 and x[-1] == 1.0
+
+
+def test_uuinv_out_of_range_is_nan():
+    B = [-2.0, -1.0, 1.0, 2.0]
+    x = uuinv(np.array([-0.1, 1.1]), B, 0.5)
+    assert np.all(np.isnan(x))
