@@ -6,10 +6,26 @@ float64 is software-emulated; a float32 fast path can be selected for
 throughput-critical workloads where ~1e-5 relative accuracy suffices.
 """
 
+import os
+
 import jax
 
 # Must happen before any jax arrays are created.
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: large-N Cholesky/NLML programs take
+# 1-2 min each to compile through the TPU toolchain; cache them across
+# processes.  Opt out with GPYREG_TPU_NO_COMPILE_CACHE=1.
+if not os.environ.get("GPYREG_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.get(
+        "GPYREG_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/jax_gpyreg")
+    )
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
 
 import jax.numpy as jnp  # noqa: E402
 

@@ -30,8 +30,14 @@ _LOG_2PI = float(jnp.log(2.0 * jnp.pi))
 
 
 def gp_parts(spec: ModelSpec, hyp, X, y, s2):
-    """Common sub-expressions: sn2 (raw), m, K, L=chol(G), mult, alpha."""
+    """Common sub-expressions: sn2 (raw), m, K, L=chol(G), mult, alpha.
+
+    ``hyp`` is cast to the data dtype so a float32 X/y (the TPU fast
+    path; f64 is emulated on TPU) keeps the whole computation in f32
+    even when the caller passes f64 hyperparameters.
+    """
     N = X.shape[0]
+    hyp = jnp.asarray(hyp).astype(X.dtype)
     hyp_cov, hyp_noise, hyp_mean = spec.split_hyp(hyp)
     sn2 = noise_variance(spec, hyp_noise, y, s2, X.dtype)
     m = mean_value(spec, hyp_mean, X)[:, None]
@@ -123,10 +129,22 @@ def get_fns(spec: ModelSpec, has_s2: bool, has_prior: bool):
 
         post_axes = (0, None, None)
 
+    def _log_post_raw(hyp, *args):
+        """Positive (unnormalized) log posterior for MCMC samplers.
+
+        Unjitted on purpose: identity-stable (this bundle is lru_cached
+        per spec), so the device slice sampler's jit cache keys on it and
+        warm-started refits (reference gaussian_process.py:1076-1078) hit
+        the compile cache.
+        """
+        return -_obj(hyp, *args)
+
     obj_grad = jax.value_and_grad(_obj)
     n_extra = 2 + int(has_s2) + int(has_prior)
     in_axes = (0,) + (None,) * n_extra
     return {
+        "log_post_raw": _log_post_raw,
+        "obj_raw": _obj,
         "nlz": jax.jit(_nlz),
         "nlz_grad": jax.jit(jax.value_and_grad(_nlz)),
         "obj": jax.jit(_obj),

@@ -38,6 +38,8 @@ from .f_min_fill import (
     smoothbox_student_t_cdf,
 )
 from .formatting import full_repr
+from .inference import device_slice as _device_slice
+from .inference import map_optimize as _map_optimize
 from .ops.linalg import neg_inverse_from_chol, robust_cholesky
 from .slice_sample import SliceSampler
 
@@ -70,6 +72,7 @@ def _predict_fns(spec: ModelSpec):
     """
 
     def chol_branch(hyp, alpha, L_upper, sW, X, xs):
+        hyp = hyp.astype(X.dtype)
         hyp_cov, _, hyp_mean = spec.split_hyp(hyp)
         m_star = mean_value(spec, hyp_mean, xs)
         kss = cov_matrix(spec, hyp_cov, xs, diag=True)
@@ -80,6 +83,7 @@ def _predict_fns(spec: ModelSpec):
         return mu, s2
 
     def inv_branch(hyp, alpha, L_neg_inv, sW, X, xs):
+        hyp = hyp.astype(X.dtype)
         hyp_cov, _, hyp_mean = spec.split_hyp(hyp)
         m_star = mean_value(spec, hyp_mean, xs)
         kss = cov_matrix(spec, hyp_cov, xs, diag=True)
@@ -89,6 +93,7 @@ def _predict_fns(spec: ModelSpec):
         return mu, s2
 
     def chol_branch_full(hyp, alpha, L_upper, sW, X, xs):
+        hyp = hyp.astype(X.dtype)
         hyp_cov, _, hyp_mean = spec.split_hyp(hyp)
         m_star = mean_value(spec, hyp_mean, xs)
         K_star = cov_matrix(spec, hyp_cov, xs)
@@ -99,6 +104,7 @@ def _predict_fns(spec: ModelSpec):
         return mu, 0.5 * (C + C.T)
 
     def inv_branch_full(hyp, alpha, L_neg_inv, sW, X, xs):
+        hyp = hyp.astype(X.dtype)
         hyp_cov, _, hyp_mean = spec.split_hyp(hyp)
         m_star = mean_value(spec, hyp_mean, xs)
         K_star = cov_matrix(spec, hyp_cov, xs)
@@ -108,12 +114,14 @@ def _predict_fns(spec: ModelSpec):
         return mu, 0.5 * (C + C.T)
 
     def prior_branch(hyp, xs):
+        hyp = hyp.astype(xs.dtype)
         hyp_cov, _, hyp_mean = spec.split_hyp(hyp)
         m_star = mean_value(spec, hyp_mean, xs)
         kss = cov_matrix(spec, hyp_cov, xs, diag=True)
         return m_star, kss
 
     def prior_branch_full(hyp, xs):
+        hyp = hyp.astype(xs.dtype)
         hyp_cov, _, hyp_mean = spec.split_hyp(hyp)
         m_star = mean_value(spec, hyp_mean, xs)
         K_star = cov_matrix(spec, hyp_cov, xs)
@@ -143,11 +151,22 @@ class GP:
         :mod:`gpyreg_tpu.noise_functions`.
     """
 
-    def __init__(self, D: int, covariance: object, mean: object, noise: object):
+    def __init__(
+        self,
+        D: int,
+        covariance: object,
+        mean: object,
+        noise: object,
+        dtype=None,
+    ):
         self.D = D
         self.covariance = covariance
         self.mean = mean
         self.noise = noise
+        # Device computation dtype.  float64 (default) gives reference
+        # parity at 1e-8 rtol; float32 is the TPU fast path (f64 matmul /
+        # Cholesky are emulated on TPU).  Host-side state stays float64.
+        self.dtype = np.dtype(dtype if dtype is not None else np.float64)
         self.s2 = None
         self.X = None
         self.y = None
@@ -186,9 +205,11 @@ class GP:
             has_s2 = self.s2 is not None
             has_prior = not self.no_prior
             fns = get_fns(spec, has_s2, has_prior)
-            Xj = jnp.asarray(self.X)
-            yj = jnp.asarray(self.y)
-            s2j = jnp.asarray(self.s2) if has_s2 else None
+            Xj = jnp.asarray(self.X, dtype=self.dtype)
+            yj = jnp.asarray(self.y, dtype=self.dtype)
+            s2j = (
+                jnp.asarray(self.s2, dtype=self.dtype) if has_s2 else None
+            )
             pack = None
             if has_prior:
                 log_norm = float(
@@ -235,6 +256,12 @@ class GP:
         # Bound live memory at ~2 GB of (chunk, N, N) float64 workspace
         # (x3 for kernel + factor + autodiff slack).
         chunk = int(max(1, min(B, 2**31 // max(1, N * N * 8 * 3))))
+        if chunk == 1 and B > 1:
+            # Huge-N regime: the vmapped program compiles pathologically
+            # and buys nothing (one Cholesky saturates the chip).
+            return np.array(
+                [float(fns["obj"](jnp.asarray(h), *args)) for h in hyps]
+            )
         if B <= chunk:
             return np.asarray(fns["obj_batch"](jnp.asarray(hyps), *args))
         n_chunks = (B + chunk - 1) // chunk
@@ -272,9 +299,34 @@ class GP:
         )
 
     def _compute_posteriors(self, hyp_arr):
-        """Batched posterior-factor computation for all samples."""
+        """Batched posterior-factor computation for all samples.
+
+        The sample batch is chunked so the live Cholesky working set
+        (~3 copies of (chunk, N, N)) stays under the HBM budget — a
+        16-sample batch at N=16k would otherwise need 48 GB.
+        """
         spec, fns, Xj, yj, s2j, pack = self._device()
         args = (Xj, yj) + ((s2j,) if s2j is not None else ())
+        s_N = hyp_arr.shape[0]
+        N = self.X.shape[0]
+        budget = getattr(self, "_posterior_mem_budget", 8 * 2**30)
+        total = 3 * N * N * self.dtype.itemsize * s_N
+
+        if total > budget:
+            # Large-N regime: one Cholesky already saturates the chip and
+            # the vmapped program would exceed HBM (and compiles far more
+            # slowly); run the single-sample program per sample.
+            out = []
+            for s in range(s_N):
+                h = jnp.asarray(np.asarray(hyp_arr[s], dtype=np.float64))
+                alpha, L, mult, sn2min = fns["post"](h, *args)
+                out.append(
+                    self._make_posterior(
+                        hyp_arr[s], alpha, L, float(mult), float(sn2min)
+                    )
+                )
+            return out
+
         alphas, Ls, mults, sn2mins = fns["post_batch"](
             jnp.asarray(np.asarray(hyp_arr, dtype=np.float64)), *args
         )
@@ -286,7 +338,7 @@ class GP:
                 float(mults[s]),
                 float(sn2mins[s]),
             )
-            for s in range(hyp_arr.shape[0])
+            for s in range(s_N)
         ]
 
     # ------------------------------------------------------------------
@@ -875,9 +927,17 @@ class GP:
         options: dict = None,
     ):
         """Train hyperparameters: space-filling design (batched device
-        NLML) -> multistart L-BFGS-B MAP -> slice-sampled hyperposterior
-        -> refreshed posteriors.  Options and defaults mirror reference
-        gaussian_process.py:910-1232.
+        NLML) -> multistart MAP -> slice-sampled hyperposterior ->
+        refreshed posteriors.  Options and defaults mirror reference
+        gaussian_process.py:910-1232, plus two backend switches:
+
+        - ``optimizer_backend``: 'device' (default; all restarts advance
+          together in one jitted vmapped L-BFGS) or 'scipy' (sequential
+          L-BFGS-B restarts driving the jitted value-and-grad, matching
+          the reference's optimizer exactly).
+        - ``sampler_backend``: 'device' (default; the whole MCMC chain is
+          one XLA program) or 'host' (the parity SliceSampler driven by
+          the global NumPy RNG, bit-matching the reference's algorithm).
 
         Returns (hyp array, optimize_result, sampling_result).
         """
@@ -1023,22 +1083,39 @@ class GP:
         hyp = np.minimum(eps_UB, np.maximum(eps_LB, hyp))
 
         ## Multistart MAP optimization.
-        objective_f_2 = lambda hyp_: self._objective(hyp_, grad=True)
         nll = np.full((np.maximum(opts_N, 1),), np.inf)
         opt_results = []
 
         opts_N = np.minimum(opts_N, hyp.shape[0])
-        for i in range(opts_N):
-            res = sp.optimize.minimize(
-                fun=objective_f_2,
-                x0=hyp[i, :],
-                jac=True,
-                bounds=list(zip(LB, UB)),
+        opt_backend = options.get("optimizer_backend", "device")
+        if opts_N > 0 and opt_backend == "device":
+            # All restarts advance together in one jitted vmapped L-BFGS
+            # (vs the reference's sequential scipy loop,
+            # gaussian_process.py:1177-1188).
+            fns, obj_args = self._obj_args()
+            xs, fs, opt_results = _map_optimize.multistart_map(
+                fns["obj_raw"],
+                hyp[:opts_N],
+                LB,
+                UB,
+                f_args=obj_args,
                 tol=tol,
             )
-            opt_results.append(res)
-            hyp[i, :] = res.x
-            nll[i] = res.fun
+            hyp[:opts_N] = xs
+            nll[:opts_N] = fs
+        else:
+            objective_f_2 = lambda hyp_: self._objective(hyp_, grad=True)
+            for i in range(opts_N):
+                res = sp.optimize.minimize(
+                    fun=objective_f_2,
+                    x0=hyp[i, :],
+                    jac=True,
+                    bounds=list(zip(LB, UB)),
+                    tol=tol,
+                )
+                opt_results.append(res)
+                hyp[i, :] = res.x
+                nll[i] = res.fun
 
         if opts_N > 0:
             optimize_result = opt_results[np.argmin(nll)]
@@ -1057,16 +1134,37 @@ class GP:
         if sampler_name != "slicesample":
             raise ValueError("Unknown sampler!")
 
-        sample_f = lambda hyp_: self._objective(hyp_, swap_sign=True)
-        sampler_opts = {"display": "off", "diagnostics": False}
         if widths is None:
             widths = widths_default
         else:
             widths = np.minimum(widths, widths_default)
-        slicer = SliceSampler(
-            sample_f, hyp_start, widths, LB, UB, sampler_opts
-        )
-        sampling_result = slicer.sample(eff_s_N, burn=burn_in)
+
+        backend = options.get("sampler_backend", "device")
+        if backend == "device":
+            # Fully-jitted chain: zero host round-trips per NLML eval.
+            fns, obj_args = self._obj_args()
+            key = jax.random.key(
+                int(np.random.randint(0, 2**31 - 1))
+            )
+            sampling_result, _ = _device_slice.sample(
+                fns["log_post_raw"],
+                hyp_start,
+                key,
+                widths=widths,
+                LB=LB,
+                UB=UB,
+                n_samples=eff_s_N,
+                thin=1,
+                burn=burn_in,
+                f_args=obj_args,
+            )
+        else:
+            sample_f = lambda hyp_: self._objective(hyp_, swap_sign=True)
+            sampler_opts = {"display": "off", "diagnostics": False}
+            slicer = SliceSampler(
+                sample_f, hyp_start, widths, LB, UB, sampler_opts
+            )
+            sampling_result = slicer.sample(eff_s_N, burn=burn_in)
 
         hyp_pre_thin = sampling_result["samples"]
         hyp = hyp_pre_thin[thin - 1 :: thin, :]
@@ -1117,7 +1215,7 @@ class GP:
         pfns = _predict_fns(spec)
         s_N = self.posteriors.size
         M = x_star.shape[0]
-        xsj = jnp.asarray(x_star)
+        xsj = jnp.asarray(x_star, dtype=self.dtype)
 
         mu = np.zeros((M, s_N))
         if full:
@@ -1128,7 +1226,7 @@ class GP:
         if self.y is None:
             hyps = np.stack([p.hyp for p in self.posteriors])
             key = "prior_full" if full else "prior"
-            mu_b, v_b = pfns[key](jnp.asarray(hyps), xsj)
+            mu_b, v_b = pfns[key](jnp.asarray(hyps, dtype=self.dtype), xsj)
             mu[:] = np.asarray(mu_b).T
             if full:
                 cov[:] = np.asarray(v_b)
@@ -1140,27 +1238,60 @@ class GP:
         for idx, p in enumerate(self.posteriors):
             groups[bool(p.L_chol)].append(idx)
 
+        N = self.X.shape[0]
+        # Chunk the test points so the live (s_N, N, chunk) cross-covariance
+        # working set stays bounded (~2 GB f64); the reference materializes
+        # the full N x M matrix per sample instead
+        # (gaussian_process.py:1746).  Full-covariance requests need the
+        # whole M x M block, so they are never chunked.
+        if full:
+            chunk = M
+        else:
+            budget_elems = getattr(self, "_predict_chunk_budget", 2**28)
+            chunk = int(max(1, min(M, budget_elems // max(1, s_N * N))))
+            # Align to the TPU lane width when chunking actually happens.
+            if chunk < M and chunk > 128:
+                chunk = (chunk // 128) * 128
+
         for flag, idxs in groups.items():
             if not idxs:
                 continue
             hyps = jnp.asarray(
-                np.stack([self.posteriors[i].hyp for i in idxs])
+                np.stack([self.posteriors[i].hyp for i in idxs]),
+                dtype=self.dtype,
             )
             alphas = jnp.asarray(
-                np.stack([self.posteriors[i].alpha for i in idxs])
+                np.stack([self.posteriors[i].alpha for i in idxs]),
+                dtype=self.dtype,
             )
-            Ls = jnp.asarray(np.stack([self.posteriors[i].L for i in idxs]))
-            sWs = jnp.asarray(np.stack([self.posteriors[i].sW for i in idxs]))
+            Ls = jnp.asarray(
+                np.stack([self.posteriors[i].L for i in idxs]),
+                dtype=self.dtype,
+            )
+            sWs = jnp.asarray(
+                np.stack([self.posteriors[i].sW for i in idxs]),
+                dtype=self.dtype,
+            )
             key = ("chol" if flag else "inv") + ("_full" if full else "")
-            mu_b, v_b = pfns[key](hyps, alphas, Ls, sWs, Xj, xsj)
-            mu_b = np.asarray(mu_b)
-            v_b = np.asarray(v_b)
-            for j, idx in enumerate(idxs):
-                mu[:, idx] = mu_b[j]
-                if full:
-                    cov[idx] = v_b[j]
-                else:
-                    s2[:, idx] = v_b[j]
+
+            for start in range(0, M, chunk):
+                stop = min(start + chunk, M)
+                xs_c = xsj[start:stop]
+                if stop - start < chunk:
+                    # Pad the tail chunk to the compiled shape.
+                    pad = chunk - (stop - start)
+                    xs_c = jnp.concatenate(
+                        [xs_c, jnp.broadcast_to(xs_c[-1:], (pad,) + xs_c.shape[1:])]
+                    )
+                mu_b, v_b = pfns[key](hyps, alphas, Ls, sWs, Xj, xs_c)
+                mu_b = np.asarray(mu_b)[:, : stop - start]
+                v_b = np.asarray(v_b)
+                for j, idx in enumerate(idxs):
+                    mu[start:stop, idx] = mu_b[j]
+                    if full:
+                        cov[idx] = v_b[j]
+                    else:
+                        s2[start:stop, idx] = v_b[j][: stop - start]
 
         if full:
             return mu, cov

@@ -44,12 +44,12 @@ class SliceState(NamedTuple):
     key: jnp.ndarray  # PRNG key
 
 
-def _masked_log_f(log_f, LB, UB):
+def _masked_log_f(log_f, LB, UB, f_args=()):
     """Wrap log_f with the bound mask and NaN -> -inf handling
     (reference slice_sample.py:649-683)."""
 
     def f(x):
-        v = log_f(x)
+        v = log_f(x, *f_args)
         in_bounds = jnp.all((x >= LB) & (x <= UB))
         v = jnp.where(jnp.isnan(v), -jnp.inf, v)
         return jnp.where(in_bounds, v, -jnp.inf)
@@ -187,11 +187,12 @@ def _run_chain(
     burn: int,
     adaptive: bool,
     max_shrink: int,
+    f_args=(),
 ):
     LB_out = jnp.nextafter(LB, -jnp.inf)
     UB_out = jnp.nextafter(UB, jnp.inf)
     fixed = LB == UB
-    logpdf = _masked_log_f(log_f, LB, UB)
+    logpdf = _masked_log_f(log_f, LB, UB, f_args)
 
     state = state._replace(log_Px=logpdf(state.x))
     init_log_Px = state.log_Px
@@ -263,6 +264,7 @@ def sample(
     adaptive: bool = True,
     max_shrink: int = 256,
     state: SliceState = None,
+    f_args=(),
 ):
     """Draw ``n_samples`` (thinned) samples from ``log_f`` on device.
 
@@ -338,6 +340,7 @@ def sample(
         int(burn),
         bool(adaptive),
         int(max_shrink),
+        f_args,
     )
     if not np.isfinite(float(init_log_Px)):
         raise ValueError(
@@ -369,6 +372,7 @@ def sample_chains(
     burn: int = None,
     adaptive: bool = True,
     max_shrink: int = 256,
+    f_args=(),
 ):
     """Run B independent chains in parallel (vmapped), one per row of
     ``x0s`` (B, D).  Returns (samples (B, n, D), f_vals (B, n)).
@@ -424,6 +428,7 @@ def sample_chains(
             int(burn),
             bool(adaptive),
             int(max_shrink),
+            f_args,
         )
         return samples, f_vals
 

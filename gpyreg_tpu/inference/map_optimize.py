@@ -1,0 +1,201 @@
+"""Batched multistart MAP optimization on device.
+
+The reference runs ``opts_N`` sequential ``scipy.optimize.minimize``
+L-BFGS-B restarts (reference gaussian_process.py:1177-1188), each
+iteration a host->device round trip.  Here all restarts advance together:
+one vmapped L-BFGS (optax, zoom linesearch) inside a single jitted
+``lax.while_loop``, so the whole MAP phase is one XLA program and the
+batched NLML+grad evaluations share one batched Cholesky per step.
+
+Box constraints are handled with a smooth bijection onto the unbounded
+space (sigmoid for two-sided bounds, exp-shift for one-sided, identity
+for free; fixed dimensions LB == UB are pinned), so the optimum matches
+L-BFGS-B up to the usual multistart path differences — the reference's
+own fit tests compare recovered hyperparameters within loose tolerance,
+not optimizer iterates (testing/test_gaussian_process.py:844).
+"""
+
+from functools import lru_cache, partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+_BIG = 1e4  # |z| cap keeping sigmoid/exp transforms non-degenerate
+
+
+def _make_transform(LB, UB):
+    """Pure functions (z -> x, x -> z) for the box [LB, UB] (cached by
+    bound values so the closures stay identity-stable across fits and
+    the jitted optimizer program is reused)."""
+    return _make_transform_cached(
+        tuple(np.asarray(LB, dtype=np.float64).tolist()),
+        tuple(np.asarray(UB, dtype=np.float64).tolist()),
+    )
+
+
+@lru_cache(maxsize=128)
+def _make_transform_cached(LB, UB):
+    LB = np.asarray(LB, dtype=np.float64)
+    UB = np.asarray(UB, dtype=np.float64)
+    fin_l = np.isfinite(LB)
+    fin_u = np.isfinite(UB)
+    fixed = LB == UB
+    two = fin_l & fin_u & ~fixed
+    lo_only = fin_l & ~fin_u
+    hi_only = fin_u & ~fin_l
+    free = ~fin_l & ~fin_u
+
+    LBj = jnp.asarray(np.where(fin_l, LB, 0.0))
+    UBj = jnp.asarray(np.where(fin_u, UB, 0.0))
+    width = jnp.asarray(np.where(two, UB - LB, 1.0))
+    two_j = jnp.asarray(two)
+    lo_j = jnp.asarray(lo_only)
+    hi_j = jnp.asarray(hi_only)
+    free_j = jnp.asarray(free)
+    fixed_j = jnp.asarray(fixed)
+
+    def to_x(z):
+        z = jnp.clip(z, -_BIG, _BIG)
+        x_two = LBj + width * jax.nn.sigmoid(z)
+        x_lo = LBj + jnp.exp(z)
+        x_hi = UBj - jnp.exp(z)
+        x = jnp.where(two_j, x_two, 0.0)
+        x = x + jnp.where(lo_j, x_lo, 0.0)
+        x = x + jnp.where(hi_j, x_hi, 0.0)
+        x = x + jnp.where(free_j, z, 0.0)
+        x = x + jnp.where(fixed_j, LBj, 0.0)
+        return x
+
+    def to_z(x):
+        p = jnp.clip((x - LBj) / width, 1e-12, 1.0 - 1e-12)
+        z_two = jnp.log(p) - jnp.log1p(-p)
+        z_lo = jnp.log(jnp.maximum(x - LBj, 1e-300))
+        z_hi = jnp.log(jnp.maximum(UBj - x, 1e-300))
+        z = jnp.where(two_j, z_two, 0.0)
+        z = z + jnp.where(lo_j, z_lo, 0.0)
+        z = z + jnp.where(hi_j, z_hi, 0.0)
+        z = z + jnp.where(free_j, x, 0.0)
+        return z
+
+    return to_x, to_z
+
+
+@partial(
+    jax.jit,
+    static_argnames=("obj_raw", "to_x", "max_iter", "memory_size"),
+)
+def _run_multistart(
+    obj_raw,
+    to_x,
+    z0,  # (B, n)
+    tol,
+    max_iter: int,
+    memory_size: int,
+    f_args,
+):
+    opt = optax.lbfgs(memory_size=memory_size)
+
+    def fun(z, *args):
+        # Optimize in the z dtype (f64) even when the GP computes in f32
+        # (optax caches the value in the state; dtypes must agree).
+        return obj_raw(to_x(z), *args).astype(z.dtype)
+
+    value_and_grad = optax.value_and_grad_from_state(fun)
+
+    def one_start(z_init):
+        state0 = opt.init(z_init)
+
+        def cond(carry):
+            z, state, it, done = carry
+            return jnp.logical_and(~done, it < max_iter)
+
+        def body(carry):
+            z, state, it, _ = carry
+            value, grad = value_and_grad(z, *f_args, state=state)
+            updates, state = opt.update(
+                grad,
+                state,
+                z,
+                value=value,
+                grad=grad,
+                value_fn=lambda zz: fun(zz, *f_args),
+            )
+            z_new = optax.apply_updates(z, updates)
+            gnorm = jnp.max(jnp.abs(grad))
+            step = jnp.max(jnp.abs(z_new - z))
+            done = jnp.logical_or(gnorm < tol, step < 1e-12)
+            done = jnp.logical_or(done, ~jnp.isfinite(value))
+            return z_new, state, it + 1, done
+
+        z, state, it, _ = lax.while_loop(
+            cond, body, (z_init, state0, 0, jnp.asarray(False))
+        )
+        x = to_x(z)
+        f = obj_raw(x, *f_args)
+        return x, f, it
+
+    return jax.vmap(one_start)(z0)
+
+
+class MapResult:
+    """Duck-typed stand-in for scipy OptimizeResult (fields the library
+    and its consumers read: x, fun, nit, success)."""
+
+    def __init__(self, x, fun, nit):
+        self.x = x
+        self.fun = fun
+        self.nit = nit
+        self.success = bool(np.isfinite(fun))
+
+    def __repr__(self):
+        return (
+            f"MapResult(fun={self.fun}, nit={self.nit}, "
+            f"success={self.success})"
+        )
+
+
+def multistart_map(
+    obj_raw,
+    starts,
+    LB,
+    UB,
+    f_args=(),
+    tol=1e-5,
+    max_iter=500,
+    memory_size=10,
+):
+    """Minimize ``obj_raw(x, *f_args)`` from each row of ``starts``.
+
+    Returns (xs (B, n), fs (B,), results list of MapResult).  ``obj_raw``
+    must be a jittable, identity-stable callable (see
+    core/nlml.get_fns) so repeated fits reuse the compiled program.
+    """
+    starts = np.atleast_2d(np.asarray(starts, dtype=np.float64))
+    to_x, to_z = _make_transform(LB, UB)
+    z0 = jax.vmap(to_z)(jnp.asarray(starts))
+    xs, fs, its = _run_multistart(
+        obj_raw,
+        to_x,
+        z0,
+        jnp.asarray(float(tol)),
+        int(max_iter),
+        int(memory_size),
+        tuple(f_args),
+    )
+    xs = np.asarray(xs)
+    fs = np.asarray(fs)
+    its = np.asarray(its)
+    # Clamp strictly inside the numerical bounds (transform round-off).
+    LBc = np.nextafter(np.asarray(LB, dtype=np.float64), np.inf)
+    UBc = np.nextafter(np.asarray(UB, dtype=np.float64), -np.inf)
+    fixed = np.asarray(LB) == np.asarray(UB)
+    xs = np.clip(xs, np.where(fixed, LB, LBc), np.where(fixed, UB, UBc))
+    results = [
+        MapResult(xs[i], float(fs[i]), int(its[i]))
+        for i in range(xs.shape[0])
+    ]
+    return xs, fs, results

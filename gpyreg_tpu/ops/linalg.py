@@ -41,22 +41,31 @@ def jittered_cholesky(K, sn2_vec):
     Differentiable in K and sn2_vec (m is treated as a constant).
     Safe under vmap: the escalation loop is masked per-sample.
     """
-    L0 = _chol_of(K, sn2_vec, jnp.asarray(1.0, dtype=K.dtype))
-
+    # Single Cholesky instance in the graph (the loop body): iteration 0
+    # factors G(1); each retry multiplies the noise by 10.  Keeping one
+    # cholesky call (instead of one outside + one inside the loop) halves
+    # the compile time of the dominant op at large N.
     def cond(carry):
         mult, L, i = carry
-        return jnp.logical_and(jnp.any(jnp.isnan(L)), i < CHOL_MAX_TRIES)
+        return jnp.logical_and(
+            jnp.logical_or(i == 0, jnp.any(jnp.isnan(L))),
+            i < CHOL_MAX_TRIES,
+        )
 
     def body(carry):
         mult, L, i = carry
-        bad = jnp.any(jnp.isnan(L))
-        mult_new = jnp.where(bad, mult * 10.0, mult)
-        L_try = _chol_of(K, sn2_vec, mult_new)
-        L_new = jnp.where(bad, L_try, L)
+        mult_new = jnp.where(i == 0, mult, mult * 10.0)
+        L_new = _chol_of(K, sn2_vec, mult_new)
         return mult_new, L_new, i + 1
 
     mult, L, _ = lax.while_loop(
-        cond, body, (jnp.asarray(1.0, dtype=K.dtype), L0, 1)
+        cond,
+        body,
+        (
+            jnp.asarray(1.0, dtype=K.dtype),
+            jnp.full_like(K, jnp.nan),
+            jnp.asarray(0, dtype=jnp.int32),
+        ),
     )
     return L, mult
 

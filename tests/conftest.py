@@ -11,6 +11,9 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The persistent compile cache may hold AOT artifacts compiled elsewhere
+# (machine-feature mismatch warnings / SIGILL risk); tests recompile.
+os.environ["GPYREG_TPU_NO_COMPILE_CACHE"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,82 @@
+"""Batched device MAP optimizer: box-transform round-trips, bounded
+quadratic minimization across start batches, fixed dimensions, and
+agreement with scipy L-BFGS-B on a GP NLML objective."""
+
+import numpy as np
+import pytest
+import scipy.optimize
+
+import jax.numpy as jnp
+
+from gpyreg_tpu.inference.map_optimize import (
+    _make_transform,
+    multistart_map,
+)
+
+
+def test_transform_roundtrip_all_bound_kinds():
+    LB = np.array([-1.0, 0.0, -np.inf, -np.inf, 2.0])
+    UB = np.array([1.0, np.inf, 5.0, np.inf, 2.0])  # last dim fixed
+    to_x, to_z = _make_transform(LB, UB)
+    x = np.array([0.3, 1.7, -2.2, 0.9, 2.0])
+    x_rt = np.asarray(to_x(to_z(jnp.asarray(x))))
+    assert np.allclose(x_rt, x, atol=1e-9)
+    # Any z maps inside the box.
+    z = np.array([50.0, -30.0, 10.0, -3.0, 0.0])
+    x2 = np.asarray(to_x(jnp.asarray(z)))
+    assert np.all(x2 >= LB - 1e-12) and np.all(x2 <= UB + 1e-12)
+    assert x2[-1] == 2.0
+
+
+def test_bounded_quadratic():
+    # min (x - c)^2 with c partially outside the box.
+    c = jnp.asarray([0.5, 2.0, -3.0])
+    LB = np.array([-1.0, -1.0, -1.0])
+    UB = np.array([1.0, 1.0, 1.0])
+
+    def obj(x):
+        return jnp.sum((x - c) ** 2)
+
+    starts = np.array([[0.0, 0.0, 0.0], [0.9, -0.9, 0.5]])
+    xs, fs, results = multistart_map(obj, starts, LB, UB, tol=1e-10)
+    for x in xs:
+        assert np.allclose(x[0], 0.5, atol=1e-5)
+        assert x[1] > 1.0 - 1e-3  # driven to the upper bound
+        assert x[2] < -1.0 + 1e-3  # driven to the lower bound
+    assert all(r.success for r in results)
+
+
+def test_gp_objective_matches_scipy():
+    import gpyreg_tpu as gpr
+
+    rng = np.random.default_rng(0)
+    N, D = 40, 2
+    X = rng.uniform(-3, 3, (N, D))
+    y = np.sin(np.sum(X, axis=1, keepdims=True)) + 0.1 * rng.normal(
+        size=(N, 1)
+    )
+    gp = gpr.GP(
+        D=D,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+    )
+    gp.X, gp.y = X, y
+    LB = np.full(5, -8.0)
+    UB = np.full(5, 8.0)
+    start = np.array([[0.1, 0.1, 0.2, -1.0, 0.0]])
+
+    fns, args = gp._obj_args()
+    xs, fs, _ = multistart_map(
+        fns["obj_raw"], start, LB, UB, f_args=args, tol=1e-8
+    )
+
+    res = scipy.optimize.minimize(
+        fun=lambda h: gp._objective(h, grad=True),
+        x0=start[0],
+        jac=True,
+        bounds=list(zip(LB, UB)),
+        tol=1e-8,
+    )
+    # Same basin -> same objective value (iterates may differ).
+    assert abs(fs[0] - res.fun) < 1e-4 * max(1.0, abs(res.fun))
