@@ -17,6 +17,7 @@ can swap backends.  The numerics differ in implementation only:
 """
 
 import math
+import time
 import warnings
 from textwrap import indent
 from typing import Union
@@ -63,6 +64,13 @@ class Posterior:
         self.L = L
         self.sn2_mult = sn2_mult
         self.L_chol = Lchol
+
+
+@jax.jit
+def _scaled_upper_factor(L_G, sl):
+    """Upper Cholesky factor of the sn2-scaled matrix, on device
+    (reference stores chol(K/sl + I) upper, gaussian_process.py:2413)."""
+    return L_G.T / jnp.sqrt(jnp.asarray(sl, dtype=L_G.dtype))
 
 
 @lru_cache(maxsize=None)
@@ -135,6 +143,12 @@ def _predict_fns(spec: ModelSpec):
         "inv_full": jax.jit(jax.vmap(inv_branch_full, in_axes=vmap_axes)),
         "prior": jax.jit(jax.vmap(prior_branch, in_axes=(0, None))),
         "prior_full": jax.jit(jax.vmap(prior_branch_full, in_axes=(0, None))),
+        # Un-vmapped variants for the large-N path, where stacking the
+        # per-sample N x N factors would copy (and double) HBM use.
+        "chol_one": jax.jit(chol_branch),
+        "inv_one": jax.jit(inv_branch),
+        "chol_full_one": jax.jit(chol_branch_full),
+        "inv_full_one": jax.jit(inv_branch_full),
     }
 
 
@@ -279,24 +293,42 @@ class GP:
         return np.concatenate(out)[:B]
 
     def _make_posterior(self, hyp, alpha, L_G, mult, sn2_min):
-        """Host-side Posterior construction from device factors
-        (parametrization split per reference gaussian_process.py:2404)."""
-        alpha = np.asarray(alpha)
-        if np.any(np.isnan(alpha)):
+        """Posterior construction from device factors (parametrization
+        split per reference gaussian_process.py:2404).
+
+        The N x N factor stays a DEVICE array: pulling it to the host
+        costs a full HBM->host transfer per sample (~100 s/GB through a
+        remote-TPU tunnel) and prediction consumes it on device anyway.
+        Host-side consumers (the rank-1 update path) np.asarray() it
+        lazily.
+        """
+        # alpha is (N, 1): the NaN check is a cheap transfer.
+        alpha_h = np.asarray(alpha)
+        if np.any(np.isnan(alpha_h)):
             raise sp.linalg.LinAlgError(
                 "Singular matrix for L Cholesky decomposition"
             )
-        N = alpha.shape[0]
+        N = alpha_h.shape[0]
         L_chol = sn2_min >= 1e-6
         sW = np.ones((N, 1)) / np.sqrt(sn2_min * mult)
         if L_chol:
             sl = sn2_min * mult
-            L_stored = np.asarray(L_G).T / np.sqrt(sl)  # upper factor
+            L_stored = _scaled_upper_factor(L_G, float(sl))
         else:
-            L_stored = np.asarray(neg_inverse_from_chol(jnp.asarray(L_G)))
+            L_stored = neg_inverse_from_chol(L_G)
         return Posterior(
-            np.asarray(hyp).copy(), alpha, sW, L_stored, mult, bool(L_chol)
+            np.asarray(hyp).copy(), alpha_h, sW, L_stored, mult, bool(L_chol)
         )
+
+    def _maybe_release_posteriors(self):
+        """Drop old posterior factors ahead of a full rebuild when they
+        hold a large slice of device memory."""
+        if self.posteriors is None or self.X is None:
+            return
+        N = self.X.shape[0]
+        s_N = np.size(self.posteriors)
+        if N * N * self.dtype.itemsize * s_N > 2 * 2**30:
+            self.posteriors = None
 
     def _compute_posteriors(self, hyp_arr):
         """Batched posterior-factor computation for all samples.
@@ -802,7 +834,7 @@ class GP:
                 K = self.covariance.compute(hyp_cov, X_new)
                 Ks = self.covariance.compute(hyp_cov, self.X, X_new)
 
-                L = self.posteriors[s].L
+                L = np.asarray(self.posteriors[s].L)
                 L_chol = self.posteriors[s].L_chol
 
                 full_update_s = False
@@ -890,6 +922,10 @@ class GP:
                 hyp = self.get_hyperparameters(as_array=True)
             s_N, _ = hyp.shape
             if compute_posterior and self.X is not None and self.y is not None:
+                # Release the old device-resident factors before building
+                # replacements: holding both sets at large N doubles HBM
+                # use (8 samples x 16k^2 f32 = 8 GB per set).
+                self._maybe_release_posteriors()
                 self.posteriors = np.array(
                     self._compute_posteriors(hyp), dtype=object
                 )
@@ -956,6 +992,16 @@ class GP:
         burn_in = options.get("burn", thin * s_N)
         lower_bounds = options.get("lower_bounds", "current")
         upper_bounds = options.get("upper_bounds", "current")
+
+        # Real phase timing (the reference's timers are vestigial,
+        # gaussian_process.py:1094-1228) + optional jax.profiler trace.
+        self.fit_timings = {}
+        _trace_dir = options.get("trace_dir", None)
+        if _trace_dir:
+            import jax.profiler as _jprof
+
+            _jprof.start_trace(str(_trace_dir))
+        _t_start = time.perf_counter()
 
         X, y, s2 = self._convert_shapes(X, y, s2)
         if X is not None:
@@ -1063,6 +1109,8 @@ class GP:
             hyp = hyp0[order, :]
             widths_default = PUB - PLB
 
+        self.fit_timings["design_s"] = time.perf_counter() - _t_start
+
         # Fix zero widths.
         idx0 = widths_default == 0
         if np.any(idx0):
@@ -1117,6 +1165,11 @@ class GP:
                 hyp[i, :] = res.x
                 nll[i] = res.fun
 
+        self.fit_timings["optimize_s"] = (
+            time.perf_counter() - _t_start
+            - self.fit_timings["design_s"]
+        )
+
         if opts_N > 0:
             optimize_result = opt_results[np.argmin(nll)]
             hyp_start = hyp[np.argmin(nll), :].copy()
@@ -1127,6 +1180,12 @@ class GP:
         if s_N == 0:
             hyp_start = np.reshape(hyp_start, (1, -1))
             self.update(hyp=hyp_start)
+            self.fit_timings["posterior_s"] = (
+                time.perf_counter() - _t_start
+                - sum(self.fit_timings.values())
+            )
+            if _trace_dir:
+                _jprof.stop_trace()
             return hyp_start, optimize_result, None
 
         ## Slice sampling of the hyperposterior.
@@ -1168,8 +1227,18 @@ class GP:
 
         hyp_pre_thin = sampling_result["samples"]
         hyp = hyp_pre_thin[thin - 1 :: thin, :]
+        self.fit_timings["sample_s"] = (
+            time.perf_counter() - _t_start
+            - sum(self.fit_timings.values())
+        )
 
         self.update(hyp=hyp)
+        self.fit_timings["posterior_s"] = (
+            time.perf_counter() - _t_start
+            - sum(self.fit_timings.values())
+        )
+        if _trace_dir:
+            _jprof.stop_trace()
         return hyp, optimize_result, sampling_result
 
     # ------------------------------------------------------------------
@@ -1253,6 +1322,49 @@ class GP:
             if chunk < M and chunk > 128:
                 chunk = (chunk // 128) * 128
 
+        # Stacking copies every factor: at large N run per-sample
+        # (the jitted branch takes each device-resident L by reference).
+        no_stack = (
+            s_N * N * N * self.dtype.itemsize
+            > getattr(self, "_posterior_mem_budget", 8 * 2**30) // 4
+        )
+
+        if no_stack:
+            for idx, p in enumerate(self.posteriors):
+                key = ("chol" if p.L_chol else "inv") + (
+                    "_full" if full else ""
+                ) + "_one"
+                hyp_j = jnp.asarray(p.hyp, dtype=self.dtype)
+                alpha_j = jnp.asarray(p.alpha, dtype=self.dtype)
+                L_j = jnp.asarray(p.L, dtype=self.dtype)
+                sW_j = jnp.asarray(p.sW, dtype=self.dtype)
+                for start in range(0, M, chunk):
+                    stop = min(start + chunk, M)
+                    xs_c = xsj[start:stop]
+                    if stop - start < chunk:
+                        pad = chunk - (stop - start)
+                        xs_c = jnp.concatenate(
+                            [
+                                xs_c,
+                                jnp.broadcast_to(
+                                    xs_c[-1:], (pad,) + xs_c.shape[1:]
+                                ),
+                            ]
+                        )
+                    mu_b, v_b = pfns[key](
+                        hyp_j, alpha_j, L_j, sW_j, Xj, xs_c
+                    )
+                    mu[start:stop, idx] = np.asarray(mu_b)[: stop - start]
+                    if full:
+                        cov[idx] = np.asarray(v_b)
+                    else:
+                        s2[start:stop, idx] = np.asarray(v_b)[
+                            : stop - start
+                        ]
+            if full:
+                return mu, cov
+            return mu, s2
+
         for flag, idxs in groups.items():
             if not idxs:
                 continue
@@ -1260,17 +1372,25 @@ class GP:
                 np.stack([self.posteriors[i].hyp for i in idxs]),
                 dtype=self.dtype,
             )
-            alphas = jnp.asarray(
-                np.stack([self.posteriors[i].alpha for i in idxs]),
-                dtype=self.dtype,
+            alphas = jnp.stack(
+                [
+                    jnp.asarray(self.posteriors[i].alpha, dtype=self.dtype)
+                    for i in idxs
+                ]
             )
-            Ls = jnp.asarray(
-                np.stack([self.posteriors[i].L for i in idxs]),
-                dtype=self.dtype,
+            # L stays on device (jnp.asarray is a no-op for device
+            # arrays of the right dtype; np fallbacks still upload).
+            Ls = jnp.stack(
+                [
+                    jnp.asarray(self.posteriors[i].L, dtype=self.dtype)
+                    for i in idxs
+                ]
             )
-            sWs = jnp.asarray(
-                np.stack([self.posteriors[i].sW for i in idxs]),
-                dtype=self.dtype,
+            sWs = jnp.stack(
+                [
+                    jnp.asarray(self.posteriors[i].sW, dtype=self.dtype)
+                    for i in idxs
+                ]
             )
             key = ("chol" if flag else "inv") + ("_full" if full else "")
 
@@ -1459,7 +1579,7 @@ class GP:
                 omega = np.exp(hyp[cov_N + noise_N + D + 1 :])
 
             alpha = self.posteriors[s].alpha
-            L = self.posteriors[s].L
+            L = np.asarray(self.posteriors[s].L)
             L_chol = self.posteriors[s].L_chol
 
             sn2 = np.exp(2 * hyp[cov_N])
@@ -1535,7 +1655,7 @@ class GP:
 
         hyp = self.posteriors[s].hyp
         alpha = self.posteriors[s].alpha
-        L = self.posteriors[s].L
+        L = np.asarray(self.posteriors[s].L)
         L_chol = self.posteriors[s].L_chol
         sW = self.posteriors[s].sW
 
@@ -1583,6 +1703,230 @@ class GP:
             ) * np.random.standard_normal(size=f_mu.shape)
             return y_star
         return f_star
+
+    # ------------------------------------------------------------------
+    # Extras from the MATLAB gplite oracle (absent from the Python
+    # reference port; SURVEY.md section 5 "MATLAB-only features")
+    # ------------------------------------------------------------------
+
+    def predict_quantile(
+        self,
+        q,
+        x_star: np.ndarray,
+        y_star: np.ndarray = None,
+        s2_star: np.ndarray = None,
+        observed: bool = True,
+        nx: int = 10,
+    ):
+        """Quantile prediction of the mixture predictive distribution.
+
+        Port of matlab/gplite/gplite_qpred.m:1-49: each hyperparameter
+        sample's Gaussian predictive is discretized on an ``nx``-point
+        norminv grid; quantiles ``q`` are taken across the pooled grid.
+
+        Parameters
+        ----------
+        q : float or array
+            Quantile level(s) in (0, 1).
+        observed : bool
+            True: quantiles of predicted observations y (with noise);
+            False: of the latent function f (gplite_qpred.m type 'y'/'f').
+
+        Returns
+        -------
+        (M, len(q)) array of quantiles (squeezed to (M,) for scalar q).
+        """
+        x_star, y_star, s2_star = self._convert_shapes(
+            x_star, y_star, s2_star
+        )
+        xx = sp.stats.norm.ppf(
+            np.linspace(0.5 / nx, 1 - 0.5 / nx, nx)
+        )
+        mu, s2 = self.predict(
+            x_star,
+            y_star,
+            s2_star,
+            add_noise=observed,
+            separate_samples=True,
+        )
+        # (M, s_N, nx) grid of representative points, pooled over samples.
+        grid = mu[:, :, None] + np.sqrt(np.maximum(s2, 0))[:, :, None] * xx
+        grid = grid.reshape(x_star.shape[0], -1)
+        out = np.quantile(grid, np.atleast_1d(q), axis=1).T
+        return out[:, 0] if np.isscalar(q) else out
+
+    def _mixture_mean_variance_fn(self):
+        """Jittable (x (D,) -> (mu, s2)) mixture predictive, built from
+        the current stacked posterior factors (device arrays)."""
+        spec = self._spec()
+        pfns = _predict_fns(spec)
+        Xj = jnp.asarray(self.X, dtype=self.dtype)
+        groups = {True: [], False: []}
+        for idx, p in enumerate(self.posteriors):
+            groups[bool(p.L_chol)].append(idx)
+        packed = []
+        for flag, idxs in groups.items():
+            if not idxs:
+                continue
+            packed.append(
+                (
+                    pfns["chol"] if flag else pfns["inv"],
+                    jnp.asarray(
+                        np.stack([self.posteriors[i].hyp for i in idxs]),
+                        dtype=self.dtype,
+                    ),
+                    jnp.stack(
+                        [
+                            jnp.asarray(
+                                self.posteriors[i].alpha, dtype=self.dtype
+                            )
+                            for i in idxs
+                        ]
+                    ),
+                    jnp.stack(
+                        [
+                            jnp.asarray(
+                                self.posteriors[i].L, dtype=self.dtype
+                            )
+                            for i in idxs
+                        ]
+                    ),
+                    jnp.stack(
+                        [
+                            jnp.asarray(
+                                self.posteriors[i].sW, dtype=self.dtype
+                            )
+                            for i in idxs
+                        ]
+                    ),
+                )
+            )
+        s_N = np.size(self.posteriors)
+
+        def mu_s2(x):
+            xs = jnp.reshape(x, (1, -1)).astype(Xj.dtype)
+            mus, s2s = [], []
+            for fn, hyps, alphas, Ls, sWs in packed:
+                m, v = fn(hyps, alphas, Ls, sWs, Xj, xs)
+                mus.append(m[:, 0])
+                s2s.append(v[:, 0])
+            mu_all = jnp.concatenate(mus)
+            s2_all = jnp.maximum(jnp.concatenate(s2s), 0.0)
+            mu_bar = jnp.mean(mu_all)
+            if s_N > 1:
+                v = jnp.sum((mu_all - mu_bar) ** 2) / (s_N - 1)
+            else:
+                v = 0.0
+            return mu_bar, jnp.mean(s2_all) + v
+
+        return mu_s2
+
+    def fmin(self, x0=None, max_flag: bool = False, n_starts: int = 3):
+        """Find the global minimum (or maximum) of the GP posterior mean.
+
+        Port of matlab/gplite/gplite_fmin.m:1-75: multistart bounded
+        optimization of the mixture predictive mean inside
+        [min(X) - 10*diam, max(X) + 10*diam], starting from the best
+        training point plus random high-posterior-density points; runs
+        as one batched device optimization.
+
+        Returns (x (D,), fval).
+        """
+        X, y = self.X, self.y
+        D = X.shape[1]
+        diam = np.max(X, axis=0) - np.min(X, axis=0)
+        LB = np.min(X, axis=0) - 10 * diam
+        UB = np.max(X, axis=0) + 10 * diam
+
+        order = np.argsort(y.ravel())
+        if max_flag:
+            order = order[::-1]
+        starts = [] if x0 is None else [np.atleast_2d(x0)]
+        starts.append(X[order[:1], :])
+        rest = X[order[1:], :]
+        n_hpd = int(np.ceil(rest.shape[0] * 0.5))
+        need = max(n_starts, len(starts)) - len(starts)
+        if need > 0 and n_hpd > 0:
+            idx = np.random.permutation(n_hpd)[: min(need, n_hpd)]
+            starts.append(rest[idx, :])
+        starts = np.concatenate(starts, axis=0)
+
+        mu_s2 = self._mixture_mean_variance_fn()
+        sign = -1.0 if max_flag else 1.0
+
+        def obj(x):
+            return sign * mu_s2(x)[0]
+
+        xs, fs, _ = _map_optimize.multistart_map(
+            obj, starts, LB, UB, tol=1e-8
+        )
+        best = int(np.argmin(fs))
+        fval = fs[best] * sign
+        return xs[best], float(fval)
+
+    def sample(
+        self,
+        n_samples: int,
+        x0=None,
+        log_prior=None,
+        beta: float = 0.0,
+        var_thresh: float = np.inf,
+        bounds=None,
+        key=None,
+    ):
+        """Draw samples from the density exp(GP posterior mean) via
+        slice sampling on the surrogate surface.
+
+        Port of matlab/gplite/gplite_sample.m:1-119 (slicesample branch):
+        the target is the mixture predictive mean, optionally penalized
+        by predictive uncertainty (``beta`` * sqrt(s2) lower-confidence
+        and the VarThresh clamp of log_gpfun, gplite_sample.m:108-118).
+        The chain runs fully on device; ``log_prior`` (a jittable
+        function) is added to the target.
+
+        Returns (n_samples, D) array.
+        """
+        X, y = self.X, self.y
+        D = X.shape[1]
+        widths = np.std(X, axis=0, ddof=0)
+        if bounds is None:
+            diam = np.max(X, axis=0) - np.min(X, axis=0)
+            LB = np.min(X, axis=0) - 10 * diam
+            UB = np.max(X, axis=0) + 10 * diam
+        else:
+            LB, UB = np.asarray(bounds[0]), np.asarray(bounds[1])
+
+        if x0 is None:
+            x0 = X[int(np.argmax(y.ravel())), :]
+        x0 = np.minimum(np.maximum(np.ravel(x0), LB), UB)
+
+        mu_s2 = self._mixture_mean_variance_fn()
+        use_s2 = np.isfinite(var_thresh) or beta != 0
+
+        def log_f(x):
+            mu, s2 = mu_s2(x)
+            if use_s2:
+                mu = jnp.where(
+                    s2 >= var_thresh, mu - (s2 - var_thresh), mu
+                )
+                mu = mu - beta * jnp.sqrt(s2)
+            if log_prior is not None:
+                mu = mu + log_prior(x)
+            return mu
+
+        if key is None:
+            key = jax.random.key(int(np.random.randint(0, 2**31 - 1)))
+        res, _ = _device_slice.sample(
+            log_f,
+            x0,
+            key,
+            widths=widths,
+            LB=LB,
+            UB=UB,
+            n_samples=n_samples,
+            burn=int(np.ceil(n_samples / 10)),
+        )
+        return res["samples"]
 
     # ------------------------------------------------------------------
     # Plotting

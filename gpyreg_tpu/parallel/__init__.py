@@ -1,0 +1,5 @@
+"""Multi-chip parallelism: mesh construction and sharded NLML/predict."""
+
+from . import mesh
+
+__all__ = ["mesh"]

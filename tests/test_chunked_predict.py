@@ -51,6 +51,23 @@ def test_chunked_separate_samples_and_noise():
     assert np.allclose(s2_ref, s2_c, atol=1e-12)
 
 
+def test_no_stack_per_sample_path():
+    """Large-N regime: per-sample prediction (no factor stacking) must
+    equal the batched path."""
+    gp, rng = _make_gp()
+    xs = rng.uniform(-3, 3, (33, 2))
+    mu_ref, s2_ref = gp.predict(xs)
+    gp._posterior_mem_budget = 1  # force no_stack (and tiny chunks)
+    mu_c, s2_c = gp.predict(xs)
+    assert np.allclose(mu_ref, mu_c, atol=1e-12)
+    assert np.allclose(s2_ref, s2_c, atol=1e-12)
+    mu_f, cov_f = gp.predict_full(xs)
+    del gp._posterior_mem_budget
+    mu_f2, cov_f2 = gp.predict_full(xs)
+    assert np.allclose(mu_f, mu_f2, atol=1e-12)
+    assert np.allclose(cov_f, cov_f2, atol=1e-12)
+
+
 def test_chunk_smaller_than_128_alignment_guard():
     # chunk <= 128 must not be zeroed by lane alignment.
     gp, rng = _make_gp(n_samples=1)

@@ -1,0 +1,97 @@
+"""MATLAB-oracle extras: quantile prediction (gplite_qpred.m), GP
+surface sampling (gplite_sample.m), posterior-mean minimization
+(gplite_fmin.m)."""
+
+import numpy as np
+import pytest
+
+import gpyreg_tpu as gpr
+
+
+def _fitted_quadratic_gp(n_samples=3, seed=0):
+    """GP trained on a known concave quadratic (peak at x=1)."""
+    rng = np.random.default_rng(seed)
+    N, D = 60, 2
+    X = rng.uniform(-3, 3, (N, D))
+    y = -np.sum((X - 1.0) ** 2, axis=1, keepdims=True)
+    gp = gpr.GP(
+        D=D,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.NegativeQuadratic(),
+        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+    )
+    base = np.concatenate(
+        [[0.5, 0.5], [1.0], [-3.0], [0.0, 1.0, 1.0, 0.0, 0.0]]
+    )
+    hyp = base[None, :] + 0.02 * rng.normal(size=(n_samples, base.size))
+    gp.update(X_new=X, y_new=y, hyp=hyp)
+    return gp, rng
+
+
+def test_predict_quantile_matches_gaussian():
+    gp, rng = _fitted_quadratic_gp(n_samples=1)
+    xs = rng.uniform(-2, 2, (25, 2))
+    mu, s2 = gp.predict(xs, add_noise=True)
+    # With one sample the predictive is Gaussian: the median matches mu
+    # and the interquartile range matches 1.349 sigma.
+    q = gp.predict_quantile([0.25, 0.5, 0.75], xs)
+    assert q.shape == (25, 3)
+    assert np.allclose(q[:, 1], mu.ravel(), atol=0.05)
+    # The 10-point grid discretization biases the IQR ~10% narrow
+    # (same in the MATLAB oracle); check within that envelope.
+    iqr = q[:, 2] - q[:, 0]
+    assert np.allclose(iqr, 1.349 * np.sqrt(s2.ravel()), rtol=0.2)
+    # Monotone in the quantile level.
+    assert np.all(q[:, 0] <= q[:, 1]) and np.all(q[:, 1] <= q[:, 2])
+    # Scalar q squeezes.
+    q50 = gp.predict_quantile(0.5, xs)
+    assert q50.shape == (25,)
+    assert np.allclose(q50, q[:, 1])
+
+
+def test_fmin_finds_quadratic_peak():
+    gp, _ = _fitted_quadratic_gp()
+    np.random.seed(0)
+    x_min, f_min = gp.fmin()  # minimum of the mean surface (far field)
+    x_max, f_max = gp.fmin(max_flag=True)
+    # The posterior-mean maximum should sit near the true peak x = 1.
+    assert np.max(np.abs(x_max - 1.0)) < 0.3
+    assert f_max > f_min
+
+
+def test_sample_concentrates_near_peak():
+    gp, _ = _fitted_quadratic_gp()
+    np.random.seed(1)
+    import jax
+
+    s = gp.sample(
+        1500,
+        bounds=(np.array([-3.0, -3.0]), np.array([3.0, 3.0])),
+        key=jax.random.key(0),
+    )
+    assert s.shape == (1500, 2)
+    assert np.all((s >= -3) & (s <= 3))
+    # exp(-(x-1)^2 - (y-1)^2) is a standard normal / sqrt(2) at (1, 1).
+    assert np.max(np.abs(np.mean(s, axis=0) - 1.0)) < 0.2
+    assert np.max(np.abs(np.std(s, axis=0) - np.sqrt(0.5))) < 0.15
+
+
+def test_sample_beta_penalty_pulls_towards_data():
+    gp, rng = _fitted_quadratic_gp()
+    np.random.seed(2)
+    import jax
+
+    s_plain = gp.sample(
+        600,
+        bounds=(np.array([-3.0, -3.0]), np.array([3.0, 3.0])),
+        key=jax.random.key(1),
+    )
+    s_lcb = gp.sample(
+        600,
+        beta=3.0,
+        bounds=(np.array([-3.0, -3.0]), np.array([3.0, 3.0])),
+        key=jax.random.key(1),
+    )
+    # The uncertainty penalty must not break sampling; both stay in box.
+    assert np.all((s_lcb >= -3) & (s_lcb <= 3))
+    assert not np.allclose(s_plain, s_lcb)
