@@ -24,6 +24,7 @@ from . import f_min_fill
 from . import isotropic_covariance_functions
 from . import mean_functions
 from . import noise_functions
+from . import outwarp_functions
 from . import slice_sample
 from .gp import GP, Posterior
 
@@ -36,6 +37,7 @@ __all__ = [
     "isotropic_covariance_functions",
     "mean_functions",
     "noise_functions",
+    "outwarp_functions",
     "f_min_fill",
     "slice_sample",
 ]

@@ -39,12 +39,20 @@ class ModelSpec:
     noise_constant: bool  # constant_add
     noise_user: int  # 0: none, 1: add s2 as-is, 2: scaled by exp(hyp)
     noise_rectified: bool  # rectified-linear output-dependent noise
+    outwarp: str = None  # None or an OUTWARP_KINDS entry
 
     def __post_init__(self):
         if self.cov not in COV_KINDS:
             raise ValueError(f"Unknown covariance kind {self.cov}")
         if self.mean not in MEAN_KINDS:
             raise ValueError(f"Unknown mean kind {self.mean}")
+        if self.outwarp is not None:
+            from ..outwarp_functions import OUTWARP_KINDS
+
+            if self.outwarp not in OUTWARP_KINDS:
+                raise ValueError(
+                    f"Unknown output warping kind {self.outwarp}"
+                )
 
     @property
     def cov_N(self) -> int:
@@ -68,14 +76,26 @@ class ModelSpec:
         return n
 
     @property
-    def hyp_N(self) -> int:
-        return self.cov_N + self.noise_N + self.mean_N
+    def outwarp_N(self) -> int:
+        if self.outwarp is None:
+            return 0
+        from ..outwarp_functions import outwarp_hyp_count
 
-    # --- hyp slicing (cov | noise | mean ordering) ---
+        return outwarp_hyp_count(self.outwarp)
+
+    @property
+    def hyp_N(self) -> int:
+        return self.cov_N + self.noise_N + self.mean_N + self.outwarp_N
+
+    # --- hyp slicing (cov | noise | mean | outwarp ordering,
+    #     matlab/gplite/private/gplite_core.m:16) ---
 
     def split_hyp(self, hyp):
-        c, n = self.cov_N, self.noise_N
-        return hyp[:c], hyp[c : c + n], hyp[c + n :]
+        c, n, m = self.cov_N, self.noise_N, self.mean_N
+        return hyp[:c], hyp[c : c + n], hyp[c + n : c + n + m]
+
+    def outwarp_hyp(self, hyp):
+        return hyp[self.cov_N + self.noise_N + self.mean_N :]
 
 
 def mean_value(spec: ModelSpec, hyp_mean, X):

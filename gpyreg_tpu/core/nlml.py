@@ -26,37 +26,62 @@ from ..ops.linalg import chol_solve, jittered_cholesky
 from .model import ModelSpec, cov_matrix, mean_value, noise_variance
 from .priors import log_prior
 
-_LOG_2PI = float(jnp.log(2.0 * jnp.pi))
+import math
+
+_LOG_2PI = math.log(2.0 * math.pi)
 
 
 def gp_parts(spec: ModelSpec, hyp, X, y, s2):
-    """Common sub-expressions: sn2 (raw), m, K, L=chol(G), mult, alpha.
+    """Common sub-expressions: sn2 (raw), m, K, L=chol(G), mult, alpha,
+    and the output-warping log-Jacobian.
 
     ``hyp`` is cast to the data dtype so a float32 X/y (the TPU fast
     path; f64 is emulated on TPU) keeps the whole computation in f32
     even when the caller passes f64 hyperparameters.
+
+    With output warping (spec.outwarp), the GP models g(y): the noise
+    function sees the ORIGINAL y (for the rectified output-dependent
+    branch) but warped user variance s2 * g'(y)^2, matching
+    matlab/gplite/private/gplite_core.m:13-37.
     """
     N = X.shape[0]
     hyp = jnp.asarray(hyp).astype(X.dtype)
     hyp_cov, hyp_noise, hyp_mean = spec.split_hyp(hyp)
-    sn2 = noise_variance(spec, hyp_noise, y, s2, X.dtype)
+
+    log_jacobian = jnp.asarray(0.0, dtype=X.dtype)
+    y_eff, s2_eff = y, s2
+    if spec.outwarp is not None:
+        from ..outwarp_functions import warp_value_and_dt
+
+        hyp_ow = spec.outwarp_hyp(hyp)
+        y_eff, dwarp = warp_value_and_dt(spec.outwarp, hyp_ow, y)
+        if s2 is not None:
+            s2_eff = s2 * dwarp**2
+        log_jacobian = jnp.sum(jnp.log(jnp.abs(dwarp)))
+
+    sn2 = noise_variance(spec, hyp_noise, y, s2_eff, X.dtype)
     m = mean_value(spec, hyp_mean, X)[:, None]
     K = cov_matrix(spec, hyp_cov, X)
     sn2_vec = jnp.broadcast_to(jnp.reshape(sn2, (-1,)), (N,))
     L, mult = jittered_cholesky(K, sn2_vec)
-    r = y - m
+    r = y_eff - m
     alpha = chol_solve(L, r)
-    return sn2_vec, m, L, mult, r, alpha
+    return sn2_vec, m, L, mult, r, alpha, log_jacobian
 
 
 def nlz(spec: ModelSpec, hyp, X, y, s2):
-    """Negative log marginal likelihood (branch-free; see module doc)."""
+    """Negative log marginal likelihood (branch-free; see module doc).
+
+    Includes the output-warping Jacobian correction
+    ``- sum(log |g'(y)|)`` (gplite_core.m:115) when spec.outwarp is set.
+    """
     N = X.shape[0]
-    _, _, L, _, r, alpha = gp_parts(spec, hyp, X, y, s2)
+    _, _, L, _, r, alpha, log_jac = gp_parts(spec, hyp, X, y, s2)
     return (
         0.5 * jnp.sum(r * alpha)
         + jnp.sum(jnp.log(jnp.diag(L)))
         + 0.5 * N * _LOG_2PI
+        - log_jac
     )
 
 
@@ -68,7 +93,7 @@ def posterior_factors(spec: ModelSpec, hyp, X, y, s2):
     matrix, or explicit negative inverse) based on the concrete
     ``sn2_min >= 1e-6`` flag — reference gaussian_process.py:2404-2448.
     """
-    sn2_vec, _, L, mult, _, alpha = gp_parts(spec, hyp, X, y, s2)
+    sn2_vec, _, L, mult, _, alpha, _ = gp_parts(spec, hyp, X, y, s2)
     return alpha, L, mult, jnp.min(sn2_vec)
 
 

@@ -172,11 +172,16 @@ class GP:
         mean: object,
         noise: object,
         dtype=None,
+        outwarp: object = None,
     ):
         self.D = D
         self.covariance = covariance
         self.mean = mean
         self.noise = noise
+        # Optional output-warping function (MATLAB-oracle capability,
+        # gpyreg_tpu.outwarp_functions); hyperparameters append after
+        # the mean's in the flat vector.
+        self.outwarp = outwarp
         # Device computation dtype.  float64 (default) gives reference
         # parity at 1e-8 rtol; float32 is the TPU fast path (f64 matmul /
         # Cholesky are emulated on TPU).  Host-side state stays float64.
@@ -207,6 +212,7 @@ class GP:
             noise_constant=bool(p[0] == 1),
             noise_user=int(p[1]),
             noise_rectified=bool(p[2] == 1),
+            outwarp=None if self.outwarp is None else self.outwarp._kind,
         )
 
     def _invalidate(self):
@@ -443,17 +449,25 @@ class GP:
     # ------------------------------------------------------------------
 
     def _hyper_info(self):
-        return (
+        info = (
             self.covariance.hyperparameter_info(self.D)
             + self.noise.hyperparameter_info()
             + self.mean.hyperparameter_info(self.D)
         )
+        if self.outwarp is not None:
+            info = info + self.outwarp.hyperparameter_info()
+        return info
 
     def _hyp_counts(self):
         cov_N = self.covariance.hyperparameter_count(self.D)
         mean_N = self.mean.hyperparameter_count(self.D)
         noise_N = self.noise.hyperparameter_count()
         return cov_N, noise_N, mean_N
+
+    def _outwarp_N(self):
+        return (
+            0 if self.outwarp is None else self.outwarp.hyperparameter_count()
+        )
 
     def set_bounds(self, bounds: dict = None):
         """Set hyperparameter lower/upper bounds from a dict of
@@ -462,7 +476,7 @@ class GP:
         cov_N, noise_N, mean_N = self._hyp_counts()
         hyper_info = self._hyper_info()
 
-        hyp_N = cov_N + mean_N + noise_N
+        hyp_N = cov_N + mean_N + noise_N + self._outwarp_N()
         lower_bounds = np.full((hyp_N,), np.nan)
         upper_bounds = np.full((hyp_N,), np.nan)
 
@@ -543,22 +557,34 @@ class GP:
         noise_info = self.noise.get_bounds_info(self.X, self.y)
 
         lb, ub = lower_bounds, upper_bounds
+        m_hi = cov_N + noise_N + mean_N
         lb_cov = lb[0:cov_N]
         lb_noise = lb[cov_N : cov_N + noise_N]
-        lb_mean = lb[cov_N + noise_N :]
+        lb_mean = lb[cov_N + noise_N : m_hi]
         lb_cov[np.isnan(lb_cov)] = cov_info["LB"][np.isnan(lb_cov)]
         lb_noise[np.isnan(lb_noise)] = noise_info["LB"][np.isnan(lb_noise)]
         lb_mean[np.isnan(lb_mean)] = mean_info["LB"][np.isnan(lb_mean)]
 
         ub_cov = ub[0:cov_N]
         ub_noise = ub[cov_N : cov_N + noise_N]
-        ub_mean = ub[cov_N + noise_N :]
+        ub_mean = ub[cov_N + noise_N : m_hi]
         ub_cov[np.isnan(ub_cov)] = cov_info["UB"][np.isnan(ub_cov)]
         ub_noise[np.isnan(ub_noise)] = noise_info["UB"][np.isnan(ub_noise)]
         ub_mean[np.isnan(ub_mean)] = mean_info["UB"][np.isnan(ub_mean)]
 
-        lb = np.concatenate([lb_cov, lb_noise, lb_mean])
-        ub = np.concatenate([ub_cov, ub_noise, ub_mean])
+        parts_lb = [lb_cov, lb_noise, lb_mean]
+        parts_ub = [ub_cov, ub_noise, ub_mean]
+        if self.outwarp is not None:
+            ow_info = self.outwarp.get_bounds_info(self.X, self.y)
+            lb_ow = lb[m_hi:]
+            ub_ow = ub[m_hi:]
+            lb_ow[np.isnan(lb_ow)] = ow_info["LB"][np.isnan(lb_ow)]
+            ub_ow[np.isnan(ub_ow)] = ow_info["UB"][np.isnan(ub_ow)]
+            parts_lb.append(lb_ow)
+            parts_ub.append(ub_ow)
+
+        lb = np.concatenate(parts_lb)
+        ub = np.concatenate(parts_ub)
         ub = np.maximum(lb, ub)
         return self.bounds_to_dict(lb, ub)
 
@@ -610,7 +636,7 @@ class GP:
         self.no_prior = priors is None
 
         cov_N, noise_N, mean_N = self._hyp_counts()
-        hyp_N = cov_N + mean_N + noise_N
+        hyp_N = cov_N + mean_N + noise_N + self._outwarp_N()
         hyper_priors = {
             "mu": np.full((hyp_N,), np.nan),
             "sigma": np.full((hyp_N,), np.nan),
@@ -715,7 +741,9 @@ class GP:
         name->value dicts; NaN-filled if none set yet."""
         if self.posteriors is None:
             cov_N, noise_N, mean_N = self._hyp_counts()
-            hyp = np.full((1, cov_N + mean_N + noise_N), np.nan)
+            hyp = np.full(
+                (1, cov_N + mean_N + noise_N + self._outwarp_N()), np.nan
+            )
         else:
             hyp = np.zeros(
                 (np.size(self.posteriors), np.size(self.posteriors[0].hyp))
@@ -732,7 +760,7 @@ class GP:
             cov_N, noise_N, mean_N = self._hyp_counts()
             if hyp_new.ndim == 1:
                 hyp_new = np.reshape(hyp_new, (1, -1))
-            if hyp_new.shape[1] != cov_N + mean_N + noise_N:
+            if hyp_new.shape[1] != cov_N + mean_N + noise_N + self._outwarp_N():
                 raise ValueError(
                     "Input hyperparameter array is the wrong shape!"
                 )
@@ -749,7 +777,7 @@ class GP:
 
         if hyp_arr.ndim == 1:
             hyp_arr = np.reshape(hyp_arr, (1, -1))
-        if hyp_arr.shape[1] != cov_N + mean_N + noise_N:
+        if hyp_arr.shape[1] != cov_N + mean_N + noise_N + self._outwarp_N():
             raise ValueError("Input hyperparameter array is the wrong shape!")
 
         for s in range(hyp_arr.shape[0]):
@@ -768,7 +796,7 @@ class GP:
             hyp_dict_list = [hyp_dict_list]
 
         cov_N, noise_N, mean_N = self._hyp_counts()
-        hyp_N = cov_N + mean_N + noise_N
+        hyp_N = cov_N + mean_N + noise_N + self._outwarp_N()
         hyp_new_arr = np.zeros((len(hyp_dict_list), hyp_N))
 
         for i, hyp_tmp in enumerate(hyp_dict_list):
@@ -813,6 +841,7 @@ class GP:
             and X_new.shape[0] == 1
             and y_new.shape[0] == 1
             and s2_new is None
+            and self.outwarp is None
         )
         full_updates = []
 
@@ -1044,12 +1073,14 @@ class GP:
         LB = self.lower_bounds
         UB = self.upper_bounds
 
-        PLB = np.concatenate(
-            [cov_info["PLB"], noise_info["PLB"], mean_info["PLB"]]
-        )
-        PUB = np.concatenate(
-            [cov_info["PUB"], noise_info["PUB"], mean_info["PUB"]]
-        )
+        plb_parts = [cov_info["PLB"], noise_info["PLB"], mean_info["PLB"]]
+        pub_parts = [cov_info["PUB"], noise_info["PUB"], mean_info["PUB"]]
+        if self.outwarp is not None:
+            ow_info = self.outwarp.get_bounds_info(self.X, self.y)
+            plb_parts.append(ow_info["PLB"])
+            pub_parts.append(ow_info["PUB"])
+        PLB = np.concatenate(plb_parts)
+        PUB = np.concatenate(pub_parts)
         PLB = np.minimum(np.maximum(PLB, LB), UB)
         PUB = np.maximum(np.minimum(PUB, UB), LB)
 
@@ -1426,6 +1457,11 @@ class GP:
     ):
         """Posterior mean and full covariance per hyperparameter sample:
         mu (M, s_N), cov (M, M, s_N)."""
+        if self.outwarp is not None:
+            raise ValueError(
+                "Full-covariance prediction is unsupported with output "
+                "warping."
+            )
         x_star, y_star, s2_star = self._convert_shapes(
             x_star, y_star, s2_star
         )
@@ -1470,6 +1506,12 @@ class GP:
             raise ValueError(
                 "Cannot calculate log predictive density without y_star."
             )
+        if return_lpd and self.outwarp is not None:
+            # Parity with the oracle: gplite_pred.m:107 errors here.
+            raise ValueError(
+                "Log predictive density is unsupported with output "
+                "warping."
+            )
 
         mu, s2 = self._group_predict(x_star, full=False)
         s2 = np.maximum(s2, 0)  # clamp numerical negatives
@@ -1493,6 +1535,27 @@ class GP:
             lpd = -0.5 * (y_star - mu) ** 2 / y_s2 - 0.5 * np.log(
                 2 * np.pi * y_s2
             )
+
+        if self.outwarp is not None:
+            # Back-transform per sample (gplite_pred.m:113-130): the
+            # latent mean is inverse-warped; variances divide by the
+            # squared warp slope at the back-transformed mean.  With
+            # add_noise the observed mean stays in warped space
+            # (gplite_pred.m:118, oracle behavior preserved).
+            ow_N = self._outwarp_N()
+            for s in range(s_N):
+                hyp_ow = self.posteriors[s].hyp[-ow_N:]
+                fmu = self.outwarp.compute(
+                    hyp_ow, mu[:, s : s + 1], inverse=True
+                )
+                _, dwarp = self.outwarp.compute(
+                    hyp_ow, fmu, compute_grad=True
+                )
+                s2[:, s : s + 1] = s2[:, s : s + 1] / dwarp**2
+                if add_noise:
+                    y_s2[:, s : s + 1] = y_s2[:, s : s + 1] / dwarp**2
+                else:
+                    mu[:, s : s + 1] = fmu
 
         if add_noise:
             s2 = y_s2
@@ -1540,6 +1603,10 @@ class GP:
             raise ValueError(
                 "Bayesian quadrature only supports the squared exponential "
                 "kernel."
+            )
+        if self.outwarp is not None:
+            raise ValueError(
+                "Bayesian quadrature is unsupported with output warping."
             )
 
         N, D = self.X.shape
@@ -1703,6 +1770,125 @@ class GP:
             ) * np.random.standard_normal(size=f_mu.shape)
             return y_star
         return f_star
+
+    # ------------------------------------------------------------------
+    # Checkpointing (the reference has no serialization; SURVEY.md
+    # section 5: the hyperparameter samples ARE the checkpointable
+    # state — factors rebuild exactly via update(compute_posterior=True),
+    # the same contract as clean()).
+    # ------------------------------------------------------------------
+
+    def save(self, path):
+        """Serialize the GP to an ``.npz`` file.
+
+        Stores data, bounds, priors and hyperparameter samples; the
+        O(N^2) posterior factors are NOT stored (they are reconstructed
+        exactly on load, mirroring the clean()/update round trip verified
+        against reference testing/test_gaussian_process.py:254-299).
+        """
+        p = self.noise.parameters
+        meta = {
+            "D": self.D,
+            "cov_kind": self.covariance._kind,
+            "mean_kind": self.mean._kind,
+            "noise_parameters": np.asarray(p),
+            "dtype": str(self.dtype),
+            "no_prior": (
+                -1 if self.no_prior is None else int(self.no_prior)
+            ),
+            "outwarp_kind": (
+                "" if self.outwarp is None else self.outwarp._kind
+            ),
+        }
+        arrays = {f"meta_{k}": v for k, v in meta.items()}
+        for name in ("X", "y", "s2"):
+            v = getattr(self, name)
+            if v is not None:
+                arrays[name] = v
+        arrays["lower_bounds"] = self.lower_bounds
+        arrays["upper_bounds"] = self.upper_bounds
+        for k, v in self.hyper_priors.items():
+            arrays[f"prior_{k}"] = v
+        if self.posteriors is not None:
+            arrays["hyp"] = self.get_hyperparameters(as_array=True)
+            arrays["has_factors"] = np.asarray(
+                self.posteriors[0].alpha is not None
+            )
+        np.savez_compressed(path, **arrays)
+
+    @classmethod
+    def load(cls, path):
+        """Reconstruct a GP saved with :meth:`save` (posterior factors
+        are recomputed on device)."""
+        from . import (
+            covariance_functions as cf,
+            isotropic_covariance_functions as icf,
+            mean_functions as mf,
+            noise_functions as nf,
+        )
+
+        z = np.load(path, allow_pickle=False)
+        kind = str(z["meta_cov_kind"])
+        iso = kind.endswith("_iso")
+        base = kind[:-4] if iso else kind
+        if base == "se":
+            cov = icf.SquaredExponentialIsotropic() if iso else cf.SquaredExponential()
+        elif base in ("m1", "m3", "m5"):
+            deg = int(base[1])
+            cov = icf.MaternIsotropic(deg) if iso else cf.Matern(deg)
+        elif base == "rq":
+            cov = cf.RationalQuadraticARD()
+        else:  # pragma: no cover - future kinds
+            raise ValueError(f"Unknown covariance kind {kind}")
+        mean = {
+            "zero": mf.ZeroMean,
+            "const": mf.ConstantMean,
+            "negquad": mf.NegativeQuadratic,
+        }[str(z["meta_mean_kind"])]()
+        pnoise = z["meta_noise_parameters"]
+        noise = nf.GaussianNoise(
+            constant_add=bool(pnoise[0] == 1),
+            user_provided_add=bool(pnoise[1] == 1),
+            scale_user_provided=bool(pnoise[1] == 2),
+            rectified_linear_output_dependent_add=bool(pnoise[2] == 1),
+        )
+        outwarp = None
+        if "meta_outwarp_kind" in z and str(z["meta_outwarp_kind"]):
+            from . import outwarp_functions as owf
+
+            outwarp = {
+                "negpow": owf.NegativePower,
+                "negpowc1": owf.NegativePowerC1,
+                "negscaledpow": owf.NegativeScaledPower,
+            }[str(z["meta_outwarp_kind"])]()
+        gp = cls(
+            D=int(z["meta_D"]),
+            covariance=cov,
+            mean=mean,
+            noise=noise,
+            dtype=np.dtype(str(z["meta_dtype"])),
+            outwarp=outwarp,
+        )
+        for name in ("X", "y", "s2"):
+            if name in z:
+                setattr(gp, name, z[name])
+        gp.lower_bounds = z["lower_bounds"]
+        gp.upper_bounds = z["upper_bounds"]
+        gp.hyper_priors = {
+            k[len("prior_"):]: z[k] for k in z.files if k.startswith("prior_")
+        }
+        no_prior = int(z["meta_no_prior"])
+        gp.no_prior = None if no_prior == -1 else bool(no_prior)
+        if gp.no_prior is not None:
+            gp._GP__recompute_normalization_constants()
+        if "hyp" in z:
+            gp.update(
+                hyp=z["hyp"],
+                compute_posterior=bool(z["has_factors"])
+                and gp.X is not None
+                and gp.y is not None,
+            )
+        return gp
 
     # ------------------------------------------------------------------
     # Extras from the MATLAB gplite oracle (absent from the Python

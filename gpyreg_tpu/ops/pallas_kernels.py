@@ -1,0 +1,135 @@
+"""Pallas TPU kernels: fused pairwise-distance + kernel evaluation.
+
+The XLA path (ops/kernels.py) computes `-2 X Z^T` on the MXU and lets
+XLA fuse the norm/`exp` epilogue; that writes the N x M distance matrix
+to HBM once and re-reads it for the elementwise profile.  This Pallas
+kernel keeps each (TILE_N, TILE_M) tile in VMEM from matmul to kernel
+value, writing the result exactly once — the memory-bound regime is the
+cross-covariance build for large test batches, where K(X, X*) is
+consumed by a triangular solve immediately after.
+
+Autodiff does NOT flow through pallas_call; this op is used on
+gradient-free paths only (prediction cross-covariance). The NLML/
+training path keeps the XLA composition so jax.grad works end to end.
+
+Kernel profiles supported: 'se', 'm1', 'm3', 'm5', 'rq' (+ '_iso'
+variants handle themselves upstream — inputs arrive pre-scaled by the
+lengthscales either way).
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_N = 256
+TILE_M = 256
+
+
+def _profile(base, t2, sf2, alpha):
+    """Kernel value from squared distance t2 (already lengthscale
+    scaled); matches ops/kernels.py exactly."""
+    t2 = jnp.maximum(t2, 0.0)
+    if base == "se":
+        return sf2 * jnp.exp(-0.5 * t2)
+    if base in ("m1", "m3", "m5"):
+        deg = float(int(base[1]))
+        t = jnp.sqrt(deg * t2)
+        f = {
+            "m1": lambda t: 1.0,
+            "m3": lambda t: 1.0 + t,
+            "m5": lambda t: 1.0 + t * (1.0 + t / 3.0),
+        }[base]
+        return sf2 * f(t) * jnp.exp(-t)
+    if base == "rq":
+        return sf2 * (1.0 + 0.5 * t2 / alpha) ** (-alpha)
+    raise ValueError(f"Unknown kernel profile {base}")
+
+
+def _make_kernel(base):
+    def kernel(xs_ref, zs_ref, params_ref, out_ref):
+        xs = xs_ref[:]  # (TILE_N, D)
+        zs = zs_ref[:]  # (TILE_M, D)
+        sf2 = params_ref[0, 0]
+        alpha = params_ref[0, 1]
+        a2 = jnp.sum(xs * xs, axis=1, keepdims=True)  # (TN, 1)
+        b2 = jnp.sum(zs * zs, axis=1, keepdims=True)  # (TM, 1)
+        cross = jax.lax.dot_general(
+            xs,
+            zs,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        t2 = a2 + b2.T - 2.0 * cross
+        out_ref[:] = _profile(base, t2, sf2, alpha).astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("base", "interpret"))
+def kernel_cross_pallas(base, Xs, Zs, sf2, alpha=1.0, interpret=False):
+    """K(Xs, Zs) for pre-scaled inputs (X/ell, Z/ell), float32.
+
+    Pads N/M up to tile multiples; the D axis rides along untiled
+    (D << 128 in this workload).
+    """
+    N, D = Xs.shape
+    M = Zs.shape[0]
+    Np = -(-N // TILE_N) * TILE_N
+    Mp = -(-M // TILE_M) * TILE_M
+    Xp = jnp.pad(Xs.astype(jnp.float32), ((0, Np - N), (0, 0)))
+    Zp = jnp.pad(Zs.astype(jnp.float32), ((0, Mp - M), (0, 0)))
+    params = jnp.asarray(
+        [[sf2, alpha]], dtype=jnp.float32
+    )
+
+    grid = (Np // TILE_N, Mp // TILE_M)
+    out = pl.pallas_call(
+        _make_kernel(base),
+        out_shape=jax.ShapeDtypeStruct((Np, Mp), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (TILE_N, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (TILE_M, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_N, TILE_M),
+            lambda i, j: (i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(Xp, Zp, params)
+    return out[:N, :M]
+
+
+def kernel_matrix_pallas(cov, hyp_cov, X, Z=None, interpret=False):
+    """Pallas analog of ops.kernels.kernel_matrix (full matrices only;
+    float32; no autodiff — see module docstring)."""
+    iso = cov.endswith("_iso")
+    base = cov[:-4] if iso else cov
+    N, D = X.shape
+    if iso:
+        ell = jnp.exp(hyp_cov[0])
+        sf2 = jnp.exp(2.0 * hyp_cov[1])
+    else:
+        ell = jnp.exp(hyp_cov[0:D])
+        sf2 = jnp.exp(2.0 * hyp_cov[D])
+    alpha = (
+        jnp.exp(hyp_cov[D + 1]) if base == "rq" else jnp.asarray(1.0)
+    )
+    Xs = X / ell
+    Zs = Xs if Z is None else Z / ell
+    return kernel_cross_pallas(
+        base, Xs, Zs, sf2, alpha, interpret=interpret
+    )
