@@ -111,16 +111,36 @@ def chol_solve(L, b):
     )
 
 
-def neg_inverse_from_chol(L):
+@partial(jax.jit, static_argnames=("max_rhs",))
+def neg_inverse_from_chol(L, max_rhs: int = 2048):
     """-(L L^T)^{-1} from a lower Cholesky factor.
 
     Used for the reference's low-noise explicit-inverse parametrization
-    (gaussian_process.py:2440-2448).
+    (gaussian_process.py:2440-2448) and the fast_predict path.
+
+    The solve runs over COLUMN CHUNKS of the identity, written in place
+    into one output buffer inside a fori_loop: XLA's blocked triangular
+    solve materializes one live update slice per RHS block, so a single
+    (N, N) solve at N=16k wants ~59 GB of HLO temps, while this keeps the
+    live set to L + out + O(N * max_rhs).
     """
     N = L.shape[-1]
-    eye = jnp.eye(N, dtype=L.dtype)
-    inv = chol_solve(L, eye)
-    return -inv
+    if N <= max_rhs:
+        eye = jnp.eye(N, dtype=L.dtype)
+        return -chol_solve(L, eye)
+    n_chunks = -(-N // max_rhs)
+    rows = jnp.arange(N, dtype=jnp.int32)[:, None]
+
+    def body(i, out):
+        start = i * max_rhs
+        cols = start + jnp.arange(max_rhs, dtype=jnp.int32)[None, :]
+        eye_block = (rows == cols).astype(L.dtype)
+        blk = -chol_solve(L, eye_block)
+        return lax.dynamic_update_slice(out, blk, (0, start))
+
+    out = jnp.zeros((N, n_chunks * max_rhs), dtype=L.dtype)
+    out = lax.fori_loop(0, n_chunks, body, out)
+    return out[:, :N]
 
 
 @partial(jax.jit, static_argnames=("lower",))

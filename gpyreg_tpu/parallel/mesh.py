@@ -113,3 +113,53 @@ def sharded_predict(spec: ModelSpec, mesh: Mesh, hyp, alpha, L_upper, sW, X, xs)
         jnp.asarray(X),
         jnp.asarray(xs),
     )
+
+
+def sharded_sample_chains(
+    spec: ModelSpec,
+    mesh: Mesh,
+    x0s,
+    key,
+    X,
+    y,
+    widths=None,
+    LB=None,
+    UB=None,
+    n_samples: int = 100,
+    thin: int = 1,
+    burn: int = None,
+):
+    """MCMC-chain parallelism across chips (SURVEY §2.3): each device
+    runs a slab of independent slice-sampling chains over the GP
+    log-marginal-likelihood surface, with data replicated and chain
+    state/output sharded on the leading axis.  Zero collectives — the
+    chains are embarrassingly parallel; chains-per-device still batch
+    into one Cholesky per sweep on each chip.
+
+    ``x0s.shape[0]`` (number of chains) must be divisible by the mesh
+    size.  Returns (samples (B, n_samples, D), f_vals (B, n_samples)).
+    """
+    from ..core.nlml import get_fns
+    from ..inference import device_slice
+
+    fns = get_fns(spec, False, False)
+    Xj = jnp.asarray(X)
+    yj = jnp.asarray(y)
+
+    x0s = jnp.asarray(x0s, dtype=jnp.float64)
+    shard = NamedSharding(mesh, P("batch", None))
+    x0s = jax.device_put(x0s, shard)
+
+    log_f = fns["log_post_raw"]
+    return device_slice.sample_chains(
+        log_f,
+        x0s,
+        key,
+        widths=widths,
+        LB=LB,
+        UB=UB,
+        n_samples=n_samples,
+        thin=thin,
+        burn=burn,
+        f_args=(Xj, yj),
+    )

@@ -77,3 +77,39 @@ def test_chunk_smaller_than_128_alignment_guard():
     mu_c, s2_c = gp.predict(xs)
     assert np.allclose(mu_ref, mu_c, atol=1e-12)
     assert np.allclose(s2_ref, s2_c, atol=1e-12)
+
+
+def test_fast_predict_parametrization_matches():
+    """fast_predict=True (explicit-inverse factors for every posterior)
+    gives the same predictions as the default Cholesky parametrization."""
+    import gpyreg_tpu as gpr
+
+    rng = np.random.default_rng(7)
+    D, N = 2, 40
+    X = rng.uniform(-3, 3, (N, D))
+    y = np.sin(np.sum(X, axis=1, keepdims=True))
+    hyp = np.array([[0.2, 0.1, 0.3, -1.0, 0.0], [0.3, 0.2, 0.4, -1.2, 0.1]])
+
+    gps = []
+    for fp in (False, True):
+        gp = gpr.GP(
+            D=D,
+            covariance=gpr.covariance_functions.SquaredExponential(),
+            mean=gpr.mean_functions.ConstantMean(),
+            noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+            fast_predict=fp,
+        )
+        gp.update(X_new=X, y_new=y, hyp=hyp)
+        gps.append(gp)
+
+    assert gps[0].posteriors[0].L_chol and not gps[1].posteriors[0].L_chol
+    xs = rng.uniform(-3, 3, (30, D))
+    mu0, s20 = gps[0].predict(xs, add_noise=True)
+    mu1, s21 = gps[1].predict(xs, add_noise=True)
+    assert np.allclose(mu0, mu1, atol=1e-8)
+    assert np.allclose(s20, s21, atol=1e-8)
+    # quad and random_function consume the inv parametrization too.
+    F0, v0 = gps[0].quad(np.zeros((2, D)), np.ones((2, D)), compute_var=True)
+    F1, v1 = gps[1].quad(np.zeros((2, D)), np.ones((2, D)), compute_var=True)
+    assert np.allclose(F0, F1, atol=1e-8)
+    assert np.allclose(v0, v1, atol=1e-6)
