@@ -26,7 +26,17 @@ COV_KINDS = (
     "m3_iso",
     "m5_iso",
 )
-MEAN_KINDS = ("zero", "const", "negquad")
+MEAN_KINDS = (
+    "zero",
+    "const",
+    "negquad",
+    # gplite-oracle means (gplite_meanfun.m:10-18)
+    "linear",
+    "quad",
+    "posquad",
+    "se_mean",
+    "negse_mean",
+)
 
 
 @dataclass(frozen=True)
@@ -60,8 +70,17 @@ class ModelSpec:
 
     @property
     def mean_N(self) -> int:
-        # reference mean_functions.py:27,155,284
-        return {"zero": 0, "const": 1, "negquad": 1 + 2 * self.D}[self.mean]
+        # reference mean_functions.py:27,155,284; gplite_meanfun.m:57-127
+        return {
+            "zero": 0,
+            "const": 1,
+            "negquad": 1 + 2 * self.D,
+            "linear": 1 + self.D,
+            "quad": 1 + 2 * self.D,
+            "posquad": 1 + 2 * self.D,
+            "se_mean": 2 + 2 * self.D,
+            "negse_mean": 2 + 2 * self.D,
+        }[self.mean]
 
     @property
     def noise_N(self) -> int:
@@ -109,12 +128,30 @@ def mean_value(spec: ModelSpec, hyp_mean, X):
         return jnp.zeros((N,), dtype=X.dtype)
     if spec.mean == "const":
         return hyp_mean[0] * jnp.ones((N,), dtype=X.dtype)
-    # negquad: m0 - 0.5 * sum(((x - xm) / omega)^2)
-    m0 = hyp_mean[0]
-    xm = hyp_mean[1 : 1 + D]
-    omega = jnp.exp(hyp_mean[1 + D : 1 + 2 * D])
-    z2 = ((X - xm) / omega) ** 2
-    return m0 - 0.5 * jnp.sum(z2, axis=1)
+    if spec.mean == "linear":
+        return hyp_mean[0] + X @ hyp_mean[1 : 1 + D]
+    if spec.mean == "quad":
+        return (
+            hyp_mean[0]
+            + X @ hyp_mean[1 : 1 + D]
+            + (X**2) @ hyp_mean[1 + D : 1 + 2 * D]
+        )
+    if spec.mean in ("negquad", "posquad"):
+        sgn = -1.0 if spec.mean == "negquad" else 1.0
+        m0 = hyp_mean[0]
+        xm = hyp_mean[1 : 1 + D]
+        omega = jnp.exp(hyp_mean[1 + D : 1 + 2 * D])
+        z2 = ((X - xm) / omega) ** 2
+        return m0 + sgn * 0.5 * jnp.sum(z2, axis=1)
+    if spec.mean in ("se_mean", "negse_mean"):
+        sgn = 1.0 if spec.mean == "se_mean" else -1.0
+        m0 = hyp_mean[0]
+        xm = hyp_mean[1 : 1 + D]
+        omega = jnp.exp(hyp_mean[1 + D : 1 + 2 * D])
+        hgt = jnp.exp(hyp_mean[1 + 2 * D])
+        z2 = ((X - xm) / omega) ** 2
+        return m0 + sgn * hgt * jnp.exp(-0.5 * jnp.sum(z2, axis=1))
+    raise ValueError(f"Unknown mean kind {spec.mean}")
 
 
 def noise_variance(spec: ModelSpec, hyp_noise, y, s2, dtype):

@@ -40,6 +40,7 @@ from .f_min_fill import (
 )
 from .formatting import full_repr
 from .inference import device_slice as _device_slice
+from .inference import ensemble_slice as _ensemble_slice
 from .inference import map_optimize as _map_optimize
 from .ops.linalg import neg_inverse_from_chol, robust_cholesky
 from .slice_sample import SliceSampler
@@ -64,6 +65,28 @@ class Posterior:
         self.L = L
         self.sn2_mult = sn2_mult
         self.L_chol = Lchol
+
+
+@lru_cache(maxsize=None)
+def _predict_chunked_fn(spec: ModelSpec, flag: bool, chunk: int):
+    """Single-sample prediction over MANY test points with the chunk
+    loop on DEVICE (lax.map): one dispatch per posterior sample instead
+    of one per (sample, chunk) — the per-call latency of a remote-TPU
+    tunnel (~0.1 s) otherwise dominates large-M prediction."""
+    pfns = _predict_fns(spec)
+    one = pfns[("chol" if flag else "inv") + "_one_raw"]
+
+    def chunked(hyp, alpha, L, sW, X, xs_padded):
+        n_chunks = xs_padded.shape[0] // chunk
+        xs_r = xs_padded.reshape(n_chunks, chunk, xs_padded.shape[1])
+
+        def body(xs_c):
+            return one(hyp, alpha, L, sW, X, xs_c)
+
+        mu, s2 = jax.lax.map(body, xs_r)
+        return mu.reshape(-1), s2.reshape(-1)
+
+    return jax.jit(chunked)
 
 
 @jax.jit
@@ -149,6 +172,10 @@ def _predict_fns(spec: ModelSpec):
         "inv_one": jax.jit(inv_branch),
         "chol_full_one": jax.jit(chol_branch_full),
         "inv_full_one": jax.jit(inv_branch_full),
+        # Raw (unjitted) versions for composition into the device-side
+        # chunk loop (_predict_chunked_fn).
+        "chol_one_raw": chol_branch,
+        "inv_one_raw": inv_branch,
     }
 
 
@@ -1229,7 +1256,7 @@ class GP:
 
         ## Slice sampling of the hyperposterior.
         eff_s_N = s_N * thin
-        if sampler_name != "slicesample":
+        if sampler_name not in ("slicesample", "eissample"):
             raise ValueError("Unknown sampler!")
 
         if widths is None:
@@ -1238,7 +1265,24 @@ class GP:
             widths = np.minimum(widths, widths_default)
 
         backend = options.get("sampler_backend", "device")
-        if backend == "device":
+        if sampler_name == "eissample":
+            # Ensemble slice sampling (MATLAB gplite_train.m sampler;
+            # absent from the Python reference).  Walkers start from a
+            # jittered cloud around the MAP.
+            fns, obj_args = self._obj_args()
+            key = jax.random.key(int(np.random.randint(0, 2**31 - 1)))
+            sampling_result, _ = _ensemble_slice.sample(
+                fns["log_post_raw"],
+                hyp_start,
+                key,
+                n_samples=eff_s_N,
+                widths=widths,
+                LB=LB,
+                UB=UB,
+                burn=burn_in,
+                f_args=obj_args,
+            )
+        elif backend == "device":
             # Fully-jitted chain: zero host round-trips per NLML eval.
             fns, obj_args = self._obj_args()
             key = jax.random.key(
@@ -1355,7 +1399,14 @@ class GP:
         if full:
             chunk = M
         else:
-            budget_elems = getattr(self, "_predict_chunk_budget", 2**28)
+            # The Cholesky-path triangular solve materializes XLA temps
+            # of ~n_row_blocks * N * chunk elements, so it needs much
+            # smaller chunks than the matmul-only inverse path.
+            all_inv = all(not p.L_chol for p in self.posteriors)
+            default_budget = 2**28 if all_inv else 2**26
+            budget_elems = getattr(
+                self, "_predict_chunk_budget", default_budget
+            )
             chunk = int(max(1, min(M, budget_elems // max(1, s_N * N))))
             # Align to the TPU lane width when chunking actually happens.
             if chunk < M and chunk > 128:
@@ -1369,39 +1420,45 @@ class GP:
         )
 
         if no_stack:
-            for idx, p in enumerate(self.posteriors):
-                key = ("chol" if p.L_chol else "inv") + (
-                    "_full" if full else ""
-                ) + "_one"
-                hyp_j = jnp.asarray(p.hyp, dtype=self.dtype)
-                alpha_j = jnp.asarray(p.alpha, dtype=self.dtype)
-                L_j = jnp.asarray(p.L, dtype=self.dtype)
-                sW_j = jnp.asarray(p.sW, dtype=self.dtype)
-                for start in range(0, M, chunk):
-                    stop = min(start + chunk, M)
-                    xs_c = xsj[start:stop]
-                    if stop - start < chunk:
-                        pad = chunk - (stop - start)
-                        xs_c = jnp.concatenate(
-                            [
-                                xs_c,
-                                jnp.broadcast_to(
-                                    xs_c[-1:], (pad,) + xs_c.shape[1:]
-                                ),
-                            ]
-                        )
-                    mu_b, v_b = pfns[key](
-                        hyp_j, alpha_j, L_j, sW_j, Xj, xs_c
-                    )
-                    mu[start:stop, idx] = np.asarray(mu_b)[: stop - start]
-                    if full:
-                        cov[idx] = np.asarray(v_b)
-                    else:
-                        s2[start:stop, idx] = np.asarray(v_b)[
-                            : stop - start
-                        ]
             if full:
+                # Full covariance never chunks; single dispatch/sample.
+                for idx, p in enumerate(self.posteriors):
+                    key = ("chol" if p.L_chol else "inv") + "_full_one"
+                    mu_b, v_b = pfns[key](
+                        jnp.asarray(p.hyp, dtype=self.dtype),
+                        jnp.asarray(p.alpha, dtype=self.dtype),
+                        jnp.asarray(p.L, dtype=self.dtype),
+                        jnp.asarray(p.sW, dtype=self.dtype),
+                        Xj,
+                        xsj,
+                    )
+                    mu[:, idx] = np.asarray(mu_b)
+                    cov[idx] = np.asarray(v_b)
                 return mu, cov
+
+            # Pad M once; the chunk loop runs on device (lax.map): one
+            # dispatch per sample, not per (sample, chunk).
+            n_chunks = -(-M // chunk)
+            pad = n_chunks * chunk - M
+            xs_p = (
+                jnp.concatenate(
+                    [xsj, jnp.broadcast_to(xsj[-1:], (pad,) + xsj.shape[1:])]
+                )
+                if pad
+                else xsj
+            )
+            for idx, p in enumerate(self.posteriors):
+                fn = _predict_chunked_fn(spec, bool(p.L_chol), chunk)
+                mu_b, v_b = fn(
+                    jnp.asarray(p.hyp, dtype=self.dtype),
+                    jnp.asarray(p.alpha, dtype=self.dtype),
+                    jnp.asarray(p.L, dtype=self.dtype),
+                    jnp.asarray(p.sW, dtype=self.dtype),
+                    Xj,
+                    xs_p,
+                )
+                mu[:, idx] = np.asarray(mu_b)[:M]
+                s2[:, idx] = np.asarray(v_b)[:M]
             return mu, s2
 
         for flag, idxs in groups.items():
@@ -1615,6 +1672,20 @@ class GP:
         if self.outwarp is not None:
             raise ValueError(
                 "Bayesian quadrature is unsupported with output warping."
+            )
+        if not isinstance(
+            self.mean,
+            (
+                _mean_mod.ZeroMean,
+                _mean_mod.ConstantMean,
+                _mean_mod.NegativeQuadratic,
+            ),
+        ):
+            # Same supported set as the reference's closed forms
+            # (gaussian_process.py:1898-1946).
+            raise ValueError(
+                "Bayesian quadrature supports zero, constant, and "
+                "negative-quadratic mean functions only."
             )
 
         N, D = self.X.shape
@@ -1853,6 +1924,11 @@ class GP:
             "zero": mf.ZeroMean,
             "const": mf.ConstantMean,
             "negquad": mf.NegativeQuadratic,
+            "linear": mf.LinearMean,
+            "quad": mf.QuadraticMean,
+            "posquad": mf.PositiveQuadratic,
+            "se_mean": mf.SquaredExponentialMean,
+            "negse_mean": mf.NegativeSquaredExponentialMean,
         }[str(z["meta_mean_kind"])]()
         pnoise = z["meta_noise_parameters"]
         noise = nf.GaussianNoise(

@@ -1,0 +1,243 @@
+"""Ensemble slice sampling, fully jitted (device-resident).
+
+Port of the MATLAB oracle's ensemble MCMC (eissample_lite.m, default
+transition operator transSliceSampleRD :938-998): each walker slice
+samples along the difference direction of two other walkers
+(``w = (x_r2 - x_r1) * sigma_factor``), giving an affine-invariant,
+gradient-free sampler that adapts to the posterior's scale/correlation
+automatically.
+
+TPU-native redesign: instead of the oracle's sequential walker updates,
+walkers are split into two half-ensembles updated alternately (the
+standard complementary-ensembles construction, valid MCMC): every walker
+in the active half draws its direction from the *frozen* half, so the
+whole half updates in one vmapped batch — K/2 slice shrinkage loops and
+their log-density evaluations fuse into single batched XLA ops per step.
+
+The 1-D slice update along direction w from x: level = logP + log(u);
+bracket t in [-r, 1-r] (direction already carries the scale); shrink on
+rejection; out-of-bounds and NaN evaluate to -inf (eissample_lite.m's
+logPfuns contract).
+"""
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _masked_log_f(log_f, LB, UB, f_args):
+    def f(x):
+        v = log_f(x, *f_args)
+        in_bounds = jnp.all((x >= LB) & (x <= UB))
+        v = jnp.where(jnp.isnan(v), -jnp.inf, v)
+        return jnp.where(in_bounds, v, -jnp.inf)
+
+    return f
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "log_f",
+        "n_iters",
+        "max_shrink",
+        "sigma_factor",
+    ),
+)
+def _run(
+    log_f,
+    x0s,  # (K, D), K even
+    key,
+    LB,
+    UB,
+    n_iters: int,
+    max_shrink: int,
+    sigma_factor: float,
+    f_args,
+):
+    K, D = x0s.shape
+    H = K // 2
+    logpdf = _masked_log_f(log_f, LB, UB, f_args)
+
+    def slice_1d(x, logP, w, key):
+        """One slice-sampling move along direction w from x."""
+        k_level, k_pos, k_prop = jax.random.split(key, 3)
+        log_uprime = logP + jnp.log(
+            jax.random.uniform(k_level, minval=jnp.finfo(x.dtype).tiny)
+        )
+        rr = jax.random.uniform(k_pos)
+        t_l = -rr
+        t_r = 1.0 - rr
+
+        def cond(c):
+            *_, shrink, done = c
+            return jnp.logical_and(~done, shrink < max_shrink)
+
+        def body(c):
+            key, t_l, t_r, t, logPp, shrink, _ = c
+            key, ku = jax.random.split(key)
+            u = jax.random.uniform(ku)
+            t_new = u * (t_r - t_l) + t_l
+            logPp_new = logpdf(x + t_new * w)
+            accept = logPp_new > log_uprime
+            stuck = t_new == 0.0
+            t_r_new = jnp.where(~accept & (t_new > 0.0), t_new, t_r)
+            t_l_new = jnp.where(~accept & (t_new < 0.0), t_new, t_l)
+            return (
+                key,
+                t_l_new,
+                t_r_new,
+                t_new,
+                logPp_new,
+                shrink + 1,
+                accept | stuck,
+            )
+
+        init = (
+            k_prop,
+            t_l,
+            t_r,
+            jnp.asarray(0.0, dtype=x.dtype),
+            logP,
+            jnp.asarray(0, dtype=jnp.int32),
+            jnp.asarray(False),
+        )
+        _, _, _, t, logP_new, _, _ = lax.while_loop(cond, body, init)
+        return x + t * w, logP_new
+
+    def update_half(active_x, active_logP, frozen_x, key):
+        """Vmapped move of one half-ensemble; directions from the
+        frozen half (eissample_lite.m:957-962 parallel branch)."""
+        n = active_x.shape[0]
+        keys = jax.random.split(key, n + 1)
+        k_pick, k_moves = keys[0], keys[1:]
+        # Two distinct frozen walkers per active walker.
+        i1 = jax.random.randint(k_pick, (n,), 0, H)
+        off = jax.random.randint(
+            jax.random.fold_in(k_pick, 1), (n,), 1, H
+        )
+        i2 = (i1 + off) % H
+        w = (frozen_x[i2] - frozen_x[i1]) * sigma_factor
+
+        return jax.vmap(slice_1d)(active_x, active_logP, w, k_moves)
+
+    def step(carry, _):
+        xs, logPs, key = carry
+        key, kA, kB = jax.random.split(key, 3)
+        xA, lA = update_half(xs[:H], logPs[:H], xs[H:], kA)
+        xB, lB = update_half(xs[H:], logPs[H:], xA, kB)
+        xs = jnp.concatenate([xA, xB])
+        logPs = jnp.concatenate([lA, lB])
+        return (xs, logPs, key), (xs, logPs)
+
+    logP0 = jax.vmap(logpdf)(x0s)
+    (xs, logPs, _), (chain_x, chain_logP) = lax.scan(
+        step, (x0s, logP0, key), None, length=n_iters
+    )
+    return chain_x, chain_logP, logP0
+
+
+def sample(
+    log_f,
+    x0,
+    key,
+    n_samples: int,
+    n_walkers: int = None,
+    widths=None,
+    LB=None,
+    UB=None,
+    burn: int = None,
+    thin: int = 1,
+    sigma_factor: float = 5.0,
+    max_shrink: int = 256,
+    f_args=(),
+):
+    """Draw ``n_samples`` from ``log_f`` with ensemble slice sampling.
+
+    Interface mirrors eissample_lite.m:1-86: ``x0`` may be a single
+    point or a (m, D) stack; missing walkers are created by jittering
+    (eissample_lite.m:12-14); the default ensemble size is
+    K = 2*(D+1) (:31-34) rounded up to even.  Returns
+    (result_dict, final_walker_positions).
+    """
+    x0 = np.atleast_2d(np.asarray(x0, dtype=np.float64))
+    D = x0.shape[1]
+    if n_walkers is None:
+        n_walkers = 2 * (D + 1)
+    n_walkers = max(4, n_walkers + (n_walkers % 2))
+
+    def _expand(v, default):
+        if v is None:
+            return np.full((D,), default)
+        return np.broadcast_to(
+            np.asarray(v, dtype=np.float64).ravel(), (D,)
+        ).copy()
+
+    LBa = _expand(LB, -np.inf)
+    UBa = _expand(UB, np.inf)
+    if np.any(x0 < LBa) or np.any(x0 > UBa):
+        raise ValueError(
+            "The initial starting point X0 is outside the bounds."
+        )
+
+    w = _expand(widths, np.nan)
+    fin = np.isfinite(LBa) & np.isfinite(UBa)
+    w = np.where(
+        np.isnan(w), np.where(fin, (UBa - LBa) / 2.0, 10.0), w
+    )
+
+    # Build the ensemble: keep given rows, jitter to fill.
+    key, k_fill = jax.random.split(key)
+    if x0.shape[0] >= n_walkers:
+        ens = x0[:n_walkers].copy()
+    else:
+        need = n_walkers - x0.shape[0]
+        base = x0[np.arange(need) % x0.shape[0]]
+        jitter = 0.1 * w * np.asarray(
+            jax.random.normal(k_fill, (need, D))
+        )
+        ens = np.concatenate([x0, base + jitter])
+    ens = np.minimum(np.maximum(ens, LBa), UBa)
+
+    if burn is None:
+        burn = int(np.ceil(n_samples / 3))
+    # Samples per iteration = n_walkers; iterations needed:
+    eff = n_samples * thin
+    n_keep_iters = -(-eff // n_walkers)
+    n_iters = burn + n_keep_iters
+
+    chain_x, chain_logP, logP0 = _run(
+        log_f,
+        jnp.asarray(ens),
+        key,
+        jnp.asarray(LBa),
+        jnp.asarray(UBa),
+        int(n_iters),
+        int(max_shrink),
+        float(sigma_factor),
+        tuple(f_args),
+    )
+    if not np.all(np.isfinite(np.asarray(logP0))):
+        raise ValueError(
+            "The initial starting points must evaluate to a real number "
+            "(not Inf or NaN)."
+        )
+
+    kept_x = np.asarray(chain_x[burn:]).reshape(-1, D)
+    kept_l = np.asarray(chain_logP[burn:]).reshape(-1)
+    kept_x = kept_x[::thin][:n_samples]
+    kept_l = kept_l[::thin][:n_samples]
+
+    result = {
+        "samples": kept_x,
+        "f_vals": kept_l.reshape(-1, 1),
+        "log_priors": np.zeros((kept_x.shape[0],)),
+        "exit_flag": 0,
+        "R": None,
+        "eff_N": None,
+    }
+    return result, np.asarray(chain_x[-1])

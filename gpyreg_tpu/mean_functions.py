@@ -170,3 +170,236 @@ def _bounds_info_helper(mean_N, X, y, idx):
     x0[i_nan] = 0.5 * (PLB[i_nan] + PUB[i_nan])
 
     return {"LB": LB, "PLB": PLB, "UB": UB, "PUB": PUB, "x0": x0}
+
+
+# ---------------------------------------------------------------------------
+# Mean functions from the MATLAB gplite oracle (gplite_meanfun.m:10-18)
+# that the Python reference never grew (SURVEY.md section 5).  Bounds
+# heuristics follow gplite_meanfun.m:140-246 (per-dimension data widths).
+# ---------------------------------------------------------------------------
+
+
+def _gplite_ranges(X, y):
+    w = np.max(X, axis=0) - np.min(X, axis=0)
+    if np.size(y) <= 1:
+        y = np.array([0, 1])
+    h = np.max(y) - np.min(y)
+    return w, h, y
+
+
+class LinearMean:
+    """m0 + a.x (1 + D hyperparameters; gplite_meanfun.m case 'linear')."""
+
+    _kind = "linear"
+
+    @staticmethod
+    def hyperparameter_count(D: int):
+        return 1 + D
+
+    @staticmethod
+    def hyperparameter_info(D: int):
+        return [("mean_const", 1), ("mean_linear", D)]
+
+    def get_bounds_info(self, X: np.ndarray, y: np.ndarray):
+        D = X.shape[1]
+        n = self.hyperparameter_count(D)
+        big = np.exp(3)
+        w, h, y = _gplite_ranges(X, y)
+        delta = w / h
+        LB = np.concatenate([[np.min(y) - 0.5 * h], -delta * big])
+        UB = np.concatenate([[np.max(y) + 0.5 * h], delta * big])
+        PLB = np.concatenate([[np.quantile(y, 0.1)], -delta])
+        PUB = np.concatenate([[np.quantile(y, 0.9)], delta])
+        x0 = np.concatenate([[np.median(y)], np.zeros(D)])
+        return {"LB": LB, "UB": UB, "PLB": PLB, "PUB": PUB, "x0": x0}
+
+    def compute(self, hyp, X, compute_grad: bool = False):
+        N, D = X.shape
+        hyp = np.asarray(hyp)
+        _validate_hyp(hyp, self.hyperparameter_count(D))
+        m = hyp[0] + X @ hyp[1 : 1 + D]
+        if compute_grad:
+            dm = np.concatenate([np.ones((N, 1)), X], axis=1)
+            return m, dm
+        return m
+
+
+class QuadraticMean:
+    """m0 + a.x + b.x^2 (1 + 2D hyp; gplite_meanfun.m case 'quad')."""
+
+    _kind = "quad"
+
+    @staticmethod
+    def hyperparameter_count(D: int):
+        return 1 + 2 * D
+
+    @staticmethod
+    def hyperparameter_info(D: int):
+        return [("mean_const", 1), ("mean_linear", D), ("mean_quadratic", D)]
+
+    def get_bounds_info(self, X: np.ndarray, y: np.ndarray):
+        D = X.shape[1]
+        big = np.exp(3)
+        w, h, y = _gplite_ranges(X, y)
+        delta = w / h
+        LB = np.concatenate(
+            [[np.min(y) - 0.5 * h], -delta * big, -((delta * big) ** 2)]
+        )
+        UB = np.concatenate(
+            [[np.max(y) + 0.5 * h], delta * big, (delta * big) ** 2]
+        )
+        PLB = np.concatenate([[np.quantile(y, 0.1)], -delta, -(delta**2)])
+        PUB = np.concatenate([[np.quantile(y, 0.9)], delta, delta**2])
+        x0 = np.concatenate([[np.median(y)], np.zeros(2 * D)])
+        return {"LB": LB, "UB": UB, "PLB": PLB, "PUB": PUB, "x0": x0}
+
+    def compute(self, hyp, X, compute_grad: bool = False):
+        N, D = X.shape
+        hyp = np.asarray(hyp)
+        _validate_hyp(hyp, self.hyperparameter_count(D))
+        m = hyp[0] + X @ hyp[1 : 1 + D] + (X**2) @ hyp[1 + D : 1 + 2 * D]
+        if compute_grad:
+            dm = np.concatenate([np.ones((N, 1)), X, X**2], axis=1)
+            return m, dm
+        return m
+
+
+class PositiveQuadratic:
+    """m0 + 0.5*sum(((x-xm)/omega)^2) (gplite_meanfun.m case 'posquad')."""
+
+    _kind = "posquad"
+
+    @staticmethod
+    def hyperparameter_count(D: int):
+        return 1 + 2 * D
+
+    @staticmethod
+    def hyperparameter_info(D: int):
+        return [("mean_const", 1), ("mean_location", D), ("mean_log_scale", D)]
+
+    def get_bounds_info(self, X: np.ndarray, y: np.ndarray):
+        D = X.shape[1]
+        tol, big = 1e-6, np.exp(3)
+        w, h, y = _gplite_ranges(X, y)
+        LB = np.concatenate(
+            [[np.min(y) - h], np.min(X, axis=0) - 0.5 * w,
+             np.log(w) + np.log(tol)]
+        )
+        UB = np.concatenate(
+            [[np.max(y)], np.max(X, axis=0) + 0.5 * w,
+             np.log(w) + np.log(big)]
+        )
+        PLB = np.concatenate(
+            [[np.min(y)], np.min(X, axis=0), np.log(w) + 0.5 * np.log(tol)]
+        )
+        PUB = np.concatenate([[np.median(y)], np.max(X, axis=0), np.log(w)])
+        x0 = np.concatenate(
+            [[np.quantile(y, 0.1)], np.median(X, axis=0),
+             np.log(np.std(X, axis=0, ddof=1))]
+        )
+        return {"LB": LB, "UB": UB, "PLB": PLB, "PUB": PUB, "x0": x0}
+
+    def compute(self, hyp, X, compute_grad: bool = False):
+        N, D = X.shape
+        hyp = np.asarray(hyp)
+        mean_N = self.hyperparameter_count(D)
+        _validate_hyp(hyp, mean_N)
+        m0 = hyp[0]
+        xm = hyp[1 : 1 + D]
+        omega = np.exp(hyp[1 + D : 1 + 2 * D])
+        z2 = ((X - xm) / omega) ** 2
+        m = m0 + 0.5 * np.sum(z2, axis=1)
+        if compute_grad:
+            dm = np.zeros((N, mean_N))
+            dm[:, 0] = 1.0
+            dm[:, 1 : D + 1] = -(X - xm) / omega**2
+            dm[:, D + 1 :] = -z2
+            return m, dm
+        return m
+
+
+class _SEMeanBase:
+    """Shared implementation of the (negative) squared-exponential bump
+    means (gplite_meanfun.m cases 'se'/'negse', 2 + 2D hyperparameters:
+    [m0, xm (D), log omega (D), log h])."""
+
+    _sgn = 1.0
+
+    @staticmethod
+    def hyperparameter_count(D: int):
+        return 2 + 2 * D
+
+    @staticmethod
+    def hyperparameter_info(D: int):
+        return [
+            ("mean_const", 1),
+            ("mean_location", D),
+            ("mean_log_scale", D),
+            ("mean_log_height", 1),
+        ]
+
+    def get_bounds_info(self, X: np.ndarray, y: np.ndarray):
+        D = X.shape[1]
+        tol, big = 1e-6, np.exp(3)
+        w, h, y = _gplite_ranges(X, y)
+        if self._sgn > 0:  # 'se': bump above baseline, m0 near the bottom
+            m0_b = (np.min(y) - h, np.max(y), np.min(y), np.median(y),
+                    np.quantile(y, 0.1))
+        else:  # 'negse': dip below baseline, m0 near the top
+            m0_b = (np.min(y), np.max(y) + h, np.median(y), np.max(y),
+                    np.quantile(y, 0.9))
+        LB = np.concatenate(
+            [[m0_b[0]], np.min(X, axis=0) - 0.5 * w,
+             np.log(w) + np.log(tol), [np.log(h) + np.log(tol)]]
+        )
+        UB = np.concatenate(
+            [[m0_b[1]], np.max(X, axis=0) + 0.5 * w,
+             np.log(w) + np.log(big), [np.log(h) + np.log(big)]]
+        )
+        PLB = np.concatenate(
+            [[m0_b[2]], np.min(X, axis=0),
+             np.log(w) + 0.5 * np.log(tol), [np.log(h) + 0.5 * np.log(tol)]]
+        )
+        PUB = np.concatenate(
+            [[m0_b[3]], np.max(X, axis=0), np.log(w), [np.log(h)]]
+        )
+        x0 = np.concatenate(
+            [[m0_b[4]], np.median(X, axis=0),
+             np.log(np.std(X, axis=0, ddof=1)), [np.log(np.std(y, ddof=1))]]
+        )
+        return {"LB": LB, "UB": UB, "PLB": PLB, "PUB": PUB, "x0": x0}
+
+    def compute(self, hyp, X, compute_grad: bool = False):
+        N, D = X.shape
+        hyp = np.asarray(hyp)
+        mean_N = self.hyperparameter_count(D)
+        _validate_hyp(hyp, mean_N)
+        m0 = hyp[0]
+        xm = hyp[1 : 1 + D]
+        omega = np.exp(hyp[1 + D : 1 + 2 * D])
+        hgt = np.exp(hyp[1 + 2 * D])
+        z2 = ((X - xm) / omega) ** 2
+        se = self._sgn * hgt * np.exp(-0.5 * np.sum(z2, axis=1))
+        m = m0 + se
+        if compute_grad:
+            dm = np.zeros((N, mean_N))
+            dm[:, 0] = 1.0
+            dm[:, 1 : D + 1] = (X - xm) / omega**2 * se[:, None]
+            dm[:, D + 1 : 1 + 2 * D] = z2 * se[:, None]
+            dm[:, 1 + 2 * D] = se
+            return m, dm
+        return m
+
+
+class SquaredExponentialMean(_SEMeanBase):
+    """m0 + h*exp(-0.5*sum(((x-xm)/omega)^2)) ('se')."""
+
+    _kind = "se_mean"
+    _sgn = 1.0
+
+
+class NegativeSquaredExponentialMean(_SEMeanBase):
+    """m0 - h*exp(-0.5*sum(((x-xm)/omega)^2)) ('negse')."""
+
+    _kind = "negse_mean"
+    _sgn = -1.0

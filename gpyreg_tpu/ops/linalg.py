@@ -112,7 +112,7 @@ def chol_solve(L, b):
 
 
 @partial(jax.jit, static_argnames=("max_rhs",))
-def neg_inverse_from_chol(L, max_rhs: int = 2048):
+def neg_inverse_from_chol(L, max_rhs: int = 512):
     """-(L L^T)^{-1} from a lower Cholesky factor.
 
     Used for the reference's low-noise explicit-inverse parametrization
@@ -120,9 +120,10 @@ def neg_inverse_from_chol(L, max_rhs: int = 2048):
 
     The solve runs over COLUMN CHUNKS of the identity, written in place
     into one output buffer inside a fori_loop: XLA's blocked triangular
-    solve materializes one live update slice per RHS block, so a single
-    (N, N) solve at N=16k wants ~59 GB of HLO temps, while this keeps the
-    live set to L + out + O(N * max_rhs).
+    solve materializes one live update slice per ROW block of the solve
+    (~n_row_blocks * N * rhs_width elements), so a single (N, N) solve at
+    N=16k wants ~59 GB of HLO temps and even a 2048-wide chunk ~7 GB;
+    512-wide chunks keep the live set under ~2 GB on top of L + out.
     """
     N = L.shape[-1]
     if N <= max_rhs:
