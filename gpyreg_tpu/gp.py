@@ -1400,10 +1400,12 @@ class GP:
             chunk = M
         else:
             # The Cholesky-path triangular solve materializes XLA temps
-            # of ~n_row_blocks * N * chunk elements, so it needs much
-            # smaller chunks than the matmul-only inverse path.
+            # of ~n_row_blocks * N * chunk elements, so it needs smaller
+            # chunks than the matmul-only inverse path.  Measured on
+            # v5e at N=16k/s=8: chol chunk 1024 -> 5685 pts/s (best),
+            # 512 -> 4823; inv chunk 2048 -> 3097.
             all_inv = all(not p.L_chol for p in self.posteriors)
-            default_budget = 2**28 if all_inv else 2**26
+            default_budget = 2**28 if all_inv else 2**27
             budget_elems = getattr(
                 self, "_predict_chunk_budget", default_budget
             )
