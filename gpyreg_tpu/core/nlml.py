@@ -17,7 +17,7 @@ Replaces the reference's ``GP.__core_computation``
   N x N Cholesky batches onto the MXU-backed XLA batched Cholesky.
 """
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp

@@ -123,10 +123,14 @@ def _sweep(logpdf, LB, UB, LB_out, UB_out, fixed, max_shrink, adapt):
             w = widths[dd]
             if adapt:
                 delta = UB[dd] - LB[dd]
+                # eps-scaled floor standing in for np.spacing (reference
+                # slice_sample.py:466-474); jnp.spacing lowers to an s64
+                # bitcast that TPU's X64 rewriting does not support.
+                eps = jnp.finfo(x.dtype).eps
                 w_floor = jnp.where(
                     jnp.isfinite(delta),
-                    jnp.abs(jnp.spacing(delta)),
-                    jnp.spacing(jnp.asarray(1.0, dtype=x.dtype)),
+                    eps * jnp.maximum(jnp.abs(delta), 1.0),
+                    eps,
                 )
                 w = jnp.where(
                     shrink > 3,

@@ -138,7 +138,12 @@ def _run_multistart(
         f = obj_raw(x, *f_args)
         return x, f, it
 
-    return jax.vmap(one_start)(z0)
+    # lax.map (sequential on device), NOT vmap: the vmapped
+    # while_loop+linesearch program miscompiles on the v5e toolchain —
+    # batched lanes returned different optima than solo runs and
+    # specific start batches faulted the TPU worker outright.  The
+    # sequential map compiles the body once and stays a single dispatch.
+    return lax.map(one_start, z0)
 
 
 class MapResult:

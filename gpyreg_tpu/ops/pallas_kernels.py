@@ -19,8 +19,6 @@ lengthscales either way).
 
 import functools
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
