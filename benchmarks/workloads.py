@@ -133,7 +133,12 @@ def config4_pyvbmc_warm_refits(gpr, seed=3, n_refits=5):
         )
 
     opts0 = {"n_samples": 4, "opts_N": 2, "init_N": 256, "thin": 2}
-    mk().fit(X=X, y=y, s2=s2, options=opts0)  # warm-up (compile)
+    opts_w = {"n_samples": 4, "opts_N": 1, "init_N": 0, "thin": 2}
+    # Warm-up both programs: the cold fit AND one warm refit (the
+    # refit uses different static options -> different programs).
+    warm = mk()
+    warm.fit(X=X, y=y, s2=s2, options=opts0)
+    warm.fit(options=opts_w)
 
     gp = mk()
     t0 = _timer()
@@ -150,9 +155,7 @@ def config4_pyvbmc_warm_refits(gpr, seed=3, n_refits=5):
         )
         gp.update(X_new=Xn, y_new=yn, s2_new=s2n, compute_posterior=False)
         t0 = _timer()
-        gp.fit(
-            options={"n_samples": 4, "opts_N": 1, "init_N": 0, "thin": 2}
-        )
+        gp.fit(options=opts_w)
         warm_s.append(_timer() - t0)
     return {
         "cold_fit_s": cold_fit_s,

@@ -15,8 +15,16 @@ Replaces the reference's ``GP.__core_computation``
   gradients evaluated at the successful multiplier).
 - Batched evaluation over many hyperparameter vectors is a ``vmap``; the
   N x N Cholesky batches onto the MXU-backed XLA batched Cholesky.
+- Optional SHAPE BUCKETING: data padded to a bucketed N with a row mask
+  (``n_real``) so that incrementally growing datasets (the PyVBMC refit
+  loop, reference gaussian_process.py:691) reuse compiled programs
+  instead of recompiling at every new N.  Padded rows contribute an
+  identity block to G and zero residual, and the constant they add to
+  the log-determinant / 2pi terms is subtracted exactly, so the padded
+  NLML equals the unpadded one to rounding.
 """
 
+import math
 from functools import lru_cache
 
 import jax
@@ -26,12 +34,10 @@ from ..ops.linalg import chol_solve, jittered_cholesky
 from .model import ModelSpec, cov_matrix, mean_value, noise_variance
 from .priors import log_prior
 
-import math
-
 _LOG_2PI = math.log(2.0 * math.pi)
 
 
-def gp_parts(spec: ModelSpec, hyp, X, y, s2):
+def gp_parts(spec: ModelSpec, hyp, X, y, s2, n_real=None):
     """Common sub-expressions: sn2 (raw), m, K, L=chol(G), mult, alpha,
     and the output-warping log-Jacobian.
 
@@ -43,10 +49,19 @@ def gp_parts(spec: ModelSpec, hyp, X, y, s2):
     function sees the ORIGINAL y (for the rectified output-dependent
     branch) but warped user variance s2 * g'(y)^2, matching
     matlab/gplite/private/gplite_core.m:13-37.
+
+    ``n_real`` (traced scalar or None): rows >= n_real are padding.
+    Masking turns G block-diagonal ([[G_real, 0], [0, mult*I]]) with
+    zero padded residual, so alpha's padded entries are exactly zero and
+    the real block's factor is exactly the unpadded factor.
     """
     N = X.shape[0]
     hyp = jnp.asarray(hyp).astype(X.dtype)
     hyp_cov, hyp_noise, hyp_mean = spec.split_hyp(hyp)
+
+    mask = None
+    if n_real is not None:
+        mask = (jnp.arange(N) < n_real).astype(X.dtype)
 
     log_jacobian = jnp.asarray(0.0, dtype=X.dtype)
     y_eff, s2_eff = y, s2
@@ -57,102 +72,126 @@ def gp_parts(spec: ModelSpec, hyp, X, y, s2):
         y_eff, dwarp = warp_value_and_dt(spec.outwarp, hyp_ow, y)
         if s2 is not None:
             s2_eff = s2 * dwarp**2
-        log_jacobian = jnp.sum(jnp.log(jnp.abs(dwarp)))
+        log_jac_terms = jnp.log(jnp.abs(dwarp))
+        if mask is not None:
+            log_jac_terms = log_jac_terms * mask[:, None]
+        log_jacobian = jnp.sum(log_jac_terms)
 
     sn2 = noise_variance(spec, hyp_noise, y, s2_eff, X.dtype)
     m = mean_value(spec, hyp_mean, X)[:, None]
     K = cov_matrix(spec, hyp_cov, X)
     sn2_vec = jnp.broadcast_to(jnp.reshape(sn2, (-1,)), (N,))
-    L, mult = jittered_cholesky(K, sn2_vec)
     r = y_eff - m
+
+    if mask is not None:
+        K = K * (mask[:, None] * mask[None, :])
+        sn2_vec = jnp.where(mask > 0, sn2_vec, 1.0)
+        r = r * mask[:, None]
+
+    L, mult = jittered_cholesky(K, sn2_vec)
     alpha = chol_solve(L, r)
     return sn2_vec, m, L, mult, r, alpha, log_jacobian
 
 
-def nlz(spec: ModelSpec, hyp, X, y, s2):
+def nlz(spec: ModelSpec, hyp, X, y, s2, n_real=None):
     """Negative log marginal likelihood (branch-free; see module doc).
 
     Includes the output-warping Jacobian correction
     ``- sum(log |g'(y)|)`` (gplite_core.m:115) when spec.outwarp is set.
+    With padding, the padded rows' exact contributions
+    (0.5*log(mult) per row to the log-determinant, 0.5*log(2pi) per row
+    to the constant) are subtracted.
     """
     N = X.shape[0]
-    _, _, L, _, r, alpha, log_jac = gp_parts(spec, hyp, X, y, s2)
+    _, _, L, mult, r, alpha, log_jac = gp_parts(spec, hyp, X, y, s2, n_real)
+    logdet_half = jnp.sum(jnp.log(jnp.diag(L)))
+    if n_real is None:
+        n_eff = N
+    else:
+        n_pad = N - n_real
+        logdet_half = logdet_half - 0.5 * n_pad * jnp.log(mult)
+        n_eff = n_real
     return (
         0.5 * jnp.sum(r * alpha)
-        + jnp.sum(jnp.log(jnp.diag(L)))
-        + 0.5 * N * _LOG_2PI
+        + logdet_half
+        + 0.5 * n_eff * _LOG_2PI
         - log_jac
     )
 
 
-def posterior_factors(spec: ModelSpec, hyp, X, y, s2):
+def posterior_factors(spec: ModelSpec, hyp, X, y, s2, n_real=None):
     """Device part of Posterior construction.
 
     Returns (alpha, L_G_lower, mult, sn2_min).  The host converts these to
     the reference's stored-factor convention (upper Cholesky of the scaled
     matrix, or explicit negative inverse) based on the concrete
     ``sn2_min >= 1e-6`` flag — reference gaussian_process.py:2404-2448.
+    With padding, sn2_min is computed over the real rows only; the
+    factors' real block equals the unpadded factors exactly (block
+    diagonality), so the host slices them back to the true size.
     """
-    sn2_vec, _, L, mult, _, alpha, _ = gp_parts(spec, hyp, X, y, s2)
-    return alpha, L, mult, jnp.min(sn2_vec)
+    sn2_vec, _, L, mult, _, alpha, _ = gp_parts(
+        spec, hyp, X, y, s2, n_real
+    )
+    if n_real is not None:
+        big = jnp.asarray(jnp.finfo(X.dtype).max, dtype=X.dtype)
+        mask = jnp.arange(X.shape[0]) < n_real
+        sn2_min = jnp.min(jnp.where(mask, sn2_vec, big))
+    else:
+        sn2_min = jnp.min(sn2_vec)
+    return alpha, L, mult, sn2_min
 
 
 @lru_cache(maxsize=None)
-def get_fns(spec: ModelSpec, has_s2: bool, has_prior: bool):
+def get_fns(
+    spec: ModelSpec,
+    has_s2: bool,
+    has_prior: bool,
+    padded: bool = False,
+):
     """Jitted function bundle for a model family.
 
-    Returns a dict with:
-      nlz(hyp, X, y, s2?)                      -> scalar nlZ
-      obj(hyp, X, y, s2?, pack?)               -> nlZ - log_prior
-      obj_grad(hyp, X, y, s2?, pack?)          -> (value, grad)
-      obj_batch(hyps, X, y, s2?, pack?)        -> (B,) values
-      obj_grad_batch(hyps, X, y, s2?, pack?)   -> ((B,), (B,hyp_N))
-      post(hyp, X, y, s2?)                     -> posterior factors
-      post_batch(hyps, X, y, s2?)              -> batched factors
-    ``s2``/``pack`` arguments are present iff the corresponding flag.
+    All functions take ``(hyp, X, y[, s2][, n_real][, pack])`` — the
+    optional arguments present iff the corresponding flag.  Returns:
+      nlz / nlz_grad                 -> scalar nlZ (no prior)
+      obj / obj_grad / obj_batch / obj_grad_batch  -> nlZ - log_prior
+      obj_raw / log_post_raw         -> unjitted, identity-stable
+      post / post_batch              -> posterior factors
     """
 
-    if has_s2 and has_prior:
+    def _split(args):
+        X, y = args[0], args[1]
+        i = 2
+        s2 = None
+        n_real = None
+        pack = None
+        if has_s2:
+            s2 = args[i]
+            i += 1
+        if padded:
+            n_real = args[i]
+            i += 1
+        if has_prior and i < len(args):
+            # Posterior-factor calls omit the prior pack (it does not
+            # enter the factors); objective calls include it.
+            pack = args[i]
+            i += 1
+        return X, y, s2, n_real, pack
 
-        def _obj(hyp, X, y, s2, pack):
-            return nlz(spec, hyp, X, y, s2) - log_prior(pack, hyp)
+    def _obj(hyp, *args):
+        X, y, s2, n_real, pack = _split(args)
+        v = nlz(spec, hyp, X, y, s2, n_real)
+        if pack is not None:
+            v = v - log_prior(pack, hyp)
+        return v
 
-        def _nlz(hyp, X, y, s2, pack=None):
-            return nlz(spec, hyp, X, y, s2)
+    def _nlz(hyp, *args):
+        X, y, s2, n_real, _ = _split(args)
+        return nlz(spec, hyp, X, y, s2, n_real)
 
-    elif has_s2:
-
-        def _obj(hyp, X, y, s2):
-            return nlz(spec, hyp, X, y, s2)
-
-        _nlz = _obj
-    elif has_prior:
-
-        def _obj(hyp, X, y, pack):
-            return nlz(spec, hyp, X, y, None) - log_prior(pack, hyp)
-
-        def _nlz(hyp, X, y, pack=None):
-            return nlz(spec, hyp, X, y, None)
-
-    else:
-
-        def _obj(hyp, X, y):
-            return nlz(spec, hyp, X, y, None)
-
-        _nlz = _obj
-
-    if has_s2:
-
-        def _post(hyp, X, y, s2):
-            return posterior_factors(spec, hyp, X, y, s2)
-
-        post_axes = (0, None, None, None)
-    else:
-
-        def _post(hyp, X, y):
-            return posterior_factors(spec, hyp, X, y, None)
-
-        post_axes = (0, None, None)
+    def _post(hyp, *args):
+        X, y, s2, n_real, _ = _split(args)
+        return posterior_factors(spec, hyp, X, y, s2, n_real)
 
     def _log_post_raw(hyp, *args):
         """Positive (unnormalized) log posterior for MCMC samplers.
@@ -165,8 +204,10 @@ def get_fns(spec: ModelSpec, has_s2: bool, has_prior: bool):
         return -_obj(hyp, *args)
 
     obj_grad = jax.value_and_grad(_obj)
-    n_extra = 2 + int(has_s2) + int(has_prior)
+    n_extra = 2 + int(has_s2) + int(padded) + int(has_prior)
     in_axes = (0,) + (None,) * n_extra
+    n_post_extra = 2 + int(has_s2) + int(padded)
+    post_axes = (0,) + (None,) * n_post_extra
     return {
         "log_post_raw": _log_post_raw,
         "obj_raw": _obj,

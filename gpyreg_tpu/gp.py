@@ -201,6 +201,7 @@ class GP:
         dtype=None,
         outwarp: object = None,
         fast_predict: bool = False,
+        pad_bucket: int = None,
     ):
         self.D = D
         self.covariance = covariance
@@ -217,6 +218,12 @@ class GP:
         # triangular solves (~20x faster at N=16k), for one extra
         # O(N^3) inversion per posterior build.
         self.fast_predict = bool(fast_predict)
+        # pad_bucket rounds the training-set size up to a multiple of
+        # this bucket with masked padding rows (core/nlml.py), so that
+        # incrementally growing datasets (the PyVBMC warm-refit loop)
+        # reuse compiled programs instead of recompiling at every N.
+        # Rank-1 updates are disabled while padding is active.
+        self.pad_bucket = int(pad_bucket) if pad_bucket else None
         # Device computation dtype.  float64 (default) gives reference
         # parity at 1e-8 rtol; float32 is the TPU fast path (f64 matmul /
         # Cholesky are emulated on TPU).  Host-side state stays float64.
@@ -254,17 +261,18 @@ class GP:
         self._ctx = None
 
     def _device(self):
-        """(spec, fns, Xj, yj, s2j, pack) built lazily from host state."""
+        """(spec, fns, obj_args, Xj_true, pack) built lazily from host
+        state.  ``obj_args`` are the positional arguments after ``hyp``
+        for every function in ``fns`` (padded data when pad_bucket is
+        set); ``Xj_true`` is the unpadded device X for prediction."""
         if self._ctx is None:
             spec = self._spec()
             has_s2 = self.s2 is not None
             has_prior = not self.no_prior
-            fns = get_fns(spec, has_s2, has_prior)
+            padded = bool(self.pad_bucket) and self.X is not None
+            fns = get_fns(spec, has_s2, has_prior, padded)
+
             Xj = jnp.asarray(self.X, dtype=self.dtype)
-            yj = jnp.asarray(self.y, dtype=self.dtype)
-            s2j = (
-                jnp.asarray(self.s2, dtype=self.dtype) if has_s2 else None
-            )
             pack = None
             if has_prior:
                 log_norm = float(
@@ -276,17 +284,44 @@ class GP:
                     self.upper_bounds,
                     log_norm=log_norm,
                 )
-            self._ctx = (spec, fns, Xj, yj, s2j, pack)
+
+            args = None
+            if self.X is not None and self.y is not None:
+                X_host, y_host, s2_host = self.X, self.y, self.s2
+                n_real = None
+                if padded:
+                    N = X_host.shape[0]
+                    Np = -(-N // self.pad_bucket) * self.pad_bucket
+                    if Np > N:
+                        X_host = np.concatenate(
+                            [X_host, np.tile(X_host[:1], (Np - N, 1))]
+                        )
+                        y_host = np.concatenate(
+                            [y_host, np.zeros((Np - N, 1))]
+                        )
+                        if has_s2:
+                            s2_host = np.concatenate(
+                                [s2_host, np.ones((Np - N, 1))]
+                            )
+                    n_real = jnp.asarray(N, dtype=jnp.int32)
+                args = [
+                    jnp.asarray(X_host, dtype=self.dtype),
+                    jnp.asarray(y_host, dtype=self.dtype),
+                ]
+                if has_s2:
+                    args.append(jnp.asarray(s2_host, dtype=self.dtype))
+                if padded:
+                    args.append(n_real)
+                if pack is not None:
+                    args.append(pack)
+                args = tuple(args)
+
+            self._ctx = (spec, fns, args, Xj, pack)
         return self._ctx
 
     def _obj_args(self):
-        spec, fns, Xj, yj, s2j, pack = self._device()
-        args = [Xj, yj]
-        if s2j is not None:
-            args.append(s2j)
-        if pack is not None:
-            args.append(pack)
-        return fns, tuple(args)
+        spec, fns, args, Xj, pack = self._device()
+        return fns, args
 
     def _objective(self, hyp, grad=False, swap_sign=False):
         """Scalar objective nlZ - log_prior (prior included unless
@@ -343,6 +378,12 @@ class GP:
         Host-side consumers (the rank-1 update path) np.asarray() it
         lazily.
         """
+        # With padding, the real block of the padded factors equals the
+        # unpadded factors exactly (G is block diagonal): slice back.
+        N_true = self.X.shape[0]
+        if alpha.shape[0] > N_true:
+            alpha = alpha[:N_true]
+            L_G = L_G[:N_true, :N_true]
         # alpha is (N, 1): the NaN check is a cheap transfer.
         alpha_h = np.asarray(alpha)
         if np.any(np.isnan(alpha_h)):
@@ -378,8 +419,8 @@ class GP:
         (~3 copies of (chunk, N, N)) stays under the HBM budget — a
         16-sample batch at N=16k would otherwise need 48 GB.
         """
-        spec, fns, Xj, yj, s2j, pack = self._device()
-        args = (Xj, yj) + ((s2j,) if s2j is not None else ())
+        spec, fns, obj_args, Xj, pack = self._device()
+        args = obj_args[:-1] if pack is not None else obj_args
         s_N = hyp_arr.shape[0]
         N = self.X.shape[0]
         budget = getattr(self, "_posterior_mem_budget", 8 * 2**30)
@@ -877,6 +918,7 @@ class GP:
             and y_new.shape[0] == 1
             and s2_new is None
             and self.outwarp is None
+            and self.pad_bucket is None
         )
         full_updates = []
 
@@ -1361,8 +1403,8 @@ class GP:
         """Run the vmapped predictive core, grouping posterior samples by
         parametrization flag.  Returns (mu (M,s), s2 (M,s)) or with
         ``full`` (mu (M,s), cov (s,M,M))."""
-        spec, _, Xj, _, _, _ = self._device() if self.y is not None else (
-            self._spec(), None, None, None, None, None,
+        spec, _, _, Xj, _ = self._device() if self.y is not None else (
+            self._spec(), None, None, None, None,
         )
         pfns = _predict_fns(spec)
         s_N = self.posteriors.size

@@ -185,6 +185,8 @@ def _run_chain(
     state: SliceState,
     LB,
     UB,
+    LB_out,
+    UB_out,
     base_widths_or_none,
     n_samples: int,
     thin: int,
@@ -193,8 +195,8 @@ def _run_chain(
     max_shrink: int,
     f_args=(),
 ):
-    LB_out = jnp.nextafter(LB, -jnp.inf)
-    UB_out = jnp.nextafter(UB, jnp.inf)
+    # LB_out/UB_out computed on the host: jnp.nextafter lowers to an
+    # s64 bitcast that TPU's X64 rewriting rejects.
     fixed = LB == UB
     logpdf = _masked_log_f(log_f, LB, UB, f_args)
 
@@ -333,11 +335,15 @@ def sample(
             key=key,
         )
 
+    LB_out = jnp.asarray(np.nextafter(np.asarray(LB), -np.inf))
+    UB_out = jnp.asarray(np.nextafter(np.asarray(UB), np.inf))
     state, samples, f_vals, init_log_Px = _run_chain(
         log_f,
         state,
         LB,
         UB,
+        LB_out,
+        UB_out,
         base_widths,
         int(n_samples),
         int(thin),
@@ -420,12 +426,17 @@ def sample_chains(
         key=keys,
     )
 
+    LB_out = jnp.asarray(np.nextafter(np.asarray(LB), -np.inf))
+    UB_out = jnp.asarray(np.nextafter(np.asarray(UB), np.inf))
+
     def one(state):
         _, samples, f_vals, _ = _run_chain(
             log_f,
             state,
             LB,
             UB,
+            LB_out,
+            UB_out,
             base_widths,
             int(n_samples),
             int(thin),

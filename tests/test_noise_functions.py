@@ -108,3 +108,38 @@ def test_bounds_info():
         for key in ("LB", "UB", "PLB", "PUB", "x0"):
             assert info[key].shape == (noise_N,)
         assert np.all(info["LB"] <= info["UB"])
+
+
+def test_all_noise_flags_end_to_end_fit():
+    """Full fit with every noise feature enabled: constant + scaled user
+    s2 + rectified output-dependent (reference noise_functions.py:26-41),
+    exercising the complete hyperparameter layout through the jitted
+    pipeline."""
+    import gpyreg_tpu as gpr
+
+    rng = np.random.default_rng(0)
+    N, D = 30, 2
+    X = rng.uniform(-3, 3, (N, D))
+    s2 = 0.01 + 0.01 * rng.random((N, 1))
+    y = np.sin(np.sum(X, axis=1, keepdims=True)) + 0.1 * rng.normal(
+        size=(N, 1)
+    )
+    gp = gpr.GP(
+        D=D,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(
+            constant_add=True,
+            user_provided_add=True,
+            scale_user_provided=True,
+            rectified_linear_output_dependent_add=True,
+        ),
+    )
+    # cov (3) + noise (1 const + 1 scale + 2 rectified) + mean (1)
+    hyp, _, _ = gp.fit(
+        X=X, y=y, s2=s2,
+        options={"n_samples": 2, "opts_N": 1, "init_N": 16},
+    )
+    assert hyp.shape[1] == 3 + 4 + 1
+    mu, s2p = gp.predict(rng.uniform(-3, 3, (10, D)), add_noise=True)
+    assert np.all(np.isfinite(mu)) and np.all(s2p >= 0)
