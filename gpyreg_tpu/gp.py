@@ -1301,6 +1301,26 @@ class GP:
         if sampler_name not in ("slicesample", "eissample"):
             raise ValueError("Unknown sampler!")
 
+        # Robustness guard: an f32 MAP point can sit where the objective
+        # is borderline non-finite (Cholesky retry exhaustion); the
+        # samplers require a finite start.  Fall back to the best finite
+        # candidate among the optimized restarts / starting points.
+        if not np.isfinite(self._objective(hyp_start)):
+            cand = np.asarray(hyp)
+            vals = self._objective_batch(cand)
+            finite = np.isfinite(vals)
+            if not np.any(finite):
+                raise ValueError(
+                    "No finite starting point for hyperparameter "
+                    "sampling (all candidates evaluate to Inf/NaN)."
+                )
+            hyp_start = cand[np.argmin(np.where(finite, vals, np.inf))]
+            warnings.warn(
+                "MAP optimum evaluated non-finite; starting MCMC from "
+                "the best finite candidate instead.",
+                stacklevel=2,
+            )
+
         if widths is None:
             widths = widths_default
         else:

@@ -28,37 +28,53 @@ _BIG = 1e4  # |z| cap keeping sigmoid/exp transforms non-degenerate
 
 
 def _make_transform(LB, UB):
-    """Pure functions (z -> x, x -> z) for the box [LB, UB] (cached by
-    bound values so the closures stay identity-stable across fits and
-    the jitted optimizer program is reused)."""
-    return _make_transform_cached(
-        tuple(np.asarray(LB, dtype=np.float64).tolist()),
-        tuple(np.asarray(UB, dtype=np.float64).tolist()),
-    )
+    """Pure functions (z -> x, x -> z) for the box [LB, UB].
 
-
-@lru_cache(maxsize=128)
-def _make_transform_cached(LB, UB):
+    Cached by the bounds' FINITENESS PATTERN only — the bound values
+    themselves are closed over as device arrays, which jit treats as
+    traced constants of stable identity?  No: to keep the jitted
+    optimizer program reusable when bound VALUES change (they are
+    data-dependent and change on every warm refit), the closures take
+    the packed bound parameters as an explicit traced argument ``bp``;
+    only the masks (which select the transform branch per dimension)
+    are baked in statically."""
     LB = np.asarray(LB, dtype=np.float64)
     UB = np.asarray(UB, dtype=np.float64)
     fin_l = np.isfinite(LB)
     fin_u = np.isfinite(UB)
     fixed = LB == UB
+    to_x, to_z = _make_transform_cached(
+        tuple(fin_l.tolist()), tuple(fin_u.tolist()), tuple(fixed.tolist())
+    )
+    two = fin_l & fin_u & ~fixed
+    bp = jnp.stack(
+        [
+            jnp.asarray(np.where(fin_l, LB, 0.0)),
+            jnp.asarray(np.where(fin_u, UB, 0.0)),
+            jnp.asarray(np.where(two, UB - LB, 1.0)),
+        ]
+    )
+    return to_x, to_z, bp
+
+
+@lru_cache(maxsize=128)
+def _make_transform_cached(fin_l, fin_u, fixed):
+    fin_l = np.asarray(fin_l)
+    fin_u = np.asarray(fin_u)
+    fixed = np.asarray(fixed)
     two = fin_l & fin_u & ~fixed
     lo_only = fin_l & ~fin_u
     hi_only = fin_u & ~fin_l
     free = ~fin_l & ~fin_u
 
-    LBj = jnp.asarray(np.where(fin_l, LB, 0.0))
-    UBj = jnp.asarray(np.where(fin_u, UB, 0.0))
-    width = jnp.asarray(np.where(two, UB - LB, 1.0))
     two_j = jnp.asarray(two)
     lo_j = jnp.asarray(lo_only)
     hi_j = jnp.asarray(hi_only)
     free_j = jnp.asarray(free)
     fixed_j = jnp.asarray(fixed)
 
-    def to_x(z):
+    def to_x(z, bp):
+        LBj, UBj, width = bp[0], bp[1], bp[2]
         z = jnp.clip(z, -_BIG, _BIG)
         x_two = LBj + width * jax.nn.sigmoid(z)
         x_lo = LBj + jnp.exp(z)
@@ -70,7 +86,8 @@ def _make_transform_cached(LB, UB):
         x = x + jnp.where(fixed_j, LBj, 0.0)
         return x
 
-    def to_z(x):
+    def to_z(x, bp):
+        LBj, UBj, width = bp[0], bp[1], bp[2]
         p = jnp.clip((x - LBj) / width, 1e-12, 1.0 - 1e-12)
         z_two = jnp.log(p) - jnp.log1p(-p)
         z_lo = jnp.log(jnp.maximum(x - LBj, 1e-300))
@@ -92,6 +109,7 @@ def _run_multistart(
     obj_raw,
     to_x,
     z0,  # (B, n)
+    bp,  # (3, n) packed bound params (LB, UB, width), traced
     tol,
     max_iter: int,
     memory_size: int,
@@ -102,7 +120,7 @@ def _run_multistart(
     def fun(z, *args):
         # Optimize in the z dtype (f64) even when the GP computes in f32
         # (optax caches the value in the state; dtypes must agree).
-        return obj_raw(to_x(z), *args).astype(z.dtype)
+        return obj_raw(to_x(z, bp), *args).astype(z.dtype)
 
     value_and_grad = optax.value_and_grad_from_state(fun)
 
@@ -134,7 +152,7 @@ def _run_multistart(
         z, state, it, _ = lax.while_loop(
             cond, body, (z_init, state0, 0, jnp.asarray(False))
         )
-        x = to_x(z)
+        x = to_x(z, bp)
         f = obj_raw(x, *f_args)
         return x, f, it
 
@@ -180,12 +198,13 @@ def multistart_map(
     core/nlml.get_fns) so repeated fits reuse the compiled program.
     """
     starts = np.atleast_2d(np.asarray(starts, dtype=np.float64))
-    to_x, to_z = _make_transform(LB, UB)
-    z0 = jax.vmap(to_z)(jnp.asarray(starts))
+    to_x, to_z, bp = _make_transform(LB, UB)
+    z0 = jax.vmap(to_z, in_axes=(0, None))(jnp.asarray(starts), bp)
     xs, fs, its = _run_multistart(
         obj_raw,
         to_x,
         z0,
+        bp,
         jnp.asarray(float(tol)),
         int(max_iter),
         int(memory_size),

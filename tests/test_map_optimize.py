@@ -17,15 +17,20 @@ from gpyreg_tpu.inference.map_optimize import (
 def test_transform_roundtrip_all_bound_kinds():
     LB = np.array([-1.0, 0.0, -np.inf, -np.inf, 2.0])
     UB = np.array([1.0, np.inf, 5.0, np.inf, 2.0])  # last dim fixed
-    to_x, to_z = _make_transform(LB, UB)
+    to_x, to_z, bp = _make_transform(LB, UB)
     x = np.array([0.3, 1.7, -2.2, 0.9, 2.0])
-    x_rt = np.asarray(to_x(to_z(jnp.asarray(x))))
+    x_rt = np.asarray(to_x(to_z(jnp.asarray(x), bp), bp))
     assert np.allclose(x_rt, x, atol=1e-9)
     # Any z maps inside the box.
     z = np.array([50.0, -30.0, 10.0, -3.0, 0.0])
-    x2 = np.asarray(to_x(jnp.asarray(z)))
+    x2 = np.asarray(to_x(jnp.asarray(z), bp))
     assert np.all(x2 >= LB - 1e-12) and np.all(x2 <= UB + 1e-12)
     assert x2[-1] == 2.0
+    # Same finiteness pattern, different values -> same cached closures
+    # (the jitted optimizer program is reused across refits).
+    to_x2, _, bp2 = _make_transform(LB - 0.5, UB - 0.5)
+    assert to_x2 is to_x
+    assert not np.allclose(np.asarray(bp2), np.asarray(bp))
 
 
 def test_bounded_quadratic():
