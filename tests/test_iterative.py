@@ -1,0 +1,164 @@
+"""Matrix-free CG inference: panel matvec == dense matvec, CG solve ==
+direct solve, CG prediction == Cholesky-path GP prediction, padding
+correctness, batched multi-RHS convergence."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import gpyreg_tpu as gpr
+from gpyreg_tpu.core.model import ModelSpec
+from gpyreg_tpu.ops.iterative import (
+    _cg,
+    _panel_matvec,
+    cg_posterior_weights,
+    cg_predict,
+)
+from gpyreg_tpu.ops.kernels import kernel_matrix
+
+
+def _spec(D=2, cov="se"):
+    return ModelSpec(
+        D=D, cov=cov, mean="const",
+        noise_constant=True, noise_user=0, noise_rectified=False,
+    )
+
+
+def test_panel_matvec_matches_dense():
+    rng = np.random.default_rng(0)
+    N, D, B = 96, 3, 4
+    X = jnp.asarray(rng.normal(size=(N, D)))
+    hyp_cov = jnp.asarray(0.2 * rng.normal(size=D + 1))
+    V = jnp.asarray(rng.normal(size=(N, B)))
+    sn2 = jnp.full((N,), 0.1)
+    spec = _spec(D)
+    out = _panel_matvec(spec, hyp_cov, X, V, sn2, row_chunk=32)
+    K = kernel_matrix("se", hyp_cov, X)
+    ref = K @ V + 0.1 * V
+    assert np.max(np.abs(np.asarray(out) - np.asarray(ref))) < 1e-10
+
+
+def test_cg_matches_direct_solve():
+    rng = np.random.default_rng(1)
+    N, B = 64, 3
+    A = rng.normal(size=(N, N))
+    A = jnp.asarray(A @ A.T + N * np.eye(N))
+    Bm = jnp.asarray(rng.normal(size=(N, B)))
+    X, res, iters = _cg(lambda v: A @ v, Bm, tol=1e-10, max_iter=500)
+    ref = np.linalg.solve(np.asarray(A), np.asarray(Bm))
+    assert np.max(np.abs(np.asarray(X) - ref)) < 1e-7
+    assert float(np.max(np.asarray(res))) < 1e-9
+
+
+@pytest.mark.parametrize("cov", ["se", "m5"])
+def test_cg_predict_matches_cholesky_gp(cov):
+    rng = np.random.default_rng(2)
+    N, D, M = 150, 2, 40
+    X = rng.uniform(-3, 3, (N, D))
+    y = np.sin(np.sum(X, axis=1, keepdims=True)) + 0.1 * rng.normal(
+        size=(N, 1)
+    )
+    xs = rng.uniform(-3, 3, (M, D))
+    hyp = np.array([0.2, 0.1, 0.3, -1.2, 0.05])
+
+    kern = (
+        gpr.covariance_functions.SquaredExponential()
+        if cov == "se"
+        else gpr.covariance_functions.Matern(5)
+    )
+    gp = gpr.GP(
+        D=D,
+        covariance=kern,
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+    )
+    gp.update(X_new=X, y_new=y, hyp=hyp[None, :])
+    mu_ref, s2_ref = gp.predict(xs)
+
+    mu, var, info = cg_predict(
+        _spec(D, cov), hyp, X, y, None, xs,
+        compute_var=True, tol=1e-9, row_chunk=64, test_chunk=16,
+    )
+    assert info["alpha_rel_residual"] < 1e-8
+    assert np.max(np.abs(mu - mu_ref)) < 1e-6
+    assert np.max(np.abs(var - s2_ref)) < 1e-6
+
+
+def test_padding_rows_do_not_contaminate():
+    """N not divisible by row_chunk exercises the masked padding."""
+    rng = np.random.default_rng(3)
+    N, D = 117, 2  # pads to 128
+    X = rng.uniform(-3, 3, (N, D))
+    y = np.cos(np.sum(X, axis=1, keepdims=True))
+    xs = rng.uniform(-3, 3, (20, D))
+    hyp = np.array([0.1, 0.2, 0.3, -1.0, 0.0])
+
+    gp = gpr.GP(
+        D=D,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+    )
+    gp.update(X_new=X, y_new=y, hyp=hyp[None, :])
+    mu_ref, s2_ref = gp.predict(xs)
+
+    mu, var, _ = cg_predict(
+        _spec(D), hyp, X, y, None, xs,
+        compute_var=True, tol=1e-9, row_chunk=64,
+    )
+    assert np.max(np.abs(mu - mu_ref)) < 1e-6
+    assert np.max(np.abs(var - s2_ref)) < 1e-6
+
+
+def test_posterior_weights_match_alpha():
+    rng = np.random.default_rng(4)
+    N, D = 128, 2
+    X = rng.uniform(-3, 3, (N, D))
+    y = np.sin(np.sum(X, axis=1, keepdims=True))
+    hyp = np.array([0.2, 0.1, 0.3, -1.0, 0.0])
+    gp = gpr.GP(
+        D=D,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+    )
+    gp.update(X_new=X, y_new=y, hyp=hyp[None, :])
+    alpha_ref = gp.posteriors[0].alpha
+
+    alpha, res, iters = cg_posterior_weights(
+        _spec(D), jnp.asarray(hyp), jnp.asarray(X), jnp.asarray(y), None,
+        tol=1e-10, row_chunk=32,
+    )
+    assert np.max(np.abs(np.asarray(alpha) - alpha_ref)) < 1e-6
+    assert int(iters) < 500
+
+
+def test_heteroskedastic_s2():
+    rng = np.random.default_rng(5)
+    N, D = 90, 1
+    X = rng.uniform(-3, 3, (N, D))
+    s2 = 0.01 + 0.05 * rng.random((N, 1))
+    y = np.sin(X) + np.sqrt(s2) * rng.normal(size=(N, 1))
+    xs = np.linspace(-3, 3, 15)[:, None]
+    hyp = np.array([0.1, 0.2, -2.0, 0.0])
+    spec = ModelSpec(
+        D=D, cov="se", mean="const",
+        noise_constant=True, noise_user=1, noise_rectified=False,
+    )
+    gp = gpr.GP(
+        D=D,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(
+            constant_add=True, user_provided_add=True
+        ),
+    )
+    gp.X, gp.y, gp.s2 = X, y, s2
+    gp.update(hyp=hyp[None, :])
+    mu_ref, s2_ref = gp.predict(xs)
+    mu, var, _ = cg_predict(
+        spec, hyp, X, y, s2, xs, compute_var=True, tol=1e-9, row_chunk=32
+    )
+    assert np.max(np.abs(mu - mu_ref)) < 1e-6
+    assert np.max(np.abs(var - s2_ref)) < 1e-6
