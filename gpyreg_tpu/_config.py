@@ -15,8 +15,13 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: large-N Cholesky/NLML programs take
 # 1-2 min each to compile through the TPU toolchain; cache them across
-# processes.  Opt out with GPYREG_TPU_NO_COMPILE_CACHE=1.
-if not os.environ.get("GPYREG_TPU_NO_COMPILE_CACHE"):
+# processes.  Opt out with GPYREG_TPU_NO_COMPILE_CACHE=1.  Skipped when
+# the CPU backend is forced: CPU AOT artifacts compiled elsewhere load
+# with machine-feature mismatches (SIGILL risk), and CPU compiles are
+# cheap anyway.
+if not os.environ.get("GPYREG_TPU_NO_COMPILE_CACHE") and (
+    os.environ.get("JAX_PLATFORMS", "") != "cpu"
+):
     _cache_dir = os.environ.get(
         "GPYREG_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/jax_gpyreg")
     )
