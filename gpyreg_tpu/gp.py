@@ -2340,16 +2340,16 @@ class GP:
                 fmu0, _ = self.predict(
                     np.reshape(x0, (1, -1)), add_noise=False
                 )
-                dx = xx_vec[1] - xx_vec[0]
+                dx = float(xx_vec[1, 0] - xx_vec[0, 0])
                 region = np.abs(fmu - fmu0) < delta_y
                 if np.any(region):
                     idx1 = np.argmax(region)
                     idx2 = np.size(region) - np.argmax(region[::-1]) - 1
-                    lb[i] = xx_vec[idx1] - 0.5 * dx
-                    ub[i] = xx_vec[idx2] + 0.5 * dx
+                    lb[i] = float(xx_vec[idx1, 0]) - 0.5 * dx
+                    ub[i] = float(xx_vec[idx2, 0]) + 0.5 * dx
                 else:
-                    lb[i] = x0[i] - 0.5 * dx
-                    ub[i] = x0[i] + 0.5 * dx
+                    lb[i] = float(x0[i]) - 0.5 * dx
+                    ub[i] = float(x0[i]) + 0.5 * dx
 
                 xx_vec = np.reshape(np.linspace(lb[i], ub[i], nx), (-1, 1))
                 if self.D > 1:
