@@ -49,42 +49,120 @@ def _panel_matvec(spec: ModelSpec, hyp_cov, X, V, sn2_vec, row_chunk):
     return out + sn2_vec[:, None] * V
 
 
-def _cg(matvec, B, tol, max_iter):
-    """Batched conjugate gradients: solve A X = B for PSD A.
+def _cg(matvec, B, tol, max_iter, precond=None):
+    """Batched (preconditioned) conjugate gradients: solve A X = B.
 
     B: (N, nrhs).  Runs until every column's relative residual drops
     below tol or max_iter; columns that converge early are frozen.
+    ``precond``: optional M^{-1} apply (the PCG preconditioner).
     """
+    if precond is None:
+        precond = lambda v: v
     X0 = jnp.zeros_like(B)
     R0 = B
-    P0 = B
+    Z0 = precond(R0)
+    P0 = Z0
     b_norm2 = jnp.sum(B * B, axis=0)
+    rz0 = jnp.sum(R0 * Z0, axis=0)
     rs0 = jnp.sum(R0 * R0, axis=0)
 
     def cond(c):
-        X, R, P, rs, i = c
+        X, R, P, rz, rs, i = c
         return jnp.logical_and(
             i < max_iter,
             jnp.any(rs > (tol**2) * jnp.maximum(b_norm2, 1e-30)),
         )
 
     def body(c):
-        X, R, P, rs, i = c
+        X, R, P, rz, rs, i = c
         AP = matvec(P)
         denom = jnp.sum(P * AP, axis=0)
         active = rs > (tol**2) * jnp.maximum(b_norm2, 1e-30)
         alpha = jnp.where(
-            active, rs / jnp.where(denom > 0, denom, 1.0), 0.0
+            active, rz / jnp.where(denom > 0, denom, 1.0), 0.0
         )
         X = X + alpha[None, :] * P
         R = R - alpha[None, :] * AP
+        Z = precond(R)
+        rz_new = jnp.sum(R * Z, axis=0)
         rs_new = jnp.sum(R * R, axis=0)
-        beta = jnp.where(active, rs_new / jnp.where(rs > 0, rs, 1.0), 0.0)
-        P = R + beta[None, :] * P
-        return X, R, P, rs_new, i + 1
+        beta = jnp.where(active, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        P = Z + beta[None, :] * P
+        return X, R, P, rz_new, rs_new, i + 1
 
-    X, R, _, rs, iters = lax.while_loop(cond, body, (X0, R0, P0, rs0, 0))
+    X, R, _, _, rs, iters = lax.while_loop(
+        cond, body, (X0, R0, P0, rz0, rs0, 0)
+    )
     return X, jnp.sqrt(rs / jnp.maximum(b_norm2, 1e-30)), iters
+
+
+def pivoted_cholesky(spec: ModelSpec, hyp_cov, X, rank: int, mask=None):
+    """Partial pivoted Cholesky of the kernel matrix, matrix-free.
+
+    Greedy diagonal pivoting builds a rank-``rank`` factor Lk with
+    K ~= Lk Lk^T using only ``rank`` kernel COLUMNS (each an O(N D)
+    cross-covariance build) — the BBMM preconditioner construction
+    (Gardner et al. 2018, arXiv:1809.11165 §3.2; Harbrecht et al. 2012).
+
+    Returns Lk of shape (N, rank).
+    """
+    N = X.shape[0]
+    kss = cov_matrix(spec, hyp_cov, X, diag=True)  # (N,)
+    if mask is not None:
+        kss = kss * mask
+    Lk0 = jnp.zeros((N, rank), dtype=X.dtype)
+
+    def body(j, carry):
+        Lk, d = carry
+        i = jnp.argmax(d)
+        # Column i of K (built on the fly).
+        xi = lax.dynamic_slice_in_dim(X, i, 1, axis=0)
+        col = cov_matrix(spec, hyp_cov, X, Z=xi)[:, 0]  # (N,)
+        li = lax.dynamic_slice_in_dim(Lk, i, 1, axis=0)[0]  # (rank,)
+        col = col - Lk @ li
+        piv = jnp.sqrt(jnp.maximum(d[i], jnp.finfo(X.dtype).tiny))
+        newcol = col / piv
+        if mask is not None:
+            newcol = newcol * mask
+        # Zero out already-processed contributions' numerical noise at
+        # the pivot itself is unnecessary; update the Schur diagonal.
+        Lk = lax.dynamic_update_slice(
+            Lk, newcol[:, None], (0, j)
+        )
+        d = jnp.maximum(d - newcol**2, 0.0)
+        d = d.at[i].set(0.0)
+        return Lk, d
+
+    Lk, _ = lax.fori_loop(0, rank, body, (Lk0, kss))
+    return Lk
+
+
+def woodbury_preconditioner(Lk, sn2_vec):
+    """M^{-1} apply for M = Lk Lk^T + diag(sn2) via Woodbury.
+
+    M^{-1} v = D^{-1} v - D^{-1} Lk (I_k + Lk^T D^{-1} Lk)^{-1} Lk^T D^{-1} v
+    with D = diag(sn2).  The k x k core is Cholesky-factorized once.
+    """
+    Dinv = 1.0 / sn2_vec[:, None]  # (N, 1)
+    DiL = Lk * Dinv  # (N, k)
+    k = Lk.shape[1]
+    core = jnp.eye(k, dtype=Lk.dtype) + jnp.matmul(
+        Lk.T, DiL, precision=lax.Precision.HIGHEST
+    )
+    C = jnp.linalg.cholesky(core)
+
+    def apply(v):
+        Div = v * Dinv
+        t = jnp.matmul(Lk.T, Div, precision=lax.Precision.HIGHEST)
+        from jax.scipy.linalg import solve_triangular
+
+        t = solve_triangular(C, t, lower=True)
+        t = solve_triangular(C, t, lower=True, trans=1)
+        return Div - jnp.matmul(
+            DiL, t, precision=lax.Precision.HIGHEST
+        )
+
+    return apply
 
 
 def _pad_rows(X, row_chunk):
@@ -144,8 +222,17 @@ def cg_predict(
     row_chunk: int = 1024,
     test_chunk: int = 1024,
     max_iter: int = 1000,
+    precond_rank: int = 0,
 ):
     """Exact-GP prediction with a never-materialized kernel matrix.
+
+    ``precond_rank`` > 0 enables the BBMM pivoted-Cholesky/Woodbury
+    preconditioner: it cuts CG iterations by 2x+ when the kernel
+    spectrum is dominated by a few modes (smooth kernels, long
+    lengthscales, low effective dimension) and is roughly neutral when
+    the spectrum is already flat (high-D data with short lengthscales —
+    measured neutral at D=10 random data, >2x on 2-D long-lengthscale
+    problems); leave at 0 for flat-spectrum problems.
 
     Mean: m(xs) + K(X, xs)^T alpha with alpha from CG.
     Variance: kss - K(X,xs)^T (K + sn2 I)^{-1} K(X,xs), the per-column
@@ -197,7 +284,14 @@ def cg_predict(
         )
         return out * mask[:, None] + sn2_vec[:, None] * V
 
-    solve = jax.jit(lambda b: _cg(mv, b, tol, max_iter))
+    precond = None
+    if precond_rank > 0:
+        # BBMM-style pivoted-Cholesky preconditioner: a rank-k kernel
+        # sketch + Woodbury inverse collapses the spectrum's top modes.
+        Lk = pivoted_cholesky(spec, hyp_cov, Xp, precond_rank, mask)
+        precond = woodbury_preconditioner(Lk, sn2_vec)
+
+    solve = jax.jit(lambda b: _cg(mv, b, tol, max_iter, precond))
     alpha, res_a, it_a = solve(r)
 
     info = {"alpha_rel_residual": float(jnp.max(res_a)),

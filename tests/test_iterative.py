@@ -162,3 +162,69 @@ def test_heteroskedastic_s2():
     )
     assert np.max(np.abs(mu - mu_ref)) < 1e-6
     assert np.max(np.abs(var - s2_ref)) < 1e-6
+
+
+def test_pivoted_cholesky_low_rank_accuracy():
+    """Rank-k pivoted Cholesky captures a smooth kernel's spectrum:
+    ||K - Lk Lk^T||_F decays fast with k."""
+    from gpyreg_tpu.ops.iterative import pivoted_cholesky
+
+    rng = np.random.default_rng(6)
+    N, D = 80, 2
+    X = jnp.asarray(rng.uniform(-2, 2, (N, D)))
+    hyp_cov = jnp.asarray([0.3, 0.3, 0.0])
+    spec = _spec(D)
+    K = np.asarray(kernel_matrix("se", hyp_cov, X))
+    err_prev = np.linalg.norm(K)
+    for k in (5, 20, 40):
+        Lk = np.asarray(pivoted_cholesky(spec, hyp_cov, X, k))
+        err = np.linalg.norm(K - Lk @ Lk.T)
+        assert err < err_prev + 1e-9
+        err_prev = err
+    assert err / np.linalg.norm(K) < 1e-3  # rank 40 of a smooth kernel
+
+
+def test_preconditioned_cg_converges_faster_and_matches():
+    rng = np.random.default_rng(7)
+    N, D, M = 200, 2, 20
+    X = rng.uniform(-3, 3, (N, D))
+    y = np.sin(np.sum(X, axis=1, keepdims=True))
+    xs = rng.uniform(-3, 3, (M, D))
+    # Long lengthscales + small noise -> ill-conditioned (many CG iters)
+    hyp = np.array([1.0, 1.0, 1.0, -4.0, 0.0])
+    spec = _spec(D)
+
+    mu0, _, info0 = cg_predict(
+        spec, hyp, X, y, None, xs, tol=1e-8, row_chunk=64, max_iter=2000
+    )
+    mu1, _, info1 = cg_predict(
+        spec, hyp, X, y, None, xs, tol=1e-8, row_chunk=64, max_iter=2000,
+        precond_rank=40,
+    )
+    assert np.max(np.abs(mu0 - mu1)) < 1e-5
+    assert info1["alpha_iters"] < info0["alpha_iters"] / 2, (
+        info0["alpha_iters"], info1["alpha_iters"]
+    )
+
+
+def test_preconditioned_matches_cholesky_gp():
+    rng = np.random.default_rng(8)
+    N, D = 130, 2  # exercises padding + preconditioner together
+    X = rng.uniform(-3, 3, (N, D))
+    y = np.cos(np.sum(X, axis=1, keepdims=True))
+    xs = rng.uniform(-3, 3, (15, D))
+    hyp = np.array([0.2, 0.1, 0.3, -1.5, 0.0])
+    gp = gpr.GP(
+        D=D,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+    )
+    gp.update(X_new=X, y_new=y, hyp=hyp[None, :])
+    mu_ref, s2_ref = gp.predict(xs)
+    mu, var, info = cg_predict(
+        _spec(D), hyp, X, y, None, xs, compute_var=True,
+        tol=1e-9, row_chunk=64, precond_rank=30,
+    )
+    assert np.max(np.abs(mu - mu_ref)) < 1e-6
+    assert np.max(np.abs(var - s2_ref)) < 1e-6
