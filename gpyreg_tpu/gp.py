@@ -2082,15 +2082,45 @@ class GP:
         xx = sp.stats.norm.ppf(
             np.linspace(0.5 / nx, 1 - 0.5 / nx, nx)
         )
-        mu, s2 = self.predict(
-            x_star,
-            y_star,
-            s2_star,
-            add_noise=observed,
-            separate_samples=True,
-        )
+        if self.outwarp is None:
+            mu, s2 = self.predict(
+                x_star,
+                y_star,
+                s2_star,
+                add_noise=observed,
+                separate_samples=True,
+            )
+        else:
+            # Warped GP: the per-sample predictive is Gaussian in the
+            # WARPED space; build the grid there and inverse-warp it
+            # once per sample (gplite_qpred.m:40-46).  _group_predict
+            # returns latent moments before the back-transform.
+            mu, s2 = self._group_predict(x_star, full=False)
+            s2 = np.maximum(s2, 0)
+            if observed:
+                cov_N, noise_N, _ = self._hyp_counts()
+                for s in range(np.size(self.posteriors)):
+                    p = self.posteriors[s]
+                    sn2_star = self.noise.compute(
+                        p.hyp[cov_N : cov_N + noise_N],
+                        x_star,
+                        y_star,
+                        s2_star,
+                    )
+                    mult = 1 if p.sn2_mult is None else p.sn2_mult
+                    s2[:, s : s + 1] = s2[:, s : s + 1] + np.reshape(
+                        sn2_star * mult * np.ones((x_star.shape[0], 1)),
+                        (-1, 1),
+                    )
         # (M, s_N, nx) grid of representative points, pooled over samples.
         grid = mu[:, :, None] + np.sqrt(np.maximum(s2, 0))[:, :, None] * xx
+        if self.outwarp is not None:
+            ow_N = self._outwarp_N()
+            for s in range(grid.shape[1]):
+                hyp_ow = self.posteriors[s].hyp[-ow_N:]
+                grid[:, s, :] = self.outwarp.compute(
+                    hyp_ow, grid[:, s, :], inverse=True
+                )
         grid = grid.reshape(x_star.shape[0], -1)
         out = np.quantile(grid, np.atleast_1d(q), axis=1).T
         return out[:, 0] if np.isscalar(q) else out

@@ -204,3 +204,60 @@ def test_fit_and_predict_with_outwarp():
         gp.predict_full(xs)
     with pytest.raises(ValueError):
         gp.quad(np.zeros((2, 1)), np.ones((2, 1)))
+
+
+def test_predict_quantile_with_outwarp():
+    """Quantiles of a warped GP live in the original y space and are
+    monotone (gplite_qpred.m:40-46: per-sample inverse-warped grids)."""
+    rng = np.random.default_rng(7)
+    N, D = 40, 1
+    X = rng.uniform(-3, 3, (N, D))
+    y = np.sin(X)
+    y[y < -0.3] = -0.3 - 4.0 * (-0.3 - y[y < -0.3])  # stretched lower tail
+    gp = gpr.GP(
+        D=D,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+        outwarp=NegativePower(),
+    )
+    gp.X, gp.y = X, y
+    hyp = np.array([[0.1, 0.2, -2.0, 0.0, -0.3, 0.5]])
+    gp.update(hyp=hyp)
+    xs = np.linspace(-3, 3, 25)[:, None]
+    q = gp.predict_quantile([0.1, 0.5, 0.9], xs, observed=False)
+    assert q.shape == (25, 3)
+    assert np.all(np.isfinite(q))
+    assert np.all(q[:, 0] <= q[:, 1]) and np.all(q[:, 1] <= q[:, 2])
+    # The median of the warped predictive should roughly track the data
+    # range in ORIGINAL space (i.e., the inverse warp was applied).
+    assert q[:, 1].min() > y.min() - 2.0
+    assert q[:, 1].max() < y.max() + 2.0
+
+
+def test_quantile_inverse_warp_consistency():
+    """Median of the warped-GP predictive == inverse-warp of the
+    warped-space latent mean (exact for the median of a Gaussian)."""
+    rng = np.random.default_rng(8)
+    N, D = 35, 1
+    X = rng.uniform(-3, 3, (N, D))
+    y = np.sin(X)
+    y[y < -0.2] *= 3.0
+    warp = NegativePower()
+    gp = gpr.GP(
+        D=D,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+        outwarp=warp,
+    )
+    gp.X, gp.y = X, y
+    hyp = np.array([[0.1, 0.2, -2.0, 0.0, -0.2, 0.4]])
+    gp.update(hyp=hyp)
+    xs = np.linspace(-3, 3, 20)[:, None]
+    # Single sample: pooled median == middle of the nx grid == the
+    # inverse-warped warped-space mean (within grid discretization).
+    q50 = gp.predict_quantile(0.5, xs, observed=False, nx=101)
+    mu_w, _ = gp._group_predict(xs)
+    expect = warp.compute(hyp[0][-2:], mu_w, inverse=True)[:, 0]
+    assert np.max(np.abs(q50 - expect)) < 1e-6
