@@ -1,0 +1,108 @@
+"""Device rank-1 posterior updates.
+
+Implements the reference's O(N^2) single-point posterior update
+(reference gaussian_process.py:737-844) as one jitted program per
+(model spec, parametrization), batched over the hyperparameter samples
+with ``vmap`` and operating IN PLACE on the bucket-padded device
+factors:
+
+- The new point's row/column is written into the padding region at
+  index ``n`` (the current number of real rows) with ``.at[]`` dynamic
+  updates, so the factor arrays never change shape and the compiled
+  program is reused for every update within a shape bucket.
+- No factor ever crosses the device->host boundary (the reference
+  version, and the round-1 port, pulled the (N, N) factor to the host
+  per sample per update — ~100 s/GB through a remote-TPU tunnel).
+
+Math (high-noise Cholesky parametrization; L is the upper factor of
+the sn2-scaled matrix): with k* the cross-covariance against the new
+point and c = L^-T k*,
+
+    sqrt_arg = sn2_eff^2 + k(x*,x*) sn2_eff - c^T c
+    L'       = [[L, c/sn2_eff], [0, sqrt(sqrt_arg)/sn2_eff]]
+
+``sqrt_arg <= 0`` flags numerical instability; the caller falls back to
+a full recompute for that sample (reference :784-798).  Low-noise
+explicit-negative-inverse parametrization: with u = -L k* (which equals
+(K + sigma^2 I)^{-1} k*) and v = -u / v*,
+
+    L' = [[L + v u^T, -v], [-v^T, -1/v*]]
+
+Both parametrizations append 1/sqrt(sn2_eff) to sW and update
+
+    alpha' = [alpha; 0] + (m* - y*)/v* * [u; -1].
+
+Padding invariants (see core/nlml.py): alpha and k* are zero on padded
+rows and the factors are block-diagonal there, so every triangular
+solve / matvec above leaves the padding untouched and the updated real
+block is exactly the unpadded update.
+"""
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from .model import ModelSpec, cov_matrix
+
+
+@lru_cache(maxsize=None)
+def get_rank1_fns(spec: ModelSpec):
+    """Jitted batched rank-1 updaters for a model family.
+
+    Each function takes ``(hyps (S,h), alphas (S,Np,1), Ls (S,Np,Np),
+    sWs (S,Np,1), X_pad (Np,D), n (traced int), x_new (1,D),
+    y_new (scalar), sn2_effs (S,), m_preds (S,), v_preds (S,))`` and
+    returns ``(L' (S,Np,Np), alpha' (S,Np,1), sW' (S,Np,1), ok (S,))``.
+    """
+
+    def _common(hyp, X, n, x_new):
+        dtype = X.dtype
+        hyp_cov, _, _ = spec.split_hyp(hyp.astype(dtype))
+        ar = jnp.arange(X.shape[0])
+        mask = (ar < n).astype(dtype)
+        e_n = (ar == n).astype(dtype)
+        k_star = cov_matrix(spec, hyp_cov, X, Z=x_new)[:, 0] * mask
+        k_new = cov_matrix(spec, hyp_cov, x_new, diag=True)[0]
+        return mask, e_n, k_star, k_new
+
+    def _append(alpha, sW, e_n, mask, upd, delta, sn2_eff):
+        alpha_new = alpha[:, 0] + delta * (upd * mask - e_n)
+        sW_new = sW[:, 0] * (1.0 - e_n) + e_n / jnp.sqrt(sn2_eff)
+        return alpha_new[:, None], sW_new[:, None]
+
+    def chol_one(hyp, alpha, L, sW, X, n, x_new, y_new, sn2_eff, m_pred, v_pred):
+        dtype = X.dtype
+        mask, e_n, k_star, k_new = _common(hyp, X, n, x_new)
+        c = solve_triangular(L, k_star[:, None], lower=False, trans=1)[:, 0]
+        sqrt_arg = sn2_eff**2 + k_new * sn2_eff - jnp.sum(c * c)
+        ok = sqrt_arg > 0
+        safe = jnp.maximum(sqrt_arg, jnp.asarray(jnp.finfo(dtype).tiny, dtype))
+        col = (c / sn2_eff) * mask + e_n * (jnp.sqrt(safe) / sn2_eff)
+        L_new = L.at[:, n].set(col)
+        upd = (
+            solve_triangular(L, c[:, None], lower=False, trans=0)[:, 0]
+            / sn2_eff
+        )
+        delta = (m_pred - y_new) / v_pred
+        alpha_new, sW_new = _append(alpha, sW, e_n, mask, upd, delta, sn2_eff)
+        return L_new, alpha_new, sW_new, ok
+
+    def inv_one(hyp, alpha, L, sW, X, n, x_new, y_new, sn2_eff, m_pred, v_pred):
+        mask, e_n, k_star, k_new = _common(hyp, X, n, x_new)
+        upd = -jnp.matmul(L, k_star[:, None])[:, 0]
+        v = -upd / v_pred
+        L_new = L + jnp.outer(v, upd)
+        L_new = L_new.at[:, n].set(-v)
+        L_new = L_new.at[n, :].set(-v)
+        L_new = L_new.at[n, n].set(-1.0 / v_pred)
+        delta = (m_pred - y_new) / v_pred
+        alpha_new, sW_new = _append(alpha, sW, e_n, mask, upd, delta, sn2_eff)
+        return L_new, alpha_new, sW_new, jnp.asarray(True)
+
+    axes = (0, 0, 0, 0, None, None, None, None, 0, 0, 0)
+    return {
+        "chol": jax.jit(jax.vmap(chol_one, in_axes=axes)),
+        "inv": jax.jit(jax.vmap(inv_one, in_axes=axes)),
+    }

@@ -56,15 +56,86 @@ class Posterior:
     alpha = (K + sn2_mult*Sigma)^-1 (y - m); sW = 1/sqrt(min(sn2)*sn2_mult);
     L is the upper Cholesky factor of the scaled matrix when L_chol, else
     the explicit negative inverse.
+
+    TPU-first storage: the factors live as DEVICE arrays, padded to the
+    GP's shape bucket (``n_real`` real rows out of the padded leading
+    dimension) so that the PyVBMC growing-data loop reuses one compiled
+    program per bucket instead of recompiling at every N.  The padded
+    blocks are exact: alpha's padding is zero and L's padding block is
+    (block-)diagonal, so the real block equals the unpadded factors to
+    the bit.  The public ``alpha``/``sW``/``L`` attributes present the
+    reference's true-size views (sliced lazily, cached); internal device
+    consumers read the raw padded storage (``_alpha`` etc.) together
+    with ``n_real``.  Assigning through the public attributes (the
+    reference-style mutation ABI) stores the value verbatim and marks
+    that field as externally owned.
     """
 
-    def __init__(self, hyp, alpha, sW, L, sn2_mult, Lchol):
+    __slots__ = (
+        "hyp",
+        "sn2_mult",
+        "L_chol",
+        "n_real",
+        "_alpha",
+        "_sW",
+        "_L",
+        "_direct",
+        "_views",
+    )
+
+    def __init__(self, hyp, alpha, sW, L, sn2_mult, Lchol, n_real=None):
         self.hyp = hyp
-        self.alpha = alpha
-        self.sW = sW
-        self.L = L
         self.sn2_mult = sn2_mult
         self.L_chol = Lchol
+        self.n_real = n_real
+        self._alpha = alpha
+        self._sW = sW
+        self._L = L
+        self._direct = set()
+        self._views = {}
+
+    def _view(self, name):
+        v = getattr(self, "_" + name)
+        if v is None or self.n_real is None or name in self._direct:
+            return v
+        n = int(self.n_real)
+        if v.shape[0] <= n:
+            return v
+        if name not in self._views:
+            if v.ndim == 2 and v.shape[0] == v.shape[1]:
+                self._views[name] = v[:n, :n]
+            else:
+                self._views[name] = v[:n]
+        return self._views[name]
+
+    def _set(self, name, v):
+        setattr(self, "_" + name, v)
+        self._direct.add(name)
+        self._views.pop(name, None)
+
+    @property
+    def alpha(self):
+        return self._view("alpha")
+
+    @alpha.setter
+    def alpha(self, v):
+        self._set("alpha", v)
+
+    @property
+    def sW(self):
+        return self._view("sW")
+
+    @sW.setter
+    def sW(self, v):
+        self._set("sW", v)
+
+    @property
+    def L(self):
+        return self._view("L")
+
+    @L.setter
+    def L(self, v):
+        self._set("L", v)
 
 
 @lru_cache(maxsize=None)
@@ -76,12 +147,12 @@ def _predict_chunked_fn(spec: ModelSpec, flag: bool, chunk: int):
     pfns = _predict_fns(spec)
     one = pfns[("chol" if flag else "inv") + "_one_raw"]
 
-    def chunked(hyp, alpha, L, sW, X, xs_padded):
+    def chunked(hyp, alpha, L, sW, X, n_real, xs_padded):
         n_chunks = xs_padded.shape[0] // chunk
         xs_r = xs_padded.reshape(n_chunks, chunk, xs_padded.shape[1])
 
         def body(xs_c):
-            return one(hyp, alpha, L, sW, X, xs_c)
+            return one(hyp, alpha, L, sW, X, n_real, xs_c)
 
         mu, s2 = jax.lax.map(body, xs_r)
         return mu.reshape(-1), s2.reshape(-1)
@@ -89,57 +160,113 @@ def _predict_chunked_fn(spec: ModelSpec, flag: bool, chunk: int):
     return jax.jit(chunked)
 
 
+# ----------------------------------------------------------------------
+# Batched posterior finalization.  One host sync for the whole sample
+# batch (the per-sample scalars), factor transforms batched at the
+# PADDED shape so the compiled programs are reused across the growing-N
+# refit loop (a sliced-to-true-N transform would recompile per refit —
+# a multi-second remote-compile stall on the tunnel toolchain).
+# ----------------------------------------------------------------------
+
+
 @jax.jit
-def _scaled_upper_factor(L_G, sl):
-    """Upper Cholesky factor of the sn2-scaled matrix, on device
+def _post_small(alphas, mults, sn2mins):
+    """Bundle of per-sample scalars the host needs, in ONE transfer:
+    rows [sn2_mult, sn2_min, any-NaN flag]."""
+    bad = jnp.any(jnp.isnan(alphas), axis=(1, 2))
+    f64 = jnp.float64
+    return jnp.stack(
+        [
+            mults.astype(f64),
+            sn2mins.astype(f64),
+            bad.astype(f64),
+        ]
+    )
+
+
+@jax.jit
+def _scaled_upper_batch(Ls, sls):
+    """Upper Cholesky factors of the sn2-scaled matrices, batched
     (reference stores chol(K/sl + I) upper, gaussian_process.py:2413)."""
-    return L_G.T / jnp.sqrt(jnp.asarray(sl, dtype=L_G.dtype))
+    sls = sls.astype(Ls.dtype)
+    return jnp.transpose(Ls, (0, 2, 1)) / jnp.sqrt(sls)[:, None, None]
+
+
+@jax.jit
+def _neg_inverse_batch(Ls):
+    """Batched -(L L^T)^{-1} (reference's low-noise explicit-inverse
+    parametrization, gaussian_process.py:2440-2448)."""
+    return jax.vmap(neg_inverse_from_chol)(Ls)
+
+
+@jax.jit
+def _sw_batch(Ls, sn2mins, mults):
+    """sW column vectors (1/sqrt(min(sn2)*mult), constant per sample;
+    reference gaussian_process.py:2514) at the padded shape."""
+    vals = 1.0 / jnp.sqrt(sn2mins * mults)
+    S, Np = Ls.shape[0], Ls.shape[1]
+    return jnp.broadcast_to(
+        vals.astype(Ls.dtype)[:, None, None], (S, Np, 1)
+    )
 
 
 @lru_cache(maxsize=None)
 def _predict_fns(spec: ModelSpec):
     """Jitted vmapped per-sample predictive mean/variance, one function
     per posterior parametrization (reference gaussian_process.py:1727-1767).
+
+    Every data-conditioned branch takes ``(hyp, alpha, L, sW, X, n_real,
+    xs)`` where ``X`` and the factors may be PADDED past ``n_real`` real
+    rows (shape bucketing): the cross-covariance rows beyond ``n_real``
+    are masked to zero, which — together with alpha's zero padding and
+    L's (block-)diagonal padding — makes the padded result exactly equal
+    the unpadded one while letting one compiled program serve every true
+    N within a bucket.  ``n_real`` is traced (pass N for unpadded data).
     """
 
-    def chol_branch(hyp, alpha, L_upper, sW, X, xs):
+    def _masked_ks(hyp_cov, X, n_real, xs):
+        Ks = cov_matrix(spec, hyp_cov, X, Z=xs)
+        mask = (jnp.arange(X.shape[0]) < n_real).astype(X.dtype)
+        return Ks * mask[:, None]
+
+    def chol_branch(hyp, alpha, L_upper, sW, X, n_real, xs):
         hyp = hyp.astype(X.dtype)
         hyp_cov, _, hyp_mean = spec.split_hyp(hyp)
         m_star = mean_value(spec, hyp_mean, xs)
         kss = cov_matrix(spec, hyp_cov, xs, diag=True)
-        Ks = cov_matrix(spec, hyp_cov, X, Z=xs)
+        Ks = _masked_ks(hyp_cov, X, n_real, xs)
         mu = m_star + jnp.matmul(Ks.T, alpha)[:, 0]
         V = _jsolve_tri(L_upper, sW * Ks, lower=False, trans=1)
         s2 = kss - jnp.sum(V * V, axis=0)
         return mu, s2
 
-    def inv_branch(hyp, alpha, L_neg_inv, sW, X, xs):
+    def inv_branch(hyp, alpha, L_neg_inv, sW, X, n_real, xs):
         hyp = hyp.astype(X.dtype)
         hyp_cov, _, hyp_mean = spec.split_hyp(hyp)
         m_star = mean_value(spec, hyp_mean, xs)
         kss = cov_matrix(spec, hyp_cov, xs, diag=True)
-        Ks = cov_matrix(spec, hyp_cov, X, Z=xs)
+        Ks = _masked_ks(hyp_cov, X, n_real, xs)
         mu = m_star + jnp.matmul(Ks.T, alpha)[:, 0]
         s2 = kss + jnp.sum(Ks * jnp.matmul(L_neg_inv, Ks), axis=0)
         return mu, s2
 
-    def chol_branch_full(hyp, alpha, L_upper, sW, X, xs):
+    def chol_branch_full(hyp, alpha, L_upper, sW, X, n_real, xs):
         hyp = hyp.astype(X.dtype)
         hyp_cov, _, hyp_mean = spec.split_hyp(hyp)
         m_star = mean_value(spec, hyp_mean, xs)
         K_star = cov_matrix(spec, hyp_cov, xs)
-        Ks = cov_matrix(spec, hyp_cov, X, Z=xs)
+        Ks = _masked_ks(hyp_cov, X, n_real, xs)
         mu = m_star + jnp.matmul(Ks.T, alpha)[:, 0]
         V = _jsolve_tri(L_upper, sW * Ks, lower=False, trans=1)
         C = K_star - jnp.matmul(V.T, V)
         return mu, 0.5 * (C + C.T)
 
-    def inv_branch_full(hyp, alpha, L_neg_inv, sW, X, xs):
+    def inv_branch_full(hyp, alpha, L_neg_inv, sW, X, n_real, xs):
         hyp = hyp.astype(X.dtype)
         hyp_cov, _, hyp_mean = spec.split_hyp(hyp)
         m_star = mean_value(spec, hyp_mean, xs)
         K_star = cov_matrix(spec, hyp_cov, xs)
-        Ks = cov_matrix(spec, hyp_cov, X, Z=xs)
+        Ks = _masked_ks(hyp_cov, X, n_real, xs)
         mu = m_star + jnp.matmul(Ks.T, alpha)[:, 0]
         C = K_star + jnp.matmul(Ks.T, jnp.matmul(L_neg_inv, Ks))
         return mu, 0.5 * (C + C.T)
@@ -158,7 +285,7 @@ def _predict_fns(spec: ModelSpec):
         K_star = cov_matrix(spec, hyp_cov, xs)
         return m_star, K_star
 
-    vmap_axes = (0, 0, 0, 0, None, None)
+    vmap_axes = (0, 0, 0, 0, None, None, None)
     return {
         "chol": jax.jit(jax.vmap(chol_branch, in_axes=vmap_axes)),
         "inv": jax.jit(jax.vmap(inv_branch, in_axes=vmap_axes)),
@@ -176,6 +303,163 @@ def _predict_fns(spec: ModelSpec):
         # chunk loop (_predict_chunked_fn).
         "chol_one_raw": chol_branch,
         "inv_one_raw": inv_branch,
+    }
+
+
+@lru_cache(maxsize=None)
+def _random_fns(spec: ModelSpec):
+    """Jitted single-sample GP function draws (reference
+    gaussian_process.py:2241-2329): predictive mean + covariance at the
+    query points, robust Cholesky (eigh fallback on indefinite C,
+    ops/linalg.py:148), and the affine transform of the supplied
+    standard-normal vector — all in ONE device program.  The host only
+    draws the normal vector (keeping the reference's NumPy RNG
+    contract) and picks the posterior sample."""
+
+    def _finish(C, zr, f_mu):
+        C = 0.5 * (C + C.T)
+        T = robust_cholesky(C)
+        return jnp.matmul(T.T, zr) + f_mu
+
+    def chol_one(hyp, alpha, L_upper, sW, X, n_real, xs, zr):
+        hyp = hyp.astype(X.dtype)
+        hyp_cov, _, hyp_mean = spec.split_hyp(hyp)
+        m_star = mean_value(spec, hyp_mean, xs)[:, None]
+        K_star = cov_matrix(spec, hyp_cov, xs)
+        Ks = cov_matrix(spec, hyp_cov, X, Z=xs)
+        mask = (jnp.arange(X.shape[0]) < n_real).astype(X.dtype)
+        Ks = Ks * mask[:, None]
+        f_mu = m_star + jnp.matmul(Ks.T, alpha)
+        V = _jsolve_tri(L_upper, sW * Ks, lower=False, trans=1)
+        return _finish(K_star - jnp.matmul(V.T, V), zr, f_mu)
+
+    def inv_one(hyp, alpha, L_neg_inv, sW, X, n_real, xs, zr):
+        hyp = hyp.astype(X.dtype)
+        hyp_cov, _, hyp_mean = spec.split_hyp(hyp)
+        m_star = mean_value(spec, hyp_mean, xs)[:, None]
+        K_star = cov_matrix(spec, hyp_cov, xs)
+        Ks = cov_matrix(spec, hyp_cov, X, Z=xs)
+        mask = (jnp.arange(X.shape[0]) < n_real).astype(X.dtype)
+        Ks = Ks * mask[:, None]
+        f_mu = m_star + jnp.matmul(Ks.T, alpha)
+        C = K_star + jnp.matmul(Ks.T, jnp.matmul(L_neg_inv, Ks))
+        return _finish(C, zr, f_mu)
+
+    def prior_one(hyp, xs, zr):
+        hyp = hyp.astype(xs.dtype)
+        hyp_cov, _, hyp_mean = spec.split_hyp(hyp)
+        f_mu = mean_value(spec, hyp_mean, xs)[:, None]
+        K_star = cov_matrix(spec, hyp_cov, xs)
+        eps = jnp.asarray(jnp.finfo(xs.dtype).eps, xs.dtype)
+        C = K_star + eps * jnp.eye(xs.shape[0], dtype=xs.dtype)
+        return _finish(C, zr, f_mu)
+
+    return {
+        "chol": jax.jit(chol_one),
+        "inv": jax.jit(inv_one),
+        "prior": jax.jit(prior_one),
+    }
+
+
+@lru_cache(maxsize=None)
+def _quad_fns(spec: ModelSpec):
+    """Jitted vmapped Bayesian-quadrature integrals, batched over the
+    posterior samples (reference gaussian_process.py:1818-1981).
+
+    TPU-first rebuild of the reference's host loop: one XLA dispatch per
+    parametrization group instead of per-sample SciPy triangular solves,
+    with the Gaussian-smoothed kernel integrals z built as one fused
+    (M, N, D) broadcast and the padded training rows masked out of z (so
+    the program is reused across the growing-N bucket, like predict).
+
+    Entries: ``mean`` (hyp, alpha, X, n_real, mu, sigma) -> F (S, M) and
+    ``chol_var`` / ``inv_var`` (hyp, alpha, L, mult, X, n_real, mu,
+    sigma) -> (F, J_kk) with J_kk the per-sample integral variances.
+    """
+    D = spec.D
+    cov_N, noise_N = spec.cov_N, spec.noise_N
+
+    def _z_and_mean(hyp, alpha, X, n_real, mu, sigma):
+        dtype = X.dtype
+        hyp = hyp.astype(dtype)
+        ell = jnp.exp(hyp[:D])
+        ln_sf2 = 2.0 * hyp[D]
+        sum_lnell = jnp.sum(hyp[:D])
+        # Gaussian-smoothed SE kernel row integrals (the closed form
+        # behind reference :1925-1936).
+        tau = jnp.sqrt(sigma**2 + ell[None, :] ** 2)  # (M, D)
+        lnnf = ln_sf2 + sum_lnell - jnp.sum(jnp.log(tau), axis=1)  # (M,)
+        mask = (jnp.arange(X.shape[0]) < n_real).astype(dtype)
+        d2 = jnp.sum(
+            ((mu[:, None, :] - X[None, :, :]) / tau[:, None, :]) ** 2,
+            axis=2,
+        )
+        z = jnp.exp(lnnf[:, None] - 0.5 * d2) * mask[None, :]  # (M, Np)
+        if spec.mean == "zero":
+            m0 = jnp.asarray(0.0, dtype=dtype)
+        else:
+            m0 = hyp[cov_N + noise_N]
+        F = jnp.matmul(z, alpha)[:, 0] + m0
+        if spec.mean == "negquad":
+            lo = cov_N + noise_N + 1
+            xm = hyp[lo : lo + D]
+            omega = jnp.exp(hyp[lo + D : lo + 2 * D])
+            # E[-(x - xm)^2 / (2 omega^2)] under N(mu, sigma^2), :1937-1946.
+            nu_k = -0.5 * jnp.sum(
+                (mu**2 + sigma**2 - 2.0 * mu * xm[None, :] + xm[None, :] ** 2)
+                / omega[None, :] ** 2,
+                axis=1,
+            )
+            F = F + nu_k
+        return z, F, ell, ln_sf2, sum_lnell
+
+    def mean_one(hyp, alpha, X, n_real, mu, sigma):
+        _, F, _, _, _ = _z_and_mean(hyp, alpha, X, n_real, mu, sigma)
+        return F
+
+    def _var_tail(z, ell, ln_sf2, sum_lnell, sigma, invKzk, dtype):
+        tau_kk = jnp.sqrt(2.0 * sigma**2 + ell[None, :] ** 2)
+        nf_kk = jnp.exp(ln_sf2 + sum_lnell - jnp.sum(jnp.log(tau_kk), axis=1))
+        J_kk = nf_kk - jnp.sum(z * invKzk.T, axis=1)
+        return jnp.maximum(jnp.asarray(jnp.finfo(dtype).eps, dtype), J_kk)
+
+    def chol_var_one(hyp, alpha, L, mult, X, n_real, mu, sigma):
+        dtype = X.dtype
+        z, F, ell, ln_sf2, sum_lnell = _z_and_mean(
+            hyp, alpha, X, n_real, mu, sigma
+        )
+        # Reference :1922 uses the constant noise hyperparameter for the
+        # scaled-factor solve.
+        if spec.noise_constant:
+            sn2 = jnp.exp(2.0 * hyp[cov_N].astype(dtype))
+        else:
+            sn2 = jnp.asarray(jnp.finfo(jnp.float64).eps, dtype=dtype)
+        sn2_eff = sn2 * mult.astype(dtype)
+        invKzk = (
+            _jsolve_tri(
+                L,
+                _jsolve_tri(L, z.T, lower=False, trans=1),
+                lower=False,
+                trans=0,
+            )
+            / sn2_eff
+        )
+        return F, _var_tail(z, ell, ln_sf2, sum_lnell, sigma, invKzk, dtype)
+
+    def inv_var_one(hyp, alpha, L, mult, X, n_real, mu, sigma):
+        dtype = X.dtype
+        z, F, ell, ln_sf2, sum_lnell = _z_and_mean(
+            hyp, alpha, X, n_real, mu, sigma
+        )
+        invKzk = -jnp.matmul(L, z.T)
+        return F, _var_tail(z, ell, ln_sf2, sum_lnell, sigma, invKzk, dtype)
+
+    mean_axes = (0, 0, None, None, None, None)
+    var_axes = (0, 0, 0, 0, None, None, None, None)
+    return {
+        "mean": jax.jit(jax.vmap(mean_one, in_axes=mean_axes)),
+        "chol_var": jax.jit(jax.vmap(chol_var_one, in_axes=var_axes)),
+        "inv_var": jax.jit(jax.vmap(inv_var_one, in_axes=var_axes)),
     }
 
 
@@ -201,7 +485,7 @@ class GP:
         dtype=None,
         outwarp: object = None,
         fast_predict: bool = False,
-        pad_bucket: int = None,
+        pad_bucket: int = 64,
     ):
         self.D = D
         self.covariance = covariance
@@ -218,11 +502,14 @@ class GP:
         # triangular solves (~20x faster at N=16k), for one extra
         # O(N^3) inversion per posterior build.
         self.fast_predict = bool(fast_predict)
-        # pad_bucket rounds the training-set size up to a multiple of
-        # this bucket with masked padding rows (core/nlml.py), so that
-        # incrementally growing datasets (the PyVBMC warm-refit loop)
-        # reuse compiled programs instead of recompiling at every N.
-        # Rank-1 updates are disabled while padding is active.
+        # pad_bucket (default 64) rounds the training-set size up to a
+        # multiple of this bucket with masked padding rows
+        # (core/nlml.py), so that incrementally growing datasets (the
+        # PyVBMC warm-refit loop) reuse compiled programs instead of
+        # recompiling at every N, and rank-1 updates write the new
+        # row/column into the padding in place on device
+        # (core/rank1.py).  Pass None to disable (single-point updates
+        # then fall back to a full batched posterior rebuild).
         self.pad_bucket = int(pad_bucket) if pad_bucket else None
         # Device computation dtype.  float64 (default) gives reference
         # parity at 1e-8 rtol; float32 is the TPU fast path (f64 matmul /
@@ -368,40 +655,6 @@ class GP:
         ]
         return np.concatenate(out)[:B]
 
-    def _make_posterior(self, hyp, alpha, L_G, mult, sn2_min):
-        """Posterior construction from device factors (parametrization
-        split per reference gaussian_process.py:2404).
-
-        The N x N factor stays a DEVICE array: pulling it to the host
-        costs a full HBM->host transfer per sample (~100 s/GB through a
-        remote-TPU tunnel) and prediction consumes it on device anyway.
-        Host-side consumers (the rank-1 update path) np.asarray() it
-        lazily.
-        """
-        # With padding, the real block of the padded factors equals the
-        # unpadded factors exactly (G is block diagonal): slice back.
-        N_true = self.X.shape[0]
-        if alpha.shape[0] > N_true:
-            alpha = alpha[:N_true]
-            L_G = L_G[:N_true, :N_true]
-        # alpha is (N, 1): the NaN check is a cheap transfer.
-        alpha_h = np.asarray(alpha)
-        if np.any(np.isnan(alpha_h)):
-            raise sp.linalg.LinAlgError(
-                "Singular matrix for L Cholesky decomposition"
-            )
-        N = alpha_h.shape[0]
-        L_chol = (sn2_min >= 1e-6) and not self.fast_predict
-        sW = np.ones((N, 1)) / np.sqrt(sn2_min * mult)
-        if L_chol:
-            sl = sn2_min * mult
-            L_stored = _scaled_upper_factor(L_G, float(sl))
-        else:
-            L_stored = neg_inverse_from_chol(L_G)
-        return Posterior(
-            np.asarray(hyp).copy(), alpha_h, sW, L_stored, mult, bool(L_chol)
-        )
-
     def _maybe_release_posteriors(self):
         """Drop old posterior factors ahead of a full rebuild when they
         hold a large slice of device memory."""
@@ -412,6 +665,56 @@ class GP:
         if N * N * self.dtype.itemsize * s_N > 2 * 2**30:
             self.posteriors = None
 
+    def _finalize_posteriors(self, hyp_arr, alphas, Ls, mults, sn2mins):
+        """Turn raw batched device factors (alpha, chol(G), mult,
+        sn2_min; shapes (S, Np, ...)) into Posterior objects.
+
+        Exactly ONE blocking host transfer for the whole batch (the
+        per-sample scalars); the factor transforms stay batched at the
+        PADDED shape — slicing to the true N before transforming would
+        recompile the transform at every refit of a growing dataset.
+        The parametrization split (reference gaussian_process.py:2404)
+        is decided on the host from the pulled sn2_min values.
+        """
+        small = np.asarray(_post_small(alphas, mults, sn2mins))
+        mults_h, sn2mins_h, bad = small[0], small[1], small[2]
+        if np.any(bad > 0):
+            raise sp.linalg.LinAlgError(
+                "Singular matrix for L Cholesky decomposition"
+            )
+        N_true = self.X.shape[0]
+        n_real = N_true if alphas.shape[1] != N_true else None
+
+        flags = (sn2mins_h >= 1e-6) & (not self.fast_predict)
+        sWs = _sw_batch(Ls, jnp.asarray(sn2mins_h), jnp.asarray(mults_h))
+
+        S = hyp_arr.shape[0]
+        L_stored = [None] * S
+        for flag in (True, False):
+            idx = np.nonzero(flags == flag)[0]
+            if idx.size == 0:
+                continue
+            sub = Ls if idx.size == S else Ls[jnp.asarray(idx)]
+            if flag:
+                sls = jnp.asarray(sn2mins_h[idx] * mults_h[idx])
+                out = _scaled_upper_batch(sub, sls)
+            else:
+                out = _neg_inverse_batch(sub)
+            for j, s in enumerate(idx):
+                L_stored[s] = out[j]
+        return [
+            Posterior(
+                np.asarray(hyp_arr[s], dtype=np.float64).copy(),
+                alphas[s],
+                sWs[s],
+                L_stored[s],
+                float(mults_h[s]),
+                bool(flags[s]),
+                n_real,
+            )
+            for s in range(S)
+        ]
+
     def _compute_posteriors(self, hyp_arr):
         """Batched posterior-factor computation for all samples.
 
@@ -421,6 +724,7 @@ class GP:
         """
         spec, fns, obj_args, Xj, pack = self._device()
         args = obj_args[:-1] if pack is not None else obj_args
+        hyp_arr = np.asarray(hyp_arr, dtype=np.float64)
         s_N = hyp_arr.shape[0]
         N = self.X.shape[0]
         budget = getattr(self, "_posterior_mem_budget", 8 * 2**30)
@@ -432,28 +736,25 @@ class GP:
             # slowly); run the single-sample program per sample.
             out = []
             for s in range(s_N):
-                h = jnp.asarray(np.asarray(hyp_arr[s], dtype=np.float64))
+                h = jnp.asarray(hyp_arr[s])
                 alpha, L, mult, sn2min = fns["post"](h, *args)
-                out.append(
-                    self._make_posterior(
-                        hyp_arr[s], alpha, L, float(mult), float(sn2min)
+                out.extend(
+                    self._finalize_posteriors(
+                        hyp_arr[s : s + 1],
+                        alpha[None],
+                        L[None],
+                        mult[None],
+                        sn2min[None],
                     )
                 )
             return out
 
         alphas, Ls, mults, sn2mins = fns["post_batch"](
-            jnp.asarray(np.asarray(hyp_arr, dtype=np.float64)), *args
+            jnp.asarray(hyp_arr), *args
         )
-        return [
-            self._make_posterior(
-                hyp_arr[s],
-                alphas[s],
-                Ls[s],
-                float(mults[s]),
-                float(sn2mins[s]),
-            )
-            for s in range(s_N)
-        ]
+        return self._finalize_posteriors(
+            hyp_arr, alphas, Ls, mults, sn2mins
+        )
 
     # ------------------------------------------------------------------
     # Representation
@@ -908,6 +1209,12 @@ class GP:
         if hyp is not None:
             hyp = hyp.copy()
 
+        # Rank-1 eligibility (reference gaussian_process.py:737-747) plus
+        # the device-update preconditions: factors device-built (not
+        # externally replaced) and bucket padding with at least one free
+        # row.  A bucket-full update falls through to the batched full
+        # rebuild — one extra O(N^3) program per pad_bucket updates.
+        N_old = None if self.X is None else self.X.shape[0]
         rank_one_update = (
             X_new is not None
             and y_new is not None
@@ -918,9 +1225,22 @@ class GP:
             and y_new.shape[0] == 1
             and s2_new is None
             and self.outwarp is None
-            and self.pad_bucket is None
+            and self.posteriors is not None
+            and all(
+                p._L is not None
+                and not p._direct
+                and p.n_real == N_old
+                and p._L.shape[0] > N_old
+                for p in self.posteriors
+            )
+            and len({p._L.shape[0] for p in self.posteriors}) == 1
         )
         full_updates = []
+
+        if rank_one_update:
+            get_stacked, _, X_pad, n_real = self._posterior_arrays()
+            if X_pad.shape[0] != self.posteriors[0]._L.shape[0]:
+                rank_one_update = False  # context/factor bucket mismatch
 
         if rank_one_update:
             cov_N, noise_N, _ = self._hyp_counts()
@@ -929,77 +1249,68 @@ class GP:
                 X_new, y_new, add_noise=True, separate_samples=True
             )
             s_N = np.size(self.posteriors)
-
-            for s in range(s_N):
-                hyp_s = self.posteriors[s].hyp
-                hyp_noise = hyp_s[cov_N : cov_N + noise_N]
-                sn2 = self.noise.compute(hyp_noise, X_new, y_new, 0)
-                sn2_eff = sn2 * self.posteriors[s].sn2_mult
-
-                hyp_cov = hyp_s[0:cov_N]
-                K = self.covariance.compute(hyp_cov, X_new)
-                Ks = self.covariance.compute(hyp_cov, self.X, X_new)
-
-                L = np.asarray(self.posteriors[s].L)
-                L_chol = self.posteriors[s].L_chol
-
-                full_update_s = False
-                if L_chol:  # high-noise parametrization
-                    new_L_column = sp.linalg.solve_triangular(
-                        L, Ks, trans=1, check_finite=False
+            sn2_effs = np.array(
+                [
+                    float(
+                        np.ravel(
+                            self.noise.compute(
+                                p.hyp[cov_N : cov_N + noise_N],
+                                X_new,
+                                y_new,
+                                0,
+                            )
+                        )[0]
                     )
-                    sqrt_arg = (
-                        sn2_eff**2
-                        + K * sn2_eff
-                        - np.dot(new_L_column.T, new_L_column)
-                    )
-                    if sqrt_arg <= 0.0:
-                        full_update_s = True
-                        full_updates.append(s)
+                    * p.sn2_mult
+                    for p in self.posteriors
+                ]
+            )
+
+            from .core.rank1 import get_rank1_fns
+
+            r1fns = get_rank1_fns(self._spec())
+            groups = {True: [], False: []}
+            for i, p in enumerate(self.posteriors):
+                groups[bool(p.L_chol)].append(i)
+
+            x_new_j = jnp.asarray(X_new, dtype=self.dtype)
+            y_new_j = jnp.asarray(float(y_new[0, 0]), dtype=self.dtype)
+            for flag, idxs in groups.items():
+                if not idxs:
+                    continue
+                hyps = jnp.asarray(
+                    np.stack([self.posteriors[i].hyp for i in idxs]),
+                    dtype=self.dtype,
+                )
+                L_out, a_out, sw_out, ok = r1fns["chol" if flag else "inv"](
+                    hyps,
+                    get_stacked("alpha", idxs),
+                    get_stacked("L", idxs),
+                    get_stacked("sW", idxs),
+                    X_pad,
+                    n_real,
+                    x_new_j,
+                    y_new_j,
+                    jnp.asarray(sn2_effs[idxs], dtype=self.dtype),
+                    jnp.asarray(m_star[0, idxs], dtype=self.dtype),
+                    jnp.asarray(v_star[0, idxs], dtype=self.dtype),
+                )
+                ok = np.asarray(ok)
+                for j, i in enumerate(idxs):
+                    if not ok[j]:
+                        full_updates.append(i)
                         warnings.warn(
                             "Rank-one update of Cholesky factor unstable "
-                            + f"for posterior {s}. Reverting to full update.",
+                            + f"for posterior {i}. Reverting to full update.",
                             stacklevel=2,
                         )
-                    else:
-                        alpha_update = (
-                            sp.linalg.solve_triangular(
-                                L, new_L_column, trans=0, check_finite=False
-                            )
-                            / sn2_eff
-                        )
-                        self.posteriors[s].L = np.block(
-                            [
-                                [L, new_L_column / sn2_eff],
-                                [
-                                    np.zeros((1, L.shape[0])),
-                                    np.sqrt(sqrt_arg) / sn2_eff,
-                                ],
-                            ]
-                        )
-                else:  # low-noise parametrization (explicit inverse)
-                    alpha_update = np.dot(-L, Ks)
-                    v = -alpha_update / v_star[:, s]
-                    self.posteriors[s].L = np.block(
-                        [
-                            [L + np.dot(v, alpha_update.T), -v],
-                            [-v.T, -1 / v_star[:, s]],
-                        ]
-                    )
-
-                if not full_update_s:
-                    self.posteriors[s].sW = np.concatenate(
-                        (
-                            self.posteriors[s].sW,
-                            np.array([[1 / np.sqrt(sn2_eff)]]),
-                        )
-                    )
-                    # alpha_update holds (K + sigma^2 I)^-1 k*
-                    self.posteriors[s].alpha = np.concatenate(
-                        (self.posteriors[s].alpha, np.array([[0]]))
-                    ) + (m_star[:, s] - y_new) / v_star[:, s] * np.concatenate(
-                        (alpha_update, np.array([[-1]]))
-                    )
+                        continue
+                    p = self.posteriors[i]
+                    p._alpha = a_out[j]
+                    p._sW = sw_out[j]
+                    p._L = L_out[j]
+                    p._views = {}
+                    p.n_real = n_real + 1
 
         if X_new is not None:
             self.X = X_new if self.X is None else np.concatenate(
@@ -1361,6 +1672,9 @@ class GP:
                 thin=1,
                 burn=burn_in,
                 f_args=obj_args,
+                step_out=options.get("step_out", False),
+                diagnostics=options.get("sampler_diagnostics", True),
+                display=options.get("display", "off"),
             )
         else:
             sample_f = lambda hyp_: self._objective(hyp_, swap_sign=True)
@@ -1419,13 +1733,43 @@ class GP:
     # Prediction
     # ------------------------------------------------------------------
 
+    def _posterior_arrays(self):
+        """Internal device-side factor access for the predictive core:
+        returns ``(get(name, idx) -> stacked array, X_use, n_real)``.
+
+        Posteriors built by this GP store padded device factors; the
+        matching padded X comes from the device context.  If any
+        posterior was mutated through the public true-size ABI (or the
+        factor shapes no longer match the context), fall back to the
+        true-size views with an unpadded X."""
+        spec, fns, args, Xj, pack = self._device()
+        ps = list(self.posteriors)
+        uniform = (
+            all(not p._direct and p._L is not None for p in ps)
+            and len({p._L.shape[0] for p in ps}) == 1
+        )
+        padded = (
+            uniform
+            and args is not None
+            and args[0].shape[0] == ps[0]._L.shape[0]
+        )
+        X_use = args[0] if padded else Xj
+        n_real = self.X.shape[0]
+
+        def one(name, i):
+            v = getattr(ps[i], "_" + name) if padded else getattr(ps[i], name)
+            return jnp.asarray(v, dtype=self.dtype)
+
+        def get(name, idx):
+            return jnp.stack([one(name, i) for i in idx])
+
+        return get, one, X_use, n_real
+
     def _group_predict(self, x_star, full=False):
         """Run the vmapped predictive core, grouping posterior samples by
         parametrization flag.  Returns (mu (M,s), s2 (M,s)) or with
         ``full`` (mu (M,s), cov (s,M,M))."""
-        spec, _, _, Xj, _ = self._device() if self.y is not None else (
-            self._spec(), None, None, None, None,
-        )
+        spec = self._spec()
         pfns = _predict_fns(spec)
         s_N = self.posteriors.size
         M = x_star.shape[0]
@@ -1447,6 +1791,8 @@ class GP:
                 return mu, cov
             s2[:] = np.asarray(v_b).T
             return mu, s2
+
+        get_stacked, get_one, Xj, n_real = self._posterior_arrays()
 
         groups = {True: [], False: []}
         for idx, p in enumerate(self.posteriors):
@@ -1490,10 +1836,11 @@ class GP:
                     key = ("chol" if p.L_chol else "inv") + "_full_one"
                     mu_b, v_b = pfns[key](
                         jnp.asarray(p.hyp, dtype=self.dtype),
-                        jnp.asarray(p.alpha, dtype=self.dtype),
-                        jnp.asarray(p.L, dtype=self.dtype),
-                        jnp.asarray(p.sW, dtype=self.dtype),
+                        get_one("alpha", idx),
+                        get_one("L", idx),
+                        get_one("sW", idx),
                         Xj,
+                        n_real,
                         xsj,
                     )
                     mu[:, idx] = np.asarray(mu_b)
@@ -1515,10 +1862,11 @@ class GP:
                 fn = _predict_chunked_fn(spec, bool(p.L_chol), chunk)
                 mu_b, v_b = fn(
                     jnp.asarray(p.hyp, dtype=self.dtype),
-                    jnp.asarray(p.alpha, dtype=self.dtype),
-                    jnp.asarray(p.L, dtype=self.dtype),
-                    jnp.asarray(p.sW, dtype=self.dtype),
+                    get_one("alpha", idx),
+                    get_one("L", idx),
+                    get_one("sW", idx),
                     Xj,
+                    n_real,
                     xs_p,
                 )
                 mu[:, idx] = np.asarray(mu_b)[:M]
@@ -1532,26 +1880,11 @@ class GP:
                 np.stack([self.posteriors[i].hyp for i in idxs]),
                 dtype=self.dtype,
             )
-            alphas = jnp.stack(
-                [
-                    jnp.asarray(self.posteriors[i].alpha, dtype=self.dtype)
-                    for i in idxs
-                ]
-            )
-            # L stays on device (jnp.asarray is a no-op for device
+            # Factors stay on device (jnp.asarray is a no-op for device
             # arrays of the right dtype; np fallbacks still upload).
-            Ls = jnp.stack(
-                [
-                    jnp.asarray(self.posteriors[i].L, dtype=self.dtype)
-                    for i in idxs
-                ]
-            )
-            sWs = jnp.stack(
-                [
-                    jnp.asarray(self.posteriors[i].sW, dtype=self.dtype)
-                    for i in idxs
-                ]
-            )
+            alphas = get_stacked("alpha", idxs)
+            Ls = get_stacked("L", idxs)
+            sWs = get_stacked("sW", idxs)
             key = ("chol" if flag else "inv") + ("_full" if full else "")
 
             for start in range(0, M, chunk):
@@ -1563,7 +1896,9 @@ class GP:
                     xs_c = jnp.concatenate(
                         [xs_c, jnp.broadcast_to(xs_c[-1:], (pad,) + xs_c.shape[1:])]
                     )
-                mu_b, v_b = pfns[key](hyps, alphas, Ls, sWs, Xj, xs_c)
+                mu_b, v_b = pfns[key](
+                    hyps, alphas, Ls, sWs, Xj, n_real, xs_c
+                )
                 mu_b = np.asarray(mu_b)[:, : stop - start]
                 v_b = np.asarray(v_b)
                 for j, idx in enumerate(idxs):
@@ -1752,9 +2087,8 @@ class GP:
                 "negative-quadratic mean functions only."
             )
 
-        N, D = self.X.shape
+        D = self.D
         N_s = np.size(self.posteriors)
-        cov_N, noise_N, _ = self._hyp_counts()
 
         if np.size(mu) == 1:
             mu = np.tile(mu, (1, D))
@@ -1764,77 +2098,56 @@ class GP:
             sigma = np.tile(sigma, (1, D))
         sigma = np.atleast_2d(np.asarray(sigma, dtype=np.float64))
 
-        quadratic_mean_fun = isinstance(
-            self.mean, _mean_mod.NegativeQuadratic
-        )
+        # Whole sample batch in one device dispatch per parametrization
+        # group (the reference loops samples on the host with SciPy
+        # solves; this is PyVBMC's ELBO hot path).
+        qfns = _quad_fns(self._spec())
+        get_stacked, _, X_use, n_real = self._posterior_arrays()
+        muj = jnp.asarray(mu, dtype=self.dtype)
+        sigmaj = jnp.asarray(sigma, dtype=self.dtype)
+        hyps_all = np.stack([p.hyp for p in self.posteriors])
 
         F = np.zeros((N_star, N_s))
         if compute_var:
             F_var = np.zeros((N_star, N_s))
-
-        X = self.X
-        for s in range(N_s):
-            hyp = self.posteriors[s].hyp
-
-            ell = np.exp(hyp[0:D])
-            ln_sf2 = 2 * hyp[D]
-            sum_lnell = np.sum(hyp[0:D])
-
-            if isinstance(self.mean, _mean_mod.ZeroMean):
-                m0 = 0
-            else:
-                m0 = hyp[cov_N + noise_N]
-            if quadratic_mean_fun:
-                xm = hyp[cov_N + noise_N + 1 : cov_N + noise_N + D + 1]
-                omega = np.exp(hyp[cov_N + noise_N + D + 1 :])
-
-            alpha = self.posteriors[s].alpha
-            L = np.asarray(self.posteriors[s].L)
-            L_chol = self.posteriors[s].L_chol
-
-            sn2 = np.exp(2 * hyp[cov_N])
-            sn2_eff = sn2 * self.posteriors[s].sn2_mult
-
-            # Gaussian-smoothed kernel row integrals.
-            tau = np.sqrt(sigma**2 + ell**2)
-            lnnf = ln_sf2 + sum_lnell - np.sum(np.log(tau), 1)
-            sum_delta2 = np.sum(
-                ((mu[:, None, :] - X[None, :, :]) / tau[:, None, :]) ** 2,
-                axis=2,
-            )
-            z = np.exp(np.reshape(lnnf, (-1, 1)) - 0.5 * sum_delta2)
-            F[:, s : s + 1] = np.dot(z, alpha) + m0
-
-            if quadratic_mean_fun:
-                nu_k = -0.5 * np.sum(
-                    1
-                    / omega**2
-                    * (mu**2 + sigma**2 - 2 * mu * xm + xm**2),
-                    1,
-                )
-                F[:, s] += nu_k
-
-            if compute_var:
-                tau_kk = np.sqrt(2 * sigma**2 + ell**2)
-                nf_kk = np.exp(
-                    ln_sf2 + sum_lnell - np.sum(np.log(tau_kk), 1)
-                )
-                if L_chol:
-                    invKzk = (
-                        sp.linalg.solve_triangular(
-                            L,
-                            sp.linalg.solve_triangular(
-                                L, z.T, trans=1, check_finite=False
-                            ),
-                            trans=0,
-                            check_finite=False,
-                        )
-                        / sn2_eff
+            groups = {True: [], False: []}
+            for i, p in enumerate(self.posteriors):
+                groups[bool(p.L_chol)].append(i)
+            for flag, idxs in groups.items():
+                if not idxs:
+                    continue
+                mults = jnp.asarray(
+                    np.array(
+                        [self.posteriors[i].sn2_mult for i in idxs],
+                        dtype=np.float64,
                     )
-                else:
-                    invKzk = np.dot(-L, z.T)
-                J_kk = nf_kk - np.sum(z * invKzk.T, 1)
-                F_var[:, s] = np.maximum(np.spacing(1), J_kk)
+                )
+                F_b, J_b = qfns["chol_var" if flag else "inv_var"](
+                    jnp.asarray(hyps_all[idxs], dtype=self.dtype),
+                    get_stacked("alpha", idxs),
+                    get_stacked("L", idxs),
+                    mults,
+                    X_use,
+                    n_real,
+                    muj,
+                    sigmaj,
+                )
+                F_b = np.asarray(F_b, dtype=np.float64)
+                J_b = np.asarray(J_b, dtype=np.float64)
+                for j, i in enumerate(idxs):
+                    F[:, i] = F_b[j]
+                    F_var[:, i] = J_b[j]
+        else:
+            idxs = list(range(N_s))
+            F_b = qfns["mean"](
+                jnp.asarray(hyps_all, dtype=self.dtype),
+                get_stacked("alpha", idxs),
+                X_use,
+                n_real,
+                muj,
+                sigmaj,
+            )
+            F[:] = np.asarray(F_b, dtype=np.float64).T
 
         if N_s > 1 and not separate_samples:
             F_bar = np.reshape(np.sum(F, 1), (-1, 1)) / N_s
@@ -1856,50 +2169,41 @@ class GP:
     def random_function(self, X_star: np.ndarray, add_noise: bool = False):
         """Draw one random function from the GP at ``X_star`` (one
         posterior sample chosen uniformly; robust Cholesky of the
-        predictive covariance)."""
+        predictive covariance).  The covariance build, factorization and
+        affine transform run as one device program (_random_fns); the
+        host only draws the randomness (reference
+        gaussian_process.py:2241-2329)."""
         N_star = X_star.shape[0]
         N_s = np.size(self.posteriors)
-        cov_N, noise_N, mean_N = self._hyp_counts()
+        cov_N, noise_N, _ = self._hyp_counts()
 
         s = np.random.randint(0, N_s)
 
         hyp = self.posteriors[s].hyp
-        alpha = self.posteriors[s].alpha
-        L = np.asarray(self.posteriors[s].L)
-        L_chol = self.posteriors[s].L_chol
-        sW = self.posteriors[s].sW
-
-        m_star = np.reshape(
-            self.mean.compute(
-                hyp[cov_N + noise_N : cov_N + noise_N + mean_N], X_star
-            ),
-            (-1, 1),
+        rfns = _random_fns(self._spec())
+        hyp_j = jnp.asarray(hyp, dtype=self.dtype)
+        xsj = jnp.asarray(X_star, dtype=self.dtype)
+        zr = jnp.asarray(
+            np.random.standard_normal((N_star, 1)), dtype=self.dtype
         )
-        K_star = self.covariance.compute(hyp[0:cov_N], X_star)
 
         if self.y is None:
-            f_mu = m_star
-            C = K_star + np.spacing(1) * np.eye(N_star)
+            f_star = np.asarray(rfns["prior"](hyp_j, xsj, zr))
         else:
-            Ks = self.covariance.compute(hyp[0:cov_N], self.X, X_star=X_star)
-            f_mu = m_star + np.dot(Ks.T, alpha)
-            if L_chol:
-                V = sp.linalg.solve_triangular(
-                    L,
-                    np.tile(sW, (1, N_star)) * Ks,
-                    trans=1,
-                    check_finite=False,
+            _, get_one, X_use, n_real = self._posterior_arrays()
+            fn = rfns["chol" if self.posteriors[s].L_chol else "inv"]
+            f_star = np.asarray(
+                fn(
+                    hyp_j,
+                    get_one("alpha", s),
+                    get_one("L", s),
+                    get_one("sW", s),
+                    X_use,
+                    n_real,
+                    xsj,
+                    zr,
                 )
-                C = K_star - np.dot(V.T, V)
-            else:
-                C = K_star + np.dot(Ks.T, np.dot(L, Ks))
-
-        C = (C + C.T) / 2
-
-        T = np.asarray(robust_cholesky(jnp.asarray(C)))
-        f_star = (
-            np.dot(T.T, np.random.standard_normal((T.shape[0], 1))) + f_mu
-        )
+            )
 
         if add_noise:
             sn2 = self.noise.compute(
@@ -1910,7 +2214,7 @@ class GP:
                 sn2_mult = 1
             y_star = f_star + np.sqrt(
                 sn2 * sn2_mult
-            ) * np.random.standard_normal(size=f_mu.shape)
+            ) * np.random.standard_normal(size=f_star.shape)
             return y_star
         return f_star
 
@@ -2130,7 +2434,7 @@ class GP:
         the current stacked posterior factors (device arrays)."""
         spec = self._spec()
         pfns = _predict_fns(spec)
-        Xj = jnp.asarray(self.X, dtype=self.dtype)
+        get_stacked, _, Xj, n_real = self._posterior_arrays()
         groups = {True: [], False: []}
         for idx, p in enumerate(self.posteriors):
             groups[bool(p.L_chol)].append(idx)
@@ -2145,30 +2449,9 @@ class GP:
                         np.stack([self.posteriors[i].hyp for i in idxs]),
                         dtype=self.dtype,
                     ),
-                    jnp.stack(
-                        [
-                            jnp.asarray(
-                                self.posteriors[i].alpha, dtype=self.dtype
-                            )
-                            for i in idxs
-                        ]
-                    ),
-                    jnp.stack(
-                        [
-                            jnp.asarray(
-                                self.posteriors[i].L, dtype=self.dtype
-                            )
-                            for i in idxs
-                        ]
-                    ),
-                    jnp.stack(
-                        [
-                            jnp.asarray(
-                                self.posteriors[i].sW, dtype=self.dtype
-                            )
-                            for i in idxs
-                        ]
-                    ),
+                    get_stacked("alpha", idxs),
+                    get_stacked("L", idxs),
+                    get_stacked("sW", idxs),
                 )
             )
         s_N = np.size(self.posteriors)
@@ -2177,7 +2460,7 @@ class GP:
             xs = jnp.reshape(x, (1, -1)).astype(Xj.dtype)
             mus, s2s = [], []
             for fn, hyps, alphas, Ls, sWs in packed:
-                m, v = fn(hyps, alphas, Ls, sWs, Xj, xs)
+                m, v = fn(hyps, alphas, Ls, sWs, Xj, n_real, xs)
                 mus.append(m[:, 0])
                 s2s.append(v[:, 0])
             mu_all = jnp.concatenate(mus)

@@ -25,6 +25,8 @@ The sampler is a pure function of a PRNG key: same key -> same chain
 ``vmap``-able over chains; the inner while_loops batch as masked selects.
 """
 
+import logging
+import math
 from functools import partial
 from typing import NamedTuple
 
@@ -33,6 +35,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+_logger = logging.getLogger("DeviceSliceSampler")
 
 
 class SliceState(NamedTuple):
@@ -44,26 +48,86 @@ class SliceState(NamedTuple):
     key: jnp.ndarray  # PRNG key
 
 
-def _masked_log_f(log_f, LB, UB, f_args=()):
-    """Wrap log_f with the bound mask and NaN -> -inf handling
-    (reference slice_sample.py:649-683)."""
+def _masked_log_f(log_f, LB, UB, f_args=(), log_prior=None):
+    """Wrap log_f with the bound mask, optional additive log prior, and
+    NaN -> -inf handling (reference slice_sample.py:649-683: out of
+    bounds, NaN target, or non-finite prior all yield -inf)."""
 
     def f(x):
         v = log_f(x, *f_args)
-        in_bounds = jnp.all((x >= LB) & (x <= UB))
         v = jnp.where(jnp.isnan(v), -jnp.inf, v)
+        if log_prior is not None:
+            p = log_prior(x)
+            v = jnp.where(jnp.isfinite(p), v + p, -jnp.inf)
+            v = jnp.where(jnp.isnan(v), -jnp.inf, v)
+        in_bounds = jnp.all((x >= LB) & (x <= UB))
         return jnp.where(in_bounds, v, -jnp.inf)
 
     return f
 
 
-def _sweep(logpdf, LB, UB, LB_out, UB_out, fixed, max_shrink, adapt):
+def diagnose(samples: np.ndarray):
+    """Split-chain convergence diagnostics of a single chain.
+
+    Host post-processing of the device chain output, with the reference
+    sampler's split-R-hat / effective-N semantics and exit flags
+    (reference slice_sample.py:604-647): the chain is halved into two
+    pseudo-chains; flags: 1 converged, -3 max R > 1.5, -2 max R > 1.1,
+    -1 low effective N (< N/10), 0 unknown.  Returns
+    ``(exit_flag, R (D,), eff_N (D,))``.
+    """
+    from ..slice_sample import effective_n, gelman_rubin
+
+    N = samples.shape[0]
+    half = math.floor(N / 2)
+    if half < 2:
+        return 0, None, None
+    split = np.array([samples[0:half, :], samples[half : 2 * half, :]])
+    R = gelman_rubin(split)
+    eff_N = effective_n(split)
+
+    exit_flag = 0
+    if np.any(R > 1.5):
+        _logger.info(
+            " * Detected lack of convergence! (max R = %.2f >> 1, "
+            "mean R = %.2f)",
+            np.max(R),
+            np.mean(R),
+        )
+        exit_flag = -3
+    elif np.any(R > 1.1):
+        _logger.info(
+            " * Detected probable lack of convergence! (max R = %.2f > 1"
+            ", mean R = %.2f)",
+            np.max(R),
+            np.mean(R),
+        )
+        exit_flag = -2
+    if np.any(eff_N < N / 10.0):
+        _logger.info(
+            " * Low number of effective samples! (min eff_N = %.1f, "
+            "mean eff_N = %.1f, requested N = %d)",
+            np.min(eff_N),
+            np.mean(eff_N),
+            N,
+        )
+        if exit_flag == 0:
+            exit_flag = -1
+    if exit_flag == 0:
+        exit_flag = 1
+    return exit_flag, R, eff_N
+
+
+def _sweep(
+    logpdf, LB, UB, LB_out, UB_out, fixed, max_shrink, adapt, step_out=False
+):
     """One full coordinate sweep (random scan order).
 
     Returns a function (state) -> (state, shrink_counts) where the widths
     in the output state are adapted iff ``adapt``.
     """
     D = LB.shape[0]
+    MAX_STEP_OUT = 1024  # safety cap; -inf outside bounds ends the walk
 
     def do_dim(dd, x, log_Px, width, key):
         k_level, k_pos, k_prop = jax.random.split(key, 3)
@@ -73,6 +137,40 @@ def _sweep(logpdf, LB, UB, LB_out, UB_out, fixed, max_shrink, adapt):
         rr = jax.random.uniform(k_pos)
         x_l = jnp.maximum(x[dd] - rr * width, LB_out[dd])
         x_r = jnp.minimum(x[dd] + (1.0 - rr) * width, UB_out[dd])
+
+        if step_out:
+            # Stepping-out (reference slice_sample.py:408-417): widen
+            # each side by `width` while the density there still clears
+            # the slice level.
+            def so_cond_l(c):
+                xl, steps = c
+                return jnp.logical_and(
+                    logpdf(x.at[dd].set(xl)) > log_uprime,
+                    steps < MAX_STEP_OUT,
+                )
+
+            def so_body_l(c):
+                xl, steps = c
+                return xl - width, steps + 1
+
+            x_l, _ = lax.while_loop(
+                so_cond_l, so_body_l, (x_l, jnp.asarray(0, jnp.int32))
+            )
+
+            def so_cond_r(c):
+                xr, steps = c
+                return jnp.logical_and(
+                    logpdf(x.at[dd].set(xr)) > log_uprime,
+                    steps < MAX_STEP_OUT,
+                )
+
+            def so_body_r(c):
+                xr, steps = c
+                return xr + width, steps + 1
+
+            x_r, _ = lax.while_loop(
+                so_cond_r, so_body_r, (x_r, jnp.asarray(0, jnp.int32))
+            )
 
         def cond(c):
             _, _, _, _, _, shrink, done = c
@@ -178,6 +276,8 @@ def _sweep(logpdf, LB, UB, LB_out, UB_out, fixed, max_shrink, adapt):
         "burn",
         "adaptive",
         "max_shrink",
+        "step_out",
+        "log_prior",
     ),
 )
 def _run_chain(
@@ -194,20 +294,38 @@ def _run_chain(
     adaptive: bool,
     max_shrink: int,
     f_args=(),
+    step_out: bool = False,
+    log_prior=None,
 ):
     # LB_out/UB_out computed on the host: jnp.nextafter lowers to an
     # s64 bitcast that TPU's X64 rewriting rejects.
     fixed = LB == UB
-    logpdf = _masked_log_f(log_f, LB, UB, f_args)
+    logpdf = _masked_log_f(log_f, LB, UB, f_args, log_prior)
 
     state = state._replace(log_Px=logpdf(state.x))
     init_log_Px = state.log_Px
 
     sweep_adapt = _sweep(
-        logpdf, LB, UB, LB_out, UB_out, fixed, max_shrink, adapt=True
+        logpdf,
+        LB,
+        UB,
+        LB_out,
+        UB_out,
+        fixed,
+        max_shrink,
+        adapt=True,
+        step_out=step_out,
     )
     sweep_fixed = _sweep(
-        logpdf, LB, UB, LB_out, UB_out, fixed, max_shrink, adapt=False
+        logpdf,
+        LB,
+        UB,
+        LB_out,
+        UB_out,
+        fixed,
+        max_shrink,
+        adapt=False,
+        step_out=step_out,
     )
 
     # --- burn-in phase (optional width adaptation) ---
@@ -271,17 +389,36 @@ def sample(
     max_shrink: int = 256,
     state: SliceState = None,
     f_args=(),
+    step_out: bool = False,
+    log_prior=None,
+    diagnostics: bool = True,
+    display: str = "off",
 ):
     """Draw ``n_samples`` (thinned) samples from ``log_f`` on device.
 
     Parameters mirror :class:`gpyreg_tpu.slice_sample.SliceSampler` /
     ``sample`` (reference slice_sample.py:119-230, :232).  ``log_f`` must
-    be a jittable function (D,) -> scalar log density.
+    be a jittable function (D,) -> scalar log density; ``log_prior`` (if
+    given) a jittable additive log-prior whose values are reported
+    separately in ``log_priors`` (reference :219-230).  ``step_out``
+    enables the stepping-out bracket walk (reference :408-417).  With
+    ``diagnostics`` (default True, like the reference sampler), the
+    result carries split-R-hat / effective-N and the reference's exit
+    flags {1, 0, -1, -2, -3}; ``display`` in {'off', 'summary', 'full'}
+    maps to WARNING/INFO/DEBUG on the 'DeviceSliceSampler' logger (the
+    per-proposal trace stays on device, so only run summaries are
+    logged).
 
     Returns ``(result_dict, final_state)``; pass ``state=final_state`` to
     continue the chain (same-key chaining gives the determinism property
     of reference testing/test_slice_sample.py:18-36).
     """
+    if display == "full":
+        _logger.setLevel(logging.DEBUG)
+    elif display in ("summary", "on"):
+        _logger.setLevel(logging.INFO)
+    else:
+        _logger.setLevel(logging.WARNING)
     x0 = jnp.asarray(x0, dtype=jnp.float64).ravel()
     D = x0.shape[0]
 
@@ -351,6 +488,8 @@ def sample(
         bool(adaptive),
         int(max_shrink),
         f_args,
+        bool(step_out),
+        log_prior,
     )
     if not np.isfinite(float(init_log_Px)):
         raise ValueError(
@@ -359,13 +498,45 @@ def sample(
         )
 
     samples = np.asarray(samples)
+    f_vals = np.asarray(f_vals).reshape(-1, 1)
+    if log_prior is not None:
+        # The chain carries the full density; split the reported values
+        # so f_vals excludes the prior (reference result contract).
+        log_priors = np.asarray(
+            jax.vmap(log_prior)(jnp.asarray(samples))
+        ).reshape(-1)
+        f_vals = f_vals - log_priors[:, None]
+    else:
+        log_priors = np.zeros((samples.shape[0],))
+
+    _logger.info("\nSampling terminated:")
+    _logger.info(
+        " * %d samples obtained after a burn-in period of %d samples",
+        samples.shape[0],
+        burn,
+    )
+
+    exit_flag, R, eff_N = 0, None, None
+    if diagnostics:
+        exit_flag, R, eff_N = diagnose(samples)
+        if exit_flag in (-2, -3):
+            _logger.info(
+                " * Try sampling for longer, by increasing N or the "
+                "thinning factor"
+            )
+        elif exit_flag == -1:
+            _logger.info(
+                " * Try increasing thinning factor to obtain more "
+                "uncorrelated samples"
+            )
+
     result = {
         "samples": samples,
-        "f_vals": np.asarray(f_vals).reshape(-1, 1),
-        "log_priors": np.zeros((samples.shape[0],)),
-        "exit_flag": 0,
-        "R": None,
-        "eff_N": None,
+        "f_vals": f_vals,
+        "log_priors": log_priors,
+        "exit_flag": exit_flag,
+        "R": R,
+        "eff_N": eff_N,
     }
     return result, state
 

@@ -128,11 +128,11 @@ def _run_multistart(
         state0 = opt.init(z_init)
 
         def cond(carry):
-            z, state, it, done = carry
+            z, state, it, prev_f, done = carry
             return jnp.logical_and(~done, it < max_iter)
 
         def body(carry):
-            z, state, it, _ = carry
+            z, state, it, prev_f, _ = carry
             value, grad = value_and_grad(z, *f_args, state=state)
             updates, state = opt.update(
                 grad,
@@ -145,12 +145,28 @@ def _run_multistart(
             z_new = optax.apply_updates(z, updates)
             gnorm = jnp.max(jnp.abs(grad))
             step = jnp.max(jnp.abs(z_new - z))
+            # Relative objective-decrease stop with the same semantics as
+            # scipy L-BFGS-B's ftol (which minimize(tol=...) sets alongside
+            # gtol): without it, flat valleys in the transformed space keep
+            # the gradient above tol for hundreds of wasted iterations.
+            fdrop = (prev_f - value) / jnp.maximum(
+                jnp.maximum(jnp.abs(prev_f), jnp.abs(value)), 1.0
+            )
             done = jnp.logical_or(gnorm < tol, step < 1e-12)
+            done = jnp.logical_or(done, fdrop < tol)
             done = jnp.logical_or(done, ~jnp.isfinite(value))
-            return z_new, state, it + 1, done
+            return z_new, state, it + 1, value, done
 
-        z, state, it, _ = lax.while_loop(
-            cond, body, (z_init, state0, 0, jnp.asarray(False))
+        z, state, it, _, _ = lax.while_loop(
+            cond,
+            body,
+            (
+                z_init,
+                state0,
+                0,
+                jnp.asarray(jnp.inf, z_init.dtype),
+                jnp.asarray(False),
+            ),
         )
         x = to_x(z, bp)
         f = obj_raw(x, *f_args)

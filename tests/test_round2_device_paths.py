@@ -1,0 +1,293 @@
+"""Round-2 device-path tests: device-resident rank-1 updates, the
+batched device quad, device random_function, and the device sampler's
+diagnostics/step_out/log_prior features.
+
+Mirrors the reference's self-consistency methodology (SURVEY.md §4):
+rank-1 == reference rank-1 == full refit; quad == reference quad.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import gpyreg_tpu as gpr
+from gpyreg_tpu.inference import device_slice
+
+sys.path.insert(0, "/root/reference")
+import gpyreg as ref  # noqa: E402
+
+
+def _mk(mod, **kw):
+    return mod.GP(
+        D=2,
+        covariance=mod.covariance_functions.SquaredExponential(),
+        mean=mod.mean_functions.ConstantMean(),
+        noise=mod.noise_functions.GaussianNoise(constant_add=True),
+        **kw,
+    )
+
+
+def _data(seed=0, N=40):
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(-3, 3, (N, 2))
+    y = (np.sin(np.sum(X, 1)) + 0.1 * rng.normal(size=N))[:, None]
+    return X, y
+
+
+@pytest.mark.parametrize("sn", [0.1, 1e-4])
+def test_rank1_update_matches_reference(sn):
+    """Device rank-1 (both parametrizations) == reference rank-1 on
+    identical factors (reference gaussian_process.py:737-844)."""
+    X, y = _data(1)
+    hyp = np.array([[0.0, 0.0, 0.0, np.log(sn), 0.5]])
+    gp = _mk(gpr)
+    gp.update(X_new=X, y_new=y, hyp=hyp)
+    rgp = _mk(ref)
+    rgp.X = X.copy()
+    rgp.y = y.copy()
+    rgp.update(hyp=hyp.copy(), compute_posterior=True)
+    assert gp.posteriors[0].L_chol == rgp.posteriors[0].L_chol
+
+    rng = np.random.default_rng(7)
+    for k in range(3):
+        x_new = rng.uniform(-3, 3, (1, 2))
+        y_new = rng.normal(size=(1, 1))
+        gp.update(X_new=x_new, y_new=y_new)
+        rgp.update(X_new=x_new.copy(), y_new=y_new.copy())
+        p, rp = gp.posteriors[0], rgp.posteriors[0]
+        # Relative comparisons: at sn2 ~ 1e-8 the factors/alpha carry
+        # 1/sn2-scale entries and the gap is conditioning-amplified.
+        a_scale = max(1.0, np.max(np.abs(rp.alpha)))
+        L_scale = max(1.0, np.max(np.abs(rp.L)))
+        assert np.max(np.abs(np.asarray(p.alpha) - rp.alpha)) / a_scale < 1e-7
+        assert np.max(np.abs(np.asarray(p.L) - rp.L)) / L_scale < 1e-7
+        assert np.max(np.abs(np.asarray(p.sW) - rp.sW)) < 1e-12
+
+
+def test_rank1_update_stays_on_device():
+    """The updated factors must remain device arrays, padded in place
+    (no host pull; VERDICT round 1, Weak #2)."""
+    X, y = _data(2)
+    gp = _mk(gpr)
+    gp.update(
+        X_new=X, y_new=y, hyp=np.array([[0.0, 0.0, 0.0, np.log(0.1), 0.5]])
+    )
+    p = gp.posteriors[0]
+    Np = p._L.shape[0]
+    assert isinstance(p._L, jax.Array)
+    gp.update(X_new=np.zeros((1, 2)), y_new=np.ones((1, 1)))
+    p = gp.posteriors[0]
+    assert isinstance(p._L, jax.Array) and isinstance(p._alpha, jax.Array)
+    assert p._L.shape[0] == Np  # updated in place within the bucket
+    assert p.n_real == X.shape[0] + 1
+    assert not p._direct
+    # The public ABI still shows true-size factors.
+    assert p.L.shape == (41, 41) and p.alpha.shape == (41, 1)
+
+
+def test_rank1_bucket_overflow_falls_back_to_rebuild():
+    """An update at a full bucket rebuilds (correctness over speed) and
+    predictions stay consistent."""
+    X, y = _data(3, N=63)
+    gp = _mk(gpr)  # bucket 64
+    gp.update(
+        X_new=X, y_new=y, hyp=np.array([[0.0, 0.0, 0.0, np.log(0.1), 0.5]])
+    )
+    xs = np.random.default_rng(5).uniform(-3, 3, (11, 2))
+    for k in range(3):  # crosses N=64 -> bucket grows to 128
+        gp.update(X_new=np.full((1, 2), 0.1 * k), y_new=np.ones((1, 1)))
+    mu1, s21 = gp.predict(xs)
+
+    gp2 = _mk(gpr)
+    gp2.update(
+        X_new=gp.X, y_new=gp.y, hyp=gp.get_hyperparameters(as_array=True)
+    )
+    mu2, s22 = gp2.predict(xs)
+    assert np.allclose(mu1, mu2, atol=1e-8)
+    assert np.allclose(s21, s22, atol=1e-8)
+
+
+def test_quad_matches_reference_heteroskedastic_negquad():
+    """Device quad == reference quad for the PyVBMC model family
+    (negquad mean + user noise), both parametrizations, with variance
+    (reference gaussian_process.py:1818-1981)."""
+    rng = np.random.default_rng(4)
+    X = rng.uniform(-3, 3, (30, 2))
+    # Tiny user noise so the second sample's total sn2 stays below the
+    # 1e-6 parametrization threshold (exercises the inv branch too).
+    s2 = 1e-9 + 1e-9 * rng.random((30, 1))
+    y = (-np.sum(X**2, 1))[:, None]
+
+    def mk(mod):
+        return mod.GP(
+            D=2,
+            covariance=mod.covariance_functions.SquaredExponential(),
+            mean=mod.mean_functions.NegativeQuadratic(),
+            noise=mod.noise_functions.GaussianNoise(
+                constant_add=True, user_provided_add=True
+            ),
+        )
+
+    # Two samples landing in different parametrizations (sn2 1e-2/1e-8).
+    hyp = np.array(
+        [
+            [0.0, 0.2, 0.1, np.log(0.1), 0.5, 0.1, -0.2, 0.0, 0.3],
+            [0.1, -0.1, 0.0, np.log(1e-4), 0.3, 0.0, 0.1, 0.2, -0.1],
+        ]
+    )
+    gp = mk(gpr)
+    gp.update(X_new=X, y_new=y, s2_new=s2, hyp=hyp)
+    rgp = mk(ref)
+    rgp.X = X.copy()
+    rgp.y = y.copy()
+    rgp.s2 = s2.copy()
+    rgp.update(hyp=hyp.copy(), compute_posterior=True)
+    flags = [bool(p.L_chol) for p in gp.posteriors]
+    assert flags == [bool(p.L_chol) for p in rgp.posteriors]
+    assert flags[0] != flags[1]
+
+    mu = np.array([[0.3, -0.2], [1.0, 0.5], [0.0, 0.0]])
+    sig = np.array([[0.5, 0.8], [0.2, 0.2], [1.0, 1.0]])
+    F1, V1 = gp.quad(mu, sig, compute_var=True)
+    F2, V2 = rgp.quad(mu, sig, compute_var=True)
+    assert np.allclose(F1, F2, rtol=1e-10, atol=1e-12)
+    assert np.allclose(V1, V2, rtol=1e-7, atol=1e-13)
+
+    F1s = gp.quad(0.1, 0.4, separate_samples=True)
+    F2s = rgp.quad(0.1, 0.4, separate_samples=True)
+    assert np.allclose(F1s, F2s, rtol=1e-10, atol=1e-12)
+
+
+def test_quad_after_rank1_updates():
+    """quad must consume the rank-1-updated padded factors correctly."""
+    X, y = _data(6, N=24)
+    gp = _mk(gpr)
+    gp.update(
+        X_new=X, y_new=y, hyp=np.array([[0.0, 0.0, 0.0, np.log(0.1), 0.5]])
+    )
+    rng = np.random.default_rng(8)
+    for _ in range(2):
+        gp.update(
+            X_new=rng.uniform(-3, 3, (1, 2)), y_new=rng.normal(size=(1, 1))
+        )
+    F1, V1 = gp.quad(0.0, 0.7, compute_var=True)
+    gp2 = _mk(gpr)
+    gp2.update(
+        X_new=gp.X, y_new=gp.y, hyp=gp.get_hyperparameters(as_array=True)
+    )
+    F2, V2 = gp2.quad(0.0, 0.7, compute_var=True)
+    assert np.allclose(F1, F2, rtol=1e-9)
+    assert np.allclose(V1, V2, rtol=1e-6, atol=1e-12)
+
+
+def test_device_sampler_diagnostics_exit_flags():
+    """Exit-flag semantics (reference slice_sample.py:604-647): a
+    well-mixed Gaussian chain converges (flag 1, R ~ 1); a drifting
+    deterministic-ish target flags non-convergence (< 0)."""
+
+    def log_f(x):
+        return -0.5 * jnp.sum(x**2)
+
+    res, _ = device_slice.sample(
+        log_f,
+        np.zeros(2),
+        jax.random.key(1),
+        widths=2 * np.ones(2),
+        LB=-10 * np.ones(2),
+        UB=10 * np.ones(2),
+        n_samples=300,
+        burn=100,
+    )
+    assert res["exit_flag"] == 1
+    assert res["R"].shape == (2,) and np.all(res["R"] < 1.1)
+    assert res["eff_N"].shape == (2,) and np.all(res["eff_N"] > 30)
+
+    # Tiny widths on a wide target -> crawling chain -> R blows up.
+    res2, _ = device_slice.sample(
+        log_f,
+        np.asarray([5.0, -5.0]),
+        jax.random.key(2),
+        widths=1e-4 * np.ones(2),
+        LB=-10 * np.ones(2),
+        UB=10 * np.ones(2),
+        n_samples=100,
+        burn=0,
+        adaptive=False,
+    )
+    assert res2["exit_flag"] < 0
+
+
+def test_fit_returns_populated_diagnostics():
+    """GP.fit's default (device) sampler path returns the reference
+    sampling_result contract with real diagnostics (VERDICT #2)."""
+    X, y = _data(9, N=30)
+    gp = _mk(gpr)
+    _, _, sres = gp.fit(
+        X=X, y=y, options={"n_samples": 8, "opts_N": 1, "init_N": 32}
+    )
+    # sampling_result holds the PRE-thin chain (reference
+    # gaussian_process.py:1221-1225 contract): n_samples * thin rows.
+    assert sres["samples"].shape[0] == 8 * 5
+    assert sres["exit_flag"] in (1, 0, -1, -2, -3)
+    assert sres["R"] is not None and sres["eff_N"] is not None
+    assert sres["f_vals"].shape[0] == 8 * 5
+
+
+def test_step_out_and_log_prior():
+    """step_out reaches far tails from a too-small width; log_prior is
+    reported separately from f_vals (reference slice_sample.py:408-417,
+    :219-230)."""
+
+    def log_f(x):
+        return -0.5 * jnp.sum(x**2)
+
+    def log_prior(x):
+        return -0.5 * jnp.sum((x - 1.0) ** 2 / 4.0)
+
+    res, _ = device_slice.sample(
+        log_f,
+        np.zeros(1),
+        jax.random.key(3),
+        widths=0.3 * np.ones(1),
+        LB=-20 * np.ones(1),
+        UB=20 * np.ones(1),
+        n_samples=500,
+        burn=100,
+        step_out=True,
+        log_prior=log_prior,
+    )
+    s = res["samples"]
+    # Product of N(0,1) and N(1,4) -> N(0.2, 0.8).
+    assert abs(s.mean() - 0.2) < 0.15
+    assert abs(s.var() - 0.8) < 0.35
+    total = res["f_vals"][:, 0] + res["log_priors"]
+    expect = np.array(
+        [
+            float(log_f(jnp.asarray(x)) + log_prior(jnp.asarray(x)))
+            for x in s
+        ]
+    )
+    assert np.allclose(total, expect, atol=1e-8)
+
+
+def test_random_function_statistics():
+    """Posterior draws have the predictive mean/variance (many-draw
+    moment check; device _random_fns path)."""
+    X, y = _data(11, N=25)
+    gp = _mk(gpr)
+    gp.update(
+        X_new=X, y_new=y, hyp=np.array([[0.0, 0.0, 0.0, np.log(0.3), 0.2]])
+    )
+    xs = np.array([[0.5, -0.5], [2.0, 1.0]])
+    mu, s2 = gp.predict(xs)
+    np.random.seed(123)
+    draws = np.concatenate(
+        [gp.random_function(xs) for _ in range(400)], axis=1
+    )
+    assert np.all(np.abs(draws.mean(1) - mu.ravel()) < 4 * np.sqrt(s2.ravel() / 400) + 0.05)
+    assert np.all(draws.var(1) / s2.ravel() > 0.7)
+    assert np.all(draws.var(1) / s2.ravel() < 1.4)
