@@ -78,6 +78,8 @@ def main():
                     line[f"speedup_{k}"] = round(v / r[k], 2)
                 elif k.endswith("_s"):
                     line[f"speedup_{k[:-2]}"] = round(r[k] / v, 2)
+                elif k.endswith("_s_mean"):
+                    line[f"speedup_{k[:-7]}"] = round(r[k] / v, 2)
         print(json.dumps(line), flush=True)
 
 

@@ -1,18 +1,79 @@
 """Space-filling hyperparameter initialization.
 
-API parity with reference f_min_fill.py.  Design generation (Sobol or
-uniform, warped through prior inverse-CDFs) happens on the host with
-NumPy/SciPy — it is cheap and sequential.  The expensive part, evaluating
-the objective at all N design points (the reference's top hot loop,
-f_min_fill.py:175-176: 1024 sequential NLML evaluations), is delegated to
-a batched evaluator: :class:`~gpyreg_tpu.gp.GP` passes a vectorized
-``f_batch`` that runs chunked vmapped NLML on the TPU.
+API parity with reference f_min_fill.py:11-180.  Two structural
+differences from the reference:
+
+- The expensive part — evaluating the objective at all N design points
+  (the reference's top hot loop, f_min_fill.py:175-176: 1024 sequential
+  NLML evaluations) — is delegated to a batched evaluator: the GP passes
+  a vectorized ``f_batch`` that runs chunked vmapped NLML on the TPU.
+- The prior-CDF warping of the design and the smoothbox distribution
+  functions are fully vectorized over the design points (the reference
+  warps point-by-point through scalar cdf/ppf calls).
 """
 
+import math
 import warnings
 
 import numpy as np
 import scipy as sp
+
+_SQRT_2PI = math.sqrt(2.0 * math.pi)
+
+
+def _student_t_peak(df, sigma):
+    """Density at the center of a Student-t(df, scale=sigma)."""
+    return float(sp.stats.t.pdf(0.0, df, scale=sigma))
+
+
+def _dim_warper(i, LB, UB, PLB, PUB, hprior, n_vars):
+    """Build the quantile->value warp for design dimension ``i``.
+
+    Family selection mirrors reference f_min_fill.py:104-168: uniform
+    priors map through a mixture-of-uniforms inverse CDF concentrating
+    half the mass in the plausible box; smoothbox / Gaussian / Student-t
+    priors map through their (bound-truncated) inverse CDFs, with tails
+    fattened by capping df at 3.
+    """
+    mu = hprior["mu"][i]
+    sigma = hprior["sigma"][i]
+    a, b = hprior["a"][i], hprior["b"][i]
+    lb, ub = LB[i], UB[i]
+
+    if not (np.isfinite(mu) or np.isfinite(sigma)):
+        # No location/scale info: uniform over the box.
+        if np.isfinite(lb) and np.isfinite(ub):
+            if lb == ub:
+                return lambda q: np.full(np.shape(q), lb)
+            w_in = 0.5 ** (1.0 / n_vars)
+            box = (lb, PLB[i], PUB[i], ub)
+            return lambda q: uuinv(q, box, w_in)
+        plb, pub = PLB[i], PUB[i]
+        return lambda q: plb + q * (pub - plb)
+
+    df = hprior["df"][i]
+    df = 3.0 if not np.isfinite(df) else min(df, 3.0)
+
+    if np.isfinite(a) and np.isfinite(b):
+        if df == 0:
+            lo = smoothbox_cdf(lb, sigma, a, b)
+            hi = smoothbox_cdf(ub, sigma, a, b)
+            return lambda q: smoothbox_ppf(
+                lo + (hi - lo) * q, sigma, a, b
+            )
+        lo = smoothbox_student_t_cdf(lb, df, sigma, a, b)
+        hi = smoothbox_student_t_cdf(ub, df, sigma, a, b)
+        return lambda q: smoothbox_student_t_ppf(
+            lo + (hi - lo) * q, df, sigma, a, b
+        )
+
+    if df == 0:
+        lo = sp.stats.norm.cdf((lb - mu) / sigma)
+        hi = sp.stats.norm.cdf((ub - mu) / sigma)
+        return lambda q: mu + sigma * sp.stats.norm.ppf(lo + (hi - lo) * q)
+    lo = sp.stats.t.cdf((lb - mu) / sigma, df)
+    hi = sp.stats.t.cdf((ub - mu) / sigma, df)
+    return lambda q: mu + sigma * sp.stats.t.ppf(lo + (hi - lo) * q, df)
 
 
 def f_min_fill(
@@ -40,14 +101,14 @@ def f_min_fill(
         design = "sobol"
 
     N0 = x0.shape[0]
-    n_vars = np.max(
-        [x0.shape[1], np.size(LB), np.size(UB), np.size(PLB), np.size(PUB)]
+    n_vars = max(
+        x0.shape[1], np.size(LB), np.size(UB), np.size(PLB), np.size(PUB)
     )
 
     # Clip provided points into bounds.
     x0 = np.minimum(np.maximum(x0, LB), UB)
 
-    sX = None
+    X = x0
     if N > N0:
         if design == "sobol":
             sampler = sp.stats.qmc.Sobol(d=n_vars, scramble=False)
@@ -65,69 +126,13 @@ def f_min_fill(
                 + design
                 + ' and expected either "sobol" or "rand"'
             )
-        sX = np.zeros((N - N0, n_vars))
 
-        # Warp each dimension through its prior inverse-CDF
-        # (reference f_min_fill.py:104-168).
-        for i in range(n_vars):
-            mu = hprior["mu"][i]
-            sigma = hprior["sigma"][i]
-            a = hprior["a"][i]
-            b = hprior["b"][i]
-
-            if not np.isfinite(mu) and not np.isfinite(sigma):
-                # Uniform prior.
-                if np.isfinite(LB[i]) and np.isfinite(UB[i]):
-                    if LB[i] == UB[i]:
-                        sX[:, i] = LB[i]
-                    else:
-                        # Mixture of uniforms over full/plausible boxes:
-                        # half the mass inside the plausible box.
-                        w = 0.5 ** (1 / n_vars)
-                        sX[:, i] = uuinv(
-                            S[:, i], [LB[i], PLB[i], PUB[i], UB[i]], w
-                        )
-                else:
-                    sX[:, i] = S[:, i] * (PUB[i] - PLB[i]) + PLB[i]
-            elif np.isfinite(a) and np.isfinite(b):
-                # Smoothbox (student-t) prior; force fat tails df <= 3.
-                df = hprior["df"][i]
-                if not np.isfinite(df):
-                    df = 3
-                df = np.minimum(df, 3)
-                if df == 0:
-                    cdf_lb = smoothbox_cdf(LB[i], sigma, a, b)
-                    cdf_ub = smoothbox_cdf(UB[i], sigma, a, b)
-                    S_scaled = cdf_lb + (cdf_ub - cdf_lb) * S[:, i]
-                    sX[:, i] = [
-                        smoothbox_ppf(q, sigma, a, b) for q in S_scaled
-                    ]
-                else:
-                    tcdf_lb = smoothbox_student_t_cdf(LB[i], df, sigma, a, b)
-                    tcdf_ub = smoothbox_student_t_cdf(UB[i], df, sigma, a, b)
-                    S_scaled = tcdf_lb + (tcdf_ub - tcdf_lb) * S[:, i]
-                    sX[:, i] = [
-                        smoothbox_student_t_ppf(q, df, sigma, a, b)
-                        for q in S_scaled
-                    ]
-            else:
-                # Gaussian / student-t prior; force fat tails df <= 3.
-                df = hprior["df"][i]
-                if not np.isfinite(df):
-                    df = 3
-                df = np.minimum(df, 3)
-                if df == 0:
-                    cdf_lb = sp.stats.norm.cdf((LB[i] - mu) / sigma)
-                    cdf_ub = sp.stats.norm.cdf((UB[i] - mu) / sigma)
-                    S_scaled = cdf_lb + (cdf_ub - cdf_lb) * S[:, i]
-                    sX[:, i] = sp.stats.norm.ppf(S_scaled) * sigma + mu
-                else:
-                    tcdf_lb = sp.stats.t.cdf((LB[i] - mu) / sigma, df)
-                    tcdf_ub = sp.stats.t.cdf((UB[i] - mu) / sigma, df)
-                    S_scaled = tcdf_lb + (tcdf_ub - tcdf_lb) * S[:, i]
-                    sX[:, i] = sp.stats.t.ppf(S_scaled, df) * sigma + mu
-
-    X = x0 if sX is None else np.concatenate([x0, sX])
+        # Warp every dimension's quantile column in one vectorized call.
+        cols = [
+            _dim_warper(i, LB, UB, PLB, PUB, hprior, n_vars)(S[:, i])
+            for i in range(n_vars)
+        ]
+        X = np.concatenate([x0, np.stack(cols, axis=1)])
 
     if f_batch is not None:
         y = np.asarray(f_batch(X), dtype=np.float64).reshape(-1)
@@ -135,107 +140,121 @@ def f_min_fill(
         # sort last instead of aborting the whole design.
         y = np.where(np.isfinite(y), y, np.inf)
     else:
-        y = np.full((N,), np.inf)
-        for i in range(N):
-            y[i] = f(X[i, :])
+        y = np.array([f(X[i, :]) for i in range(N)], dtype=np.float64)
 
     order = np.argsort(y)
     return X[order, :], y[order]
 
 
 def uuinv(p, B, w):
-    """Inverse CDF of a mixture of uniforms.
-
-    ``w * U(B[1], B[2]) + (1-w)/2 * (U(B[0], B[1]) + U(B[2], B[3]))``
-    — reference f_min_fill.py:183-246, including the degenerate
-    delta-mixture case when the outer intervals have zero length.
-    """
-    assert B[0] <= B[1] <= B[2] <= B[3]
+    """Inverse CDF of a mixture of uniforms: mass ``w`` uniform on the
+    inner interval [B[1], B[2]], mass ``1-w`` split over the outer
+    intervals [B[0], B[1]] and [B[2], B[3]] proportionally to their
+    lengths (reference f_min_fill.py:183-246, including the degenerate
+    delta mixture when both outer intervals have zero length)."""
+    b0, b1, b2, b3 = (float(v) for v in B)
+    assert b0 <= b1 <= b2 <= b3
     assert 0 <= w <= 1
     p = np.asarray(p, dtype=np.float64)
-    x = np.zeros(p.shape)
-    L = B[3] - B[0] + B[1] - B[2]
 
     if w == 1:
-        return p * (B[2] - B[1]) + B[1]
+        return b1 + p * (b2 - b1)
 
-    if L == 0:
-        # Outer intervals are points: delta + uniform mixture.
-        i1 = p <= (1 - w) / 2
-        x[i1] = B[0]
-        if w != 0:
-            i2 = (p <= (1 - w) / 2 + w) & ~i1
-            x[i2] = (p[i2] - (1 - w) / 2) * (B[2] - B[1]) / w + B[1]
-        i3 = p > (1 - w) / 2 + w
-        x[i3] = B[3]
-        return x
+    outer = (b1 - b0) + (b3 - b2)
+    if outer == 0:
+        # Point outer intervals: two deltas plus the inner uniform.
+        half = 0.5 * (1 - w)
+        inner = (
+            (p - half) * (b2 - b1) / w + b1 if w != 0 else np.full_like(p, b1)
+        )
+        x = np.select(
+            [p <= half, p <= half + w], [np.full_like(p, b0), inner], b3
+        )
+        return np.where((p < 0) | (p > 1), np.nan, x)
 
-    # Lower outer segment.
-    p1 = (1 - w) * (B[1] - B[0]) / L
-    i1 = p <= p1
-    x[i1] = B[0] + p[i1] * L / (1 - w)
-
-    # Plausible (inner) segment.
-    i2 = (p <= p1 + w) & ~i1
-    if w != 0:
-        x[i2] = (p[i2] - p1) * (B[2] - B[1]) / w + B[1]
-
-    # Upper outer segment.
-    i3 = p > p1 + w
-    x[i3] = (p[i3] - w - p1) * L / (1 - w) + B[2]
-
-    x[p < 0] = np.nan
-    x[p > 1] = np.nan
-    return x
+    # Mass of the lower outer segment; density on outer = (1-w)/outer.
+    m_lo = (1 - w) * (b1 - b0) / outer
+    lower = b0 + p * outer / (1 - w)
+    inner = (p - m_lo) * (b2 - b1) / w + b1 if w != 0 else lower
+    upper = b2 + (p - m_lo - w) * outer / (1 - w)
+    x = np.select([p <= m_lo, p <= m_lo + w], [lower, inner], upper)
+    return np.where((p < 0) | (p > 1), np.nan, x)
 
 
-def smoothbox_cdf(x: float, sigma: float, a: float, b: float):
-    """CDF of the smoothbox distribution: flat on [a, b] with Gaussian
-    flanks of scale sigma (reference f_min_fill.py:249-274)."""
-    # Normalization so the pdf integrates to 1.
-    C = 1.0 + (b - a) / (sigma * np.sqrt(2 * np.pi))
-    if x < a:
-        return sp.stats.norm.cdf(x, loc=a, scale=sigma) / C
-    if x <= b:
-        return (0.5 + (x - a) / (sigma * np.sqrt(2 * np.pi))) / C
-    return (C - 1.0 + sp.stats.norm.cdf(x, loc=b, scale=sigma)) / C
-
-
-def smoothbox_student_t_cdf(
-    x: float, df: float, sigma: float, a: float, b: float
-):
-    """CDF of the smoothbox student-t distribution (t flanks)."""
-    c = sp.special.gamma(0.5 * (df + 1)) / (
-        sp.special.gamma(0.5 * df) * sigma * np.sqrt(df * np.pi)
+def smoothbox_cdf(x, sigma, a, b):
+    """CDF of the smoothbox distribution: a flat plateau on [a, b] glued
+    to two Gaussian half-densities of scale ``sigma`` (reference
+    f_min_fill.py:249-274).  Vectorized in ``x``."""
+    xv = np.asarray(x, dtype=np.float64)
+    # Unnormalized mass: 1 (the two flanks) + plateau area.
+    plateau = (b - a) / (sigma * _SQRT_2PI)
+    Z = 1.0 + plateau
+    cdf = (
+        np.select(
+            [xv < a, xv <= b],
+            [
+                sp.stats.norm.cdf(xv, loc=a, scale=sigma),
+                0.5 + (xv - a) / (sigma * _SQRT_2PI),
+            ],
+            plateau + sp.stats.norm.cdf(xv, loc=b, scale=sigma),
+        )
+        / Z
     )
-    C = 1.0 + (b - a) * c
-    if x < a:
-        return sp.stats.t.cdf(x, df, loc=a, scale=sigma) / C
-    if x <= b:
-        return (0.5 + (x - a) * c) / C
-    return (C - 1.0 + sp.stats.t.cdf(x, df, loc=b, scale=sigma)) / C
+    return cdf if np.ndim(x) else float(cdf)
 
 
-def smoothbox_ppf(q: float, sigma: float, a: float, b: float):
-    """Quantile function of the smoothbox distribution."""
-    C = 1.0 + (b - a) / (sigma * np.sqrt(2 * np.pi))
-    if q < 0.5 / C:
-        return sp.stats.norm.ppf(C * q, loc=a, scale=sigma)
-    if q <= (C - 0.5) / C:
-        return (q * C - 0.5) * sigma * np.sqrt(2 * np.pi) + a
-    return sp.stats.norm.ppf(C * q - (C - 1), loc=b, scale=sigma)
+def smoothbox_ppf(q, sigma, a, b):
+    """Quantile function of the smoothbox distribution; vectorized."""
+    qv = np.asarray(q, dtype=np.float64)
+    plateau = (b - a) / (sigma * _SQRT_2PI)
+    Z = 1.0 + plateau
+    with np.errstate(invalid="ignore"):
+        x = np.select(
+            [qv * Z < 0.5, qv * Z <= 0.5 + plateau],
+            [
+                sp.stats.norm.ppf(qv * Z, loc=a, scale=sigma),
+                a + (qv * Z - 0.5) * (sigma * _SQRT_2PI),
+            ],
+            sp.stats.norm.ppf(qv * Z - plateau, loc=b, scale=sigma),
+        )
+    return x if np.ndim(q) else float(x)
 
 
-def smoothbox_student_t_ppf(
-    q: float, df: float, sigma: float, a: float, b: float
-):
-    """Quantile function of the smoothbox student-t distribution."""
-    c = sp.special.gamma(0.5 * (df + 1)) / (
-        sp.special.gamma(0.5 * df) * sigma * np.sqrt(df * np.pi)
+def smoothbox_student_t_cdf(x, df, sigma, a, b):
+    """CDF of the smoothbox Student-t distribution (t flanks of scale
+    ``sigma`` and ``df`` degrees of freedom); vectorized in ``x``."""
+    xv = np.asarray(x, dtype=np.float64)
+    peak = _student_t_peak(df, sigma)
+    plateau = (b - a) * peak
+    Z = 1.0 + plateau
+    cdf = (
+        np.select(
+            [xv < a, xv <= b],
+            [
+                sp.stats.t.cdf(xv, df, loc=a, scale=sigma),
+                0.5 + (xv - a) * peak,
+            ],
+            plateau + sp.stats.t.cdf(xv, df, loc=b, scale=sigma),
+        )
+        / Z
     )
-    C = 1.0 + (b - a) * c
-    if q < 0.5 / C:
-        return sp.stats.t.ppf(C * q, df, loc=a, scale=sigma)
-    if q <= (C - 0.5) / C:
-        return (q * C - 0.5) / c + a
-    return sp.stats.t.ppf(C * q - (C - 1), df, loc=b, scale=sigma)
+    return cdf if np.ndim(x) else float(cdf)
+
+
+def smoothbox_student_t_ppf(q, df, sigma, a, b):
+    """Quantile function of the smoothbox Student-t distribution;
+    vectorized."""
+    qv = np.asarray(q, dtype=np.float64)
+    peak = _student_t_peak(df, sigma)
+    plateau = (b - a) * peak
+    Z = 1.0 + plateau
+    with np.errstate(invalid="ignore"):
+        x = np.select(
+            [qv * Z < 0.5, qv * Z <= 0.5 + plateau],
+            [
+                sp.stats.t.ppf(qv * Z, df, loc=a, scale=sigma),
+                a + (qv * Z - 0.5) / peak,
+            ],
+            sp.stats.t.ppf(qv * Z - plateau, df, loc=b, scale=sigma),
+        )
+    return x if np.ndim(q) else float(x)

@@ -139,12 +139,12 @@ class Posterior:
 
 
 @lru_cache(maxsize=None)
-def _predict_chunked_fn(spec: ModelSpec, flag: bool, chunk: int):
+def _predict_chunked_fn(spec: ModelSpec, flag: bool, chunk: int, pallas=False):
     """Single-sample prediction over MANY test points with the chunk
     loop on DEVICE (lax.map): one dispatch per posterior sample instead
     of one per (sample, chunk) — the per-call latency of a remote-TPU
     tunnel (~0.1 s) otherwise dominates large-M prediction."""
-    pfns = _predict_fns(spec)
+    pfns = _predict_fns(spec, pallas)
     one = pfns[("chol" if flag else "inv") + "_one_raw"]
 
     def chunked(hyp, alpha, L, sW, X, n_real, xs_padded):
@@ -211,7 +211,7 @@ def _sw_batch(Ls, sn2mins, mults):
 
 
 @lru_cache(maxsize=None)
-def _predict_fns(spec: ModelSpec):
+def _predict_fns(spec: ModelSpec, pallas: bool = False):
     """Jitted vmapped per-sample predictive mean/variance, one function
     per posterior parametrization (reference gaussian_process.py:1727-1767).
 
@@ -222,10 +222,22 @@ def _predict_fns(spec: ModelSpec):
     L's (block-)diagonal padding — makes the padded result exactly equal
     the unpadded one while letting one compiled program serve every true
     N within a bucket.  ``n_real`` is traced (pass N for unpadded data).
+
+    ``pallas`` swaps the cross-covariance build for the fused Pallas
+    tile kernel (ops/pallas_kernels.py: distance matmul + kernel profile
+    in one VMEM-resident pass, ~2x the XLA composition on large builds).
+    Used on the gradient-free serving path only; float32.
     """
 
     def _masked_ks(hyp_cov, X, n_real, xs):
-        Ks = cov_matrix(spec, hyp_cov, X, Z=xs)
+        if pallas:
+            from .ops.pallas_kernels import kernel_matrix_pallas
+
+            Ks = kernel_matrix_pallas(spec.cov, hyp_cov, X, Z=xs).astype(
+                X.dtype
+            )
+        else:
+            Ks = cov_matrix(spec, hyp_cov, X, Z=xs)
         mask = (jnp.arange(X.shape[0]) < n_real).astype(X.dtype)
         return Ks * mask[:, None]
 
@@ -378,13 +390,21 @@ def _quad_fns(spec: ModelSpec):
     """
     D = spec.D
     cov_N, noise_N = spec.cov_N, spec.noise_N
+    iso = spec.cov.endswith("_iso")
 
     def _z_and_mean(hyp, alpha, X, n_real, mu, sigma):
         dtype = X.dtype
         hyp = hyp.astype(dtype)
-        ell = jnp.exp(hyp[:D])
-        ln_sf2 = 2.0 * hyp[D]
-        sum_lnell = jnp.sum(hyp[:D])
+        if iso:
+            # Single shared lengthscale (correct closed form; the
+            # reference's quad silently misreads iso hyps for D > 1).
+            ell = jnp.broadcast_to(jnp.exp(hyp[0]), (D,))
+            ln_sf2 = 2.0 * hyp[1]
+            sum_lnell = D * hyp[0]
+        else:
+            ell = jnp.exp(hyp[:D])
+            ln_sf2 = 2.0 * hyp[D]
+            sum_lnell = jnp.sum(hyp[:D])
         # Gaussian-smoothed SE kernel row integrals (the closed form
         # behind reference :1925-1936).
         tau = jnp.sqrt(sigma**2 + ell[None, :] ** 2)  # (M, D)
@@ -486,6 +506,7 @@ class GP:
         outwarp: object = None,
         fast_predict: bool = False,
         pad_bucket: int = 64,
+        pallas_predict: bool = False,
     ):
         self.D = D
         self.covariance = covariance
@@ -511,6 +532,10 @@ class GP:
         # (core/rank1.py).  Pass None to disable (single-point updates
         # then fall back to a full batched posterior rebuild).
         self.pad_bucket = int(pad_bucket) if pad_bucket else None
+        # pallas_predict fuses the cross-covariance build of the
+        # large-N serving path into one VMEM-resident Pallas kernel
+        # (ops/pallas_kernels.py); float32 only, XLA fallback otherwise.
+        self.pallas_predict = bool(pallas_predict)
         # Device computation dtype.  float64 (default) gives reference
         # parity at 1e-8 rtol; float32 is the TPU fast path (f64 matmul /
         # Cholesky are emulated on TPU).  Host-side state stays float64.
@@ -1592,9 +1617,11 @@ class GP:
         if opts_N > 0:
             optimize_result = opt_results[np.argmin(nll)]
             hyp_start = hyp[np.argmin(nll), :].copy()
+            f_start = float(np.min(nll))
         else:
             optimize_result = None
             hyp_start = hyp[0, :].copy()
+            f_start = None
 
         if s_N == 0:
             hyp_start = np.reshape(hyp_start, (1, -1))
@@ -1616,7 +1643,11 @@ class GP:
         # is borderline non-finite (Cholesky retry exhaustion); the
         # samplers require a finite start.  Fall back to the best finite
         # candidate among the optimized restarts / starting points.
-        if not np.isfinite(self._objective(hyp_start)):
+        # (The optimizer already evaluated hyp_start — reuse its value
+        # instead of paying another device round trip.)
+        if f_start is None:
+            f_start = self._objective(hyp_start)
+        if not np.isfinite(f_start):
             cand = np.asarray(hyp)
             vals = self._objective_batch(cand)
             finite = np.isfinite(vals)
@@ -1829,12 +1860,23 @@ class GP:
             > getattr(self, "_posterior_mem_budget", 8 * 2**30) // 4
         )
 
+        # The fused Pallas cross-covariance applies to the single-sample
+        # serving path (f32, gradient-free); everything else stays XLA.
+        # On non-TPU backends it engages only in interpreter mode (the
+        # wiring test), never compiled.
+        pallas = self.pallas_predict and self.dtype == np.float32
+        if pallas and jax.default_backend() != "tpu":
+            from .ops import pallas_kernels as _pk
+
+            pallas = _pk.INTERPRET
+
         if no_stack:
             if full:
                 # Full covariance never chunks; single dispatch/sample.
+                pfns_one = _predict_fns(spec, pallas)
                 for idx, p in enumerate(self.posteriors):
                     key = ("chol" if p.L_chol else "inv") + "_full_one"
-                    mu_b, v_b = pfns[key](
+                    mu_b, v_b = pfns_one[key](
                         jnp.asarray(p.hyp, dtype=self.dtype),
                         get_one("alpha", idx),
                         get_one("L", idx),
@@ -1859,7 +1901,9 @@ class GP:
                 else xsj
             )
             for idx, p in enumerate(self.posteriors):
-                fn = _predict_chunked_fn(spec, bool(p.L_chol), chunk)
+                fn = _predict_chunked_fn(
+                    spec, bool(p.L_chol), chunk, pallas
+                )
                 mu_b, v_b = fn(
                     jnp.asarray(p.hyp, dtype=self.dtype),
                     get_one("alpha", idx),
@@ -2585,6 +2629,17 @@ class GP:
     # Plotting
     # ------------------------------------------------------------------
 
+    def _plot_line_inputs(self, dim, lo, hi, n, anchor):
+        """Grid along one input dimension with the others held at the
+        anchor point; returns (ticks (n,), points (n, D))."""
+        ticks = np.linspace(lo, hi, n)
+        if self.D == 1:
+            return ticks, ticks[:, None]
+        base = anchor if anchor is not None else np.zeros(self.D)
+        pts = np.broadcast_to(base, (n, self.D)).copy()
+        pts[:, dim] = ticks
+        return ticks, pts
+
     def plot(
         self,
         x0: np.ndarray = None,
@@ -2593,185 +2648,139 @@ class GP:
         delta_y: float = None,
         max_min_flag: bool = True,
     ):
-        """D x D panel plot: 1-D profiles (+/- 1.96 SD) on the diagonal,
-        2-D mean/SD contours off-diagonal (reference
-        gaussian_process.py:1985-2215)."""
+        """D x D panel plot of the GP posterior (visual contract of
+        reference gaussian_process.py:1985-2215, original layout code):
+        the diagonal shows 1-D predictive profiles (mean +/- 1.96 SD)
+        along each dimension through ``x0``; above the diagonal,
+        predictive-mean contours for each input pair; below, predictive
+        SD contours.  ``delta_y`` zooms each axis to the region where
+        the mean stays within ``delta_y`` of its value at ``x0``."""
         import matplotlib.pyplot as plt
 
+        D = self.D
         if lb is not None or ub is not None:
             delta_y = None
 
-        s_N = self.posteriors.size
-        x_N = 100
-
-        ell = np.zeros((self.D, s_N))
-        for s in range(s_N):
-            ell[:, s] = np.exp(self.posteriors[s].hyp[0 : self.D])
-        ellbar = np.sqrt(np.mean(ell**2, 1)).T
-
-        if lb is None:
-            lb = (
-                np.min(self.X, axis=0) - ellbar
-                if self.X is not None
-                else -ellbar
-            )
-        if ub is None:
-            ub = (
-                np.max(self.X, axis=0) + ellbar
-                if self.X is not None
-                else ellbar
-            )
-
-        gutter = [0.05, 0.05]
-        margins = [0.1, 0.01, 0.12, 0.01]
-        linewidth = 1
+        # Default plot ranges: data box widened by the RMS-averaged
+        # posterior lengthscale per dimension.
+        ell2 = np.stack(
+            [np.exp(2.0 * p.hyp[:D]) for p in self.posteriors], axis=0
+        )
+        reach = np.sqrt(np.mean(ell2, axis=0))
+        if self.X is not None:
+            lo = np.min(self.X, axis=0) - reach
+            hi = np.max(self.X, axis=0) + reach
+        else:
+            lo, hi = -reach, reach
+        if lb is not None:
+            lo = np.asarray(lb, dtype=np.float64).copy()
+        if ub is not None:
+            hi = np.asarray(ub, dtype=np.float64).copy()
 
         if x0 is None and self.X is not None and self.y is not None:
-            i = np.argmax(self.y) if max_min_flag else np.argmin(self.y)
-            x0 = self.X[i, :]
+            pick = np.argmax if max_min_flag else np.argmin
+            x0 = self.X[pick(self.y.ravel())]
 
-        _, ax = plt.subplots(self.D, self.D, squeeze=False)
+        fig, axes = plt.subplots(
+            D,
+            D,
+            squeeze=False,
+            gridspec_kw={"wspace": 0.28, "hspace": 0.28},
+        )
+        n_line = 1000
+        n_grid = 100
 
-        for i in range(self.D):
-            ax[i, i].set_position(
-                _tight_subplot(self.D, self.D, i, i, gutter, margins)
-            )
-            nx = int(np.ceil(x_N**1.5))
-            xx_vec = np.reshape(np.linspace(lb[i], ub[i], nx), (-1, 1))
-            if self.D > 1:
-                base = x0 if x0 is not None else np.zeros((self.D,))
-                xx = np.tile(base, (np.size(xx_vec), 1))
-                xx[:, i : i + 1] = xx_vec
-            else:
-                xx = xx_vec
-
-            fmu, fs2 = self.predict(xx, add_noise=False)
-            flo = fmu - 1.96 * np.sqrt(fs2)
-            fhi = fmu + 1.96 * np.sqrt(fs2)
-
-            if delta_y is not None:
-                fmu0, _ = self.predict(
-                    np.reshape(x0, (1, -1)), add_noise=False
+        # Diagonal: 1-D profiles (with optional delta_y auto-zoom).
+        for i in range(D):
+            ax = axes[i][i]
+            ticks, pts = self._plot_line_inputs(i, lo[i], hi[i], n_line, x0)
+            fmu, fs2 = self.predict(pts, add_noise=False)
+            if delta_y is not None and x0 is not None:
+                mu0, _ = self.predict(np.atleast_2d(x0), add_noise=False)
+                near = np.abs(fmu.ravel() - mu0.ravel()[0]) < delta_y
+                step = ticks[1] - ticks[0]
+                if near.any():
+                    sel = np.nonzero(near)[0]
+                    lo[i] = ticks[sel[0]] - 0.5 * step
+                    hi[i] = ticks[sel[-1]] + 0.5 * step
+                else:
+                    lo[i] = x0[i] - 0.5 * step
+                    hi[i] = x0[i] + 0.5 * step
+                ticks, pts = self._plot_line_inputs(
+                    i, lo[i], hi[i], n_line, x0
                 )
-                dx = float(xx_vec[1, 0] - xx_vec[0, 0])
-                region = np.abs(fmu - fmu0) < delta_y
-                if np.any(region):
-                    idx1 = np.argmax(region)
-                    idx2 = np.size(region) - np.argmax(region[::-1]) - 1
-                    lb[i] = float(xx_vec[idx1, 0]) - 0.5 * dx
-                    ub[i] = float(xx_vec[idx2, 0]) + 0.5 * dx
-                else:
-                    lb[i] = float(x0[i]) - 0.5 * dx
-                    ub[i] = float(x0[i]) + 0.5 * dx
-
-                xx_vec = np.reshape(np.linspace(lb[i], ub[i], nx), (-1, 1))
-                if self.D > 1:
-                    xx = np.tile(x0, (np.size(xx_vec), 1))
-                    xx[:, i : i + 1] = xx_vec
-                else:
-                    xx = xx_vec
-                fmu, fs2 = self.predict(xx, add_noise=False)
-                flo = fmu - 1.96 * np.sqrt(fs2)
-                fhi = fmu + 1.96 * np.sqrt(fs2)
-
-            ax[i, i].plot(xx_vec, fmu, "-k", linewidth=linewidth)
-            ax[i, i].plot(
-                xx_vec, fhi, "-", color=(0.8, 0.8, 0.8), linewidth=linewidth
-            )
-            ax[i, i].plot(
-                xx_vec, flo, "-", color=(0.8, 0.8, 0.8), linewidth=linewidth
-            )
-            ax[i, i].set_xlim(lb[i], ub[i])
-            ax[i, i].set_ylim(ax[i, i].get_ylim())
-            ax[i, i].spines["top"].set_visible(False)
-            ax[i, i].spines["right"].set_visible(False)
-
-            if self.D == 1:
-                ax[i, i].set_xlabel("x")
-                ax[i, i].set_ylabel("y")
-                if self.X is not None and self.y is not None:
-                    ax[i, i].scatter(self.X, self.y, color="blue")
-            else:
-                if i == 0:
-                    ax[i, i].set_ylabel(r"$x_" + str(i + 1) + r"$")
-                if i == self.D - 1:
-                    ax[i, i].set_xlabel(r"$x_" + str(i + 1) + r"$")
+                fmu, fs2 = self.predict(pts, add_noise=False)
+            band = 1.96 * np.sqrt(fs2.ravel())
+            ax.plot(ticks, fmu.ravel(), color="k", linewidth=1)
+            for sign in (-1.0, 1.0):
+                ax.plot(
+                    ticks,
+                    fmu.ravel() + sign * band,
+                    color=(0.8, 0.8, 0.8),
+                    linewidth=1,
+                )
+            ax.set_xlim(lo[i], hi[i])
+            ax.spines["top"].set_visible(False)
+            ax.spines["right"].set_visible(False)
             if x0 is not None:
-                ax[i, i].vlines(
-                    x0[i],
-                    ax[i, i].get_ylim()[0],
-                    ax[i, i].get_ylim()[1],
-                    colors="k",
-                    linewidth=linewidth,
-                )
+                ax.axvline(x0[i], color="k", linewidth=1)
+            if D == 1:
+                ax.set_xlabel("x")
+                ax.set_ylabel("y")
+                if self.X is not None and self.y is not None:
+                    ax.scatter(self.X, self.y, color="blue")
 
-        for i in range(self.D):
+        # Off-diagonal pairs: mean contours above, SD contours below.
+        for i in range(D):
             for j in range(i):
-                xx1_vec = np.reshape(
-                    np.linspace(lb[i], ub[i], x_N), (-1, 1)
-                ).T
-                xx2_vec = np.reshape(
-                    np.linspace(lb[j], ub[j], x_N), (-1, 1)
-                ).T
-                xx_vec = np.array(
-                    np.meshgrid(xx1_vec, xx2_vec)
-                ).T.reshape(-1, 2)
+                gx = np.linspace(lo[j], hi[j], n_grid)
+                gy = np.linspace(lo[i], hi[i], n_grid)
+                GX, GY = np.meshgrid(gx, gy)
+                base = x0 if x0 is not None else np.zeros(D)
+                pts = np.broadcast_to(base, (n_grid * n_grid, D)).copy()
+                pts[:, j] = GX.ravel()
+                pts[:, i] = GY.ravel()
+                fmu, fs2 = self.predict(pts, add_noise=False)
 
-                base = x0 if x0 is not None else np.zeros((self.D,))
-                xx = np.tile(base, (x_N**2, 1))
-                xx[:, i] = xx_vec[:, 0]
-                xx[:, j] = xx_vec[:, 1]
-
-                fmu, fs2 = self.predict(xx, add_noise=False)
-
-                for k in range(2):
-                    if k == 1:
-                        i1, i2 = j, i
-                        mat = np.reshape(fmu, (x_N, x_N)).T
+                panels = (
+                    (axes[i][j], np.sqrt(fs2)),  # lower: SD
+                    (axes[j][i], fmu),  # upper: mean
+                )
+                for k, (ax, field) in enumerate(panels):
+                    Z = field.reshape(n_grid, n_grid)
+                    if k == 0:
+                        ax.contour(GX, GY, Z)
+                        xlim, ylim = (lo[j], hi[j]), (lo[i], hi[i])
+                        sx, sy, cx, cy = j, i, None, None
+                        if x0 is not None:
+                            cx, cy = x0[j], x0[i]
                     else:
-                        i1, i2 = 1, j
-                        mat = np.reshape(np.sqrt(fs2), (x_N, x_N))
-                    ax[i1, i2].set_position(
-                        _tight_subplot(
-                            self.D, self.D, i1, i2, gutter, margins
-                        )
-                    )
-                    ax[i1, i2].spines["top"].set_visible(False)
-                    ax[i1, i2].spines["right"].set_visible(False)
-
-                    if k == 1:
-                        Xt, Yt = np.meshgrid(xx1_vec, xx2_vec)
-                    else:
-                        Xt, Yt = np.meshgrid(xx2_vec, xx1_vec)
-                    ax[i1, i2].contour(Xt, Yt, mat)
-                    ax[i1, i2].set_xlim(lb[i2], ub[i2])
-                    ax[i1, i2].set_ylim(lb[i1], ub[i1])
+                        ax.contour(GY.T, GX.T, Z.T)
+                        xlim, ylim = (lo[i], hi[i]), (lo[j], hi[j])
+                        sx, sy = i, j
+                        cx = cy = None
+                        if x0 is not None:
+                            cx, cy = x0[i], x0[j]
+                    ax.set_xlim(*xlim)
+                    ax.set_ylim(*ylim)
+                    ax.spines["top"].set_visible(False)
+                    ax.spines["right"].set_visible(False)
                     if self.X is not None:
-                        ax[i1, i2].scatter(
-                            self.X[:, i2], self.X[:, i1], color="blue", s=10
+                        ax.scatter(
+                            self.X[:, sx], self.X[:, sy], color="blue", s=10
                         )
-                    if x0 is not None:
-                        ax[i1, i2].hlines(
-                            x0[i1],
-                            ax[i1, i2].get_xlim()[0],
-                            ax[i1, i2].get_xlim()[1],
-                            colors="k",
-                            linewidth=linewidth,
-                        )
-                        ax[i1, i2].vlines(
-                            x0[i2],
-                            ax[i1, i2].get_ylim()[0],
-                            ax[i1, i2].get_ylim()[1],
-                            colors="k",
-                            linewidth=linewidth,
-                        )
+                    if cx is not None:
+                        ax.axvline(cx, color="k", linewidth=1)
+                        ax.axhline(cy, color="k", linewidth=1)
 
-                if j == 0:
-                    ax[i, j].set_ylabel(r"$x_" + str(i + 1) + r"$")
-                if i == self.D - 1:
-                    ax[i, j].set_xlabel(r"$x_" + str(j + 1) + r"$")
+        # Edge labels.
+        if D > 1:
+            for i in range(D):
+                axes[i][0].set_ylabel(rf"$x_{i + 1}$")
+                axes[D - 1][i].set_xlabel(rf"$x_{i + 1}$")
 
         plt.show()
+        return fig
 
     # ------------------------------------------------------------------
     # Shapes
@@ -2783,57 +2792,42 @@ class GP:
         y: Union[np.ndarray, None],
         s2: Union[np.ndarray, float, int, None],
     ):
-        """Normalize input data to (N, D) / (N, 1) shapes."""
+        """Normalize user inputs to the canonical (N, D) / (N, 1)
+        layouts (reference gaussian_process.py:2523-2565 semantics: a
+        1-D X is a single point, y/s2 columns follow X's row count, a
+        scalar s2 broadcasts)."""
         if X is None and y is None and s2 is None:
-            return X, y, s2
+            return None, None, None
 
-        if X is not None:
-            X = np.asarray(X)
-            if X.ndim == 1:
-                X = X[None, :]
-            if X.ndim != 2:
-                raise AssertionError("X need to be an array of shape (N, D)")
-            N, D = X.shape
-            if D != self.D:
-                raise AssertionError(
-                    f"The dimension of input data {D}"
-                    f"doesn't match GP's input dimension {self.D}."
-                )
-        else:
-            try:
-                N, D = self.X.shape
-            except AttributeError:
+        if X is None:
+            # Row count comes from the stored data.
+            if not hasattr(self.X, "shape"):
                 raise AttributeError(
-                    "self.X is not a numpy array, " f"self.X = {self.X}"
+                    f"self.X is not a numpy array, self.X = {self.X}"
+                )
+            N = self.X.shape[0]
+        else:
+            X = np.atleast_2d(np.asarray(X))
+            if X.ndim > 2:
+                raise AssertionError("X need to be an array of shape (N, D)")
+            N = X.shape[0]
+            if X.shape[1] != self.D:
+                raise AssertionError(
+                    f"The dimension of input data {X.shape[1]}"
+                    f"doesn't match GP's input dimension {self.D}."
                 )
 
         if y is not None:
             y = np.asarray(y).reshape(N, 1)
+
         if isinstance(s2, (float, int)):
-            s2 = s2 * np.ones((N, 1))
+            s2 = np.full((N, 1), float(s2))
         elif isinstance(s2, np.ndarray):
             s2 = s2.reshape(N, 1)
-        elif s2 is None:
-            s2 = None
-        else:
+        elif s2 is not None:
             raise TypeError(
                 "s2 type need to be Union[np.ndarray, float, int, None]."
             )
         return X, y, s2
 
 
-def _tight_subplot(m, n, row, col, gutter=None, margins=None):
-    """Subplot position rectangle for the plot panel grid."""
-    if gutter is None:
-        gutter = [0.002, 0.002]
-    if margins is None:
-        margins = [0.06, 0.01, 0.04, 0.04]
-    Lmargin, Rmargin, Bmargin, Tmargin = margins
-
-    unit_height = (1 - Bmargin - Tmargin - (m - 1) * gutter[1]) / m
-    height = np.size(row) * unit_height + (np.size(row) - 1) * gutter[1]
-    unit_width = (1 - Lmargin - Rmargin - (n - 1) * gutter[0]) / n
-    width = np.size(col) * unit_width + (np.size(col) - 1) * gutter[0]
-    bottom = (m - np.max(row) - 1) * (unit_height + gutter[1]) + Bmargin
-    left = np.min(col) * (unit_width + gutter[0]) + Lmargin
-    return [left, bottom, width, height]

@@ -13,12 +13,13 @@ Lin et al. 2024, arXiv:2405.18457) mapped to TPU: each panel is one
 both on the systolic array.
 
 Provided: CG solves against (K + sn2 I), posterior weights (alpha),
-and predictive mean/variance.  The marginal-likelihood value itself
-(log-determinant estimation) stays on the Cholesky path — fit at
-Cholesky-feasible N, then serve predictions at any N here.
+predictive mean/variance, and — completing the BBMM training story —
+a stochastic-Lanczos-quadrature log-determinant plus a Hutchinson
+trace-estimator NLML gradient (``cg_nlml``), so FITTING also works past
+the Cholesky N limit (Gardner et al. 2018 §2.2; Ubaru/Chen/Saad 2017).
 """
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 
@@ -176,6 +177,259 @@ def _pad_rows(X, row_chunk):
         ),
         N,
     )
+
+
+def lanczos_tridiag(matvec, Z, n_steps: int):
+    """Batched Lanczos tridiagonalization with full reorthogonalization.
+
+    ``Z``: (N, P) starting block (each column an independent probe).
+    Runs ``n_steps`` three-term recurrences per probe — one batched
+    matvec per step — and returns the tridiagonal coefficients
+    (alphas (steps, P), betas (steps-1, P)).  Full reorthogonalization
+    against the stored basis keeps the Ritz values usable in float32.
+    """
+    N, P = Z.shape
+    norms = jnp.sqrt(jnp.sum(Z * Z, axis=0))
+    Q0 = Z / norms[None, :]
+    basis = jnp.zeros((n_steps, N, P), dtype=Z.dtype)
+    basis = basis.at[0].set(Q0)
+
+    def body(carry, j):
+        basis, q_prev, q, beta_prev = carry
+        w = matvec(q)
+        alpha = jnp.sum(q * w, axis=0)
+        w = w - alpha[None, :] * q - beta_prev[None, :] * q_prev
+        # Reorthogonalize against every stored vector (two passes of
+        # classical Gram-Schmidt are overkill; one suffices with f32
+        # probes at the accuracies SLQ needs).
+        coeffs = jnp.einsum("knp,np->kp", basis, w)
+        w = w - jnp.einsum("knp,kp->np", basis, coeffs)
+        beta = jnp.sqrt(jnp.maximum(jnp.sum(w * w, axis=0), 0.0))
+        safe = jnp.where(beta > 0, beta, 1.0)
+        q_next = jnp.where(beta[None, :] > 0, w / safe[None, :], 0.0)
+        # The final iteration's write lands on the last row after its
+        # only use — harmless; rows not yet written are zero, so the
+        # reorthogonalization above ignores them.
+        basis = basis.at[jnp.minimum(j + 1, n_steps - 1)].set(q_next)
+        return (basis, q, q_next, beta), (alpha, beta)
+
+    (_, _, _, _), (alphas, betas) = lax.scan(
+        body,
+        (basis, jnp.zeros_like(Q0), Q0, jnp.zeros(P, dtype=Z.dtype)),
+        jnp.arange(n_steps),
+    )
+    return alphas, betas[:-1]
+
+
+def slq_logdet(matvec, N: int, key, dtype, n_probes: int = 8,
+               n_lanczos: int = 32):
+    """log det(A) by stochastic Lanczos quadrature.
+
+    ``matvec`` applies the SPD operator A to an (N, P) block.  Rademacher
+    probes; each probe's Gauss quadrature uses the eigen-decomposition of
+    its Lanczos tridiagonal: logdet ~= (N/P) sum_i sum_k tau_ik^2
+    log(theta_ik) with tau the first eigenvector components.
+    """
+    Z = jax.random.rademacher(key, (N, n_probes), dtype=dtype)
+    alphas, betas = lanczos_tridiag(matvec, Z, n_lanczos)
+
+    def one(al, be):
+        T = (
+            jnp.diag(al)
+            + jnp.diag(be, 1)
+            + jnp.diag(be, -1)
+        )
+        theta, V = jnp.linalg.eigh(T)
+        tau2 = V[0, :] ** 2
+        theta = jnp.maximum(theta, jnp.finfo(dtype).tiny)
+        return jnp.sum(tau2 * jnp.log(theta))
+
+    quads = jax.vmap(one, in_axes=(1, 1))(alphas, betas)
+    return (N / n_probes) * jnp.sum(quads)
+
+
+def cg_nlml(
+    spec: ModelSpec,
+    hyp,
+    X,
+    y,
+    s2=None,
+    key=None,
+    compute_grad: bool = False,
+    tol: float = 1e-5,
+    row_chunk: int = 1024,
+    max_iter: int = 500,
+    n_probes: int = 8,
+    n_lanczos: int = 32,
+):
+    """Estimated negative log marginal likelihood (and gradient) with a
+    never-materialized kernel matrix — the BBMM training objective:
+
+    - quadratic term 0.5 r^T alpha with alpha from matrix-free CG;
+    - 0.5 logdet by stochastic Lanczos quadrature (``slq_logdet``);
+    - gradient from the exact identity dnlZ = 0.5 tr((A^{-1} - aa^T) dA)
+      - dm^T a, with tr(A^{-1} dA) replaced by the Hutchinson estimator
+      (1/P) sum_i u_i^T dA z_i, u_i = A^{-1} z_i from the same CG batch.
+      The directional kernel derivatives come from autodiff of a
+      stop-gradient surrogate, never from materialized dK.
+
+    Fixed ``key`` => deterministic objective (common random numbers), so
+    a quasi-Newton optimizer can run on it.  Host-facing; returns float
+    (and a numpy gradient).  Accuracy: ~0.1% relative on the logdet at
+    the defaults (see tests/test_iterative.py).
+    """
+    if key is None:
+        key = jax.random.key(0)
+    dtype = jnp.asarray(X).dtype
+    fn = _cg_nlml_fn(spec, bool(compute_grad), int(row_chunk),
+                     int(max_iter), int(n_probes), int(n_lanczos),
+                     s2 is not None)
+    args = [jnp.asarray(hyp), jnp.asarray(X), jnp.asarray(y, dtype=dtype),
+            key, jnp.asarray(tol, dtype=dtype)]
+    if s2 is not None:
+        args.append(jnp.asarray(s2, dtype=dtype))
+    out = fn(*args)
+    if compute_grad:
+        return float(out[0]), np.asarray(out[1])
+    return float(out)
+
+
+@partial(jax.jit, static_argnames=("spec", "compute_grad", "row_chunk",
+                                   "max_iter", "n_probes", "n_lanczos",
+                                   "has_s2"))
+def _cg_nlml_impl(spec, compute_grad, row_chunk, max_iter, n_probes,
+                  n_lanczos, has_s2, hyp, X, y, key, tol, s2=None):
+    N = X.shape[0]
+    dtype = X.dtype
+    hyp = jnp.asarray(hyp).astype(dtype)
+
+    def parts(h):
+        hyp_cov, hyp_noise, hyp_mean = spec.split_hyp(h)
+        sn2 = noise_variance(spec, hyp_noise, y, s2, dtype)
+        sn2_vec = jnp.broadcast_to(jnp.reshape(sn2, (-1,)), (N,))
+        m = mean_value(spec, hyp_mean, X)[:, None]
+        return hyp_cov, sn2_vec, m
+
+    hyp_cov, sn2_vec, m = parts(hyp)
+    r = y - m
+    mv = lambda V: _panel_matvec(spec, hyp_cov, X, V, sn2_vec, row_chunk)
+
+    # Shared CG batch: [r | probes]; u = A^{-1} z reused by the gradient.
+    Z = jax.random.rademacher(key, (N, n_probes), dtype=dtype)
+    B = jnp.concatenate([r, Z], axis=1)
+    sol, _, _ = _cg(mv, B, tol, max_iter)
+    alpha, U = sol[:, :1], sol[:, 1:]
+
+    logdet = slq_logdet(mv, N, key, dtype, n_probes, n_lanczos)
+    nlml = (
+        0.5 * jnp.sum(r * alpha)
+        + 0.5 * logdet
+        + 0.5 * N * jnp.log(2.0 * jnp.pi)
+    )
+    if not compute_grad:
+        return nlml
+
+    # Surrogate whose autodiff gradient equals the estimator:
+    #   psi(h) = r(h)^T sg(alpha) - 0.5 sg(alpha)^T A(h) sg(alpha)
+    #   phi(h) = 0.5/P sum_i sg(u_i)^T A(h) sg(z_i)
+    alpha_c = lax.stop_gradient(alpha)
+    U_c = lax.stop_gradient(U)
+    Z_c = lax.stop_gradient(Z)
+
+    def surrogate(h):
+        hyp_cov_h, sn2_h, m_h = parts(h)
+        mv_h = lambda V: _panel_matvec(
+            spec, hyp_cov_h, X, V, sn2_h, row_chunk
+        )
+        r_h = y - m_h
+        A_cols = mv_h(jnp.concatenate([alpha_c, Z_c], axis=1))
+        A_alpha, A_Z = A_cols[:, :1], A_cols[:, 1:]
+        psi = jnp.sum(r_h * alpha_c) - 0.5 * jnp.sum(alpha_c * A_alpha)
+        phi = 0.5 / n_probes * jnp.sum(U_c * A_Z)
+        return psi + phi
+
+    grad = jax.grad(surrogate)(hyp)
+    return nlml, grad
+
+
+@lru_cache(maxsize=None)
+def _cg_nlml_fn(spec, compute_grad, row_chunk, max_iter, n_probes,
+                n_lanczos, has_s2):
+    def run(hyp, X, y, key, tol, *rest):
+        s2 = rest[0] if rest else None
+        return _cg_nlml_impl(spec, compute_grad, row_chunk, max_iter,
+                             n_probes, n_lanczos, has_s2, hyp, X, y, key,
+                             tol, s2)
+
+    return run
+
+
+def fit_cg(
+    spec: ModelSpec,
+    X,
+    y,
+    s2=None,
+    hyp0=None,
+    LB=None,
+    UB=None,
+    key=None,
+    tol: float = 1e-4,
+    cg_tol: float = 1e-5,
+    row_chunk: int = 1024,
+    max_iter: int = 500,
+    n_probes: int = 8,
+    n_lanczos: int = 32,
+    max_opt_iter: int = 100,
+):
+    """MAP hyperparameter fit past the Cholesky N limit.
+
+    Bounded L-BFGS-B over the stochastic BBMM objective (``cg_nlml``)
+    with common random numbers (one fixed probe ``key``), so the
+    optimizer sees a smooth deterministic surface.  Per iteration: one
+    device program = batched CG solve [r | probes] + SLQ logdet +
+    Hutchinson gradient; the kernel matrix is never materialized, so
+    N is bounded by O(row_chunk * N) workspace, not O(N^2).
+
+    Returns (hyp (h,), scipy OptimizeResult).
+    """
+    import scipy.optimize as spo
+
+    if key is None:
+        key = jax.random.key(0)
+    if hyp0 is None:
+        raise ValueError("fit_cg requires an initial hyperparameter vector")
+    hyp0 = np.asarray(hyp0, dtype=np.float64).ravel()
+
+    def fg(h):
+        return cg_nlml(
+            spec,
+            h,
+            X,
+            y,
+            s2,
+            key=key,
+            compute_grad=True,
+            tol=cg_tol,
+            row_chunk=row_chunk,
+            max_iter=max_iter,
+            n_probes=n_probes,
+            n_lanczos=n_lanczos,
+        )
+
+    bounds = None
+    if LB is not None or UB is not None:
+        LB = np.full_like(hyp0, -np.inf) if LB is None else np.asarray(LB)
+        UB = np.full_like(hyp0, np.inf) if UB is None else np.asarray(UB)
+        bounds = list(zip(LB, UB))
+    res = spo.minimize(
+        fg,
+        hyp0,
+        jac=True,
+        bounds=bounds,
+        tol=tol,
+        options={"maxiter": max_opt_iter},
+    )
+    return res.x, res
 
 
 @partial(

@@ -29,6 +29,11 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_N = 256
 TILE_M = 256
 
+# Module-level interpret-mode override: set True to run the kernels
+# through the Pallas interpreter (CPU testing of the wiring); callers
+# passing interpret=None inherit this.
+INTERPRET = False
+
 
 def _profile(base, t2, sf2, alpha):
     """Kernel value from squared distance t2 (already lengthscale
@@ -73,13 +78,19 @@ def _make_kernel(base):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("base", "interpret"))
-def kernel_cross_pallas(base, Xs, Zs, sf2, alpha=1.0, interpret=False):
+def kernel_cross_pallas(base, Xs, Zs, sf2, alpha=1.0, interpret=None):
     """K(Xs, Zs) for pre-scaled inputs (X/ell, Z/ell), float32.
 
     Pads N/M up to tile multiples; the D axis rides along untiled
     (D << 128 in this workload).
     """
+    if interpret is None:
+        interpret = INTERPRET
+    return _kernel_cross_pallas(base, Xs, Zs, sf2, alpha, bool(interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("base", "interpret"))
+def _kernel_cross_pallas(base, Xs, Zs, sf2, alpha, interpret):
     N, D = Xs.shape
     M = Zs.shape[0]
     Np = -(-N // TILE_N) * TILE_N
@@ -120,7 +131,7 @@ def kernel_cross_pallas(base, Xs, Zs, sf2, alpha=1.0, interpret=False):
     return out[:N, :M]
 
 
-def kernel_matrix_pallas(cov, hyp_cov, X, Z=None, interpret=False):
+def kernel_matrix_pallas(cov, hyp_cov, X, Z=None, interpret=None):
     """Pallas analog of ops.kernels.kernel_matrix (full matrices only;
     float32; no autodiff — see module docstring)."""
     iso = cov.endswith("_iso")

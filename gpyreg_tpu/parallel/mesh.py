@@ -115,6 +115,96 @@ def sharded_predict(spec: ModelSpec, mesh: Mesh, hyp, alpha, L_upper, sW, X, xs)
     )
 
 
+@lru_cache(maxsize=None)
+def _sharded_cg_fn(
+    spec: ModelSpec, mesh: Mesh, max_iter: int, has_s2: bool = False
+):
+    """Jitted training-row-sharded CG posterior solve (SURVEY §2.3 DP
+    row: shard N of K over the mesh for very large N).
+
+    Each device owns a row shard of the never-materialized kernel
+    matvec: it builds K[rows_d, :] against the full X and contracts with
+    the full V.  The only per-iteration collective is one all_gather of
+    the search direction (riding ICI); the CG dot products reduce across
+    shards automatically under jit.
+    """
+    from ..core.model import cov_matrix, mean_value, noise_variance
+    from ..ops.iterative import _cg
+
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    def _mv_local(X_rows, X_full, V_rows, sn2_rows, hyp_cov):
+        V_full = jax.lax.all_gather(V_rows, "batch", axis=0, tiled=True)
+        Kp = cov_matrix(spec, hyp_cov, X_rows, Z=X_full)
+        out = jnp.matmul(Kp, V_full, precision=jax.lax.Precision.HIGHEST)
+        return out + sn2_rows[:, None] * V_rows
+
+    mv_sharded = shard_map(
+        _mv_local,
+        mesh=mesh,
+        in_specs=(
+            P("batch", None),
+            P(None, None),
+            P("batch", None),
+            P("batch"),
+            P(None),
+        ),
+        out_specs=P("batch", None),
+    )
+
+    def _solve(hyp, X, y, tol, s2):
+        hyp = jnp.asarray(hyp).astype(X.dtype)
+        hyp_cov, hyp_noise, hyp_mean = spec.split_hyp(hyp)
+        N = X.shape[0]
+        sn2 = noise_variance(spec, hyp_noise, y, s2, X.dtype)
+        sn2_vec = jnp.broadcast_to(jnp.reshape(sn2, (-1,)), (N,))
+        r = y - mean_value(spec, hyp_mean, X)[:, None]
+        mv = lambda V: mv_sharded(X, X, V, sn2_vec, hyp_cov)
+        return _cg(mv, r, tol, max_iter)
+
+    x_sharding = NamedSharding(mesh, P("batch", None))
+    repl = NamedSharding(mesh, P())
+    if has_s2:
+        return jax.jit(
+            _solve,
+            in_shardings=(repl, x_sharding, x_sharding, repl, x_sharding),
+        )
+    run = lambda hyp, X, y, tol: _solve(hyp, X, y, tol, None)
+    return jax.jit(
+        run, in_shardings=(repl, x_sharding, x_sharding, repl)
+    )
+
+
+def sharded_cg_weights(
+    spec: ModelSpec,
+    mesh: Mesh,
+    hyp,
+    X,
+    y,
+    s2=None,
+    tol: float = 1e-6,
+    max_iter: int = 500,
+):
+    """alpha = (K + sn2 I)^{-1} (y - m) with the training rows sharded
+    over the mesh (matrix-free; see _sharded_cg_fn).  ``X.shape[0]``
+    must be divisible by the mesh size.  Returns
+    (alpha (N, 1), per-column relative residual, iterations).
+    """
+    fn = _sharded_cg_fn(spec, mesh, int(max_iter), s2 is not None)
+    args = [
+        jnp.asarray(hyp),
+        jnp.asarray(X),
+        jnp.asarray(y),
+        jnp.asarray(float(tol)),
+    ]
+    if s2 is not None:
+        args.append(jnp.asarray(s2))
+    return fn(*args)
+
+
 def sharded_sample_chains(
     spec: ModelSpec,
     mesh: Mesh,

@@ -1,15 +1,14 @@
-"""Coordinate-wise slice sampling with bounds and adaptive widths.
+"""Host coordinate-wise slice sampler with bounds, adaptive widths and
+convergence diagnostics.
 
-API parity with reference slice_sample.py (SliceSampler class, options,
-result dict, exit flags, Gelman-Rubin / effective-N diagnostics).
-
-This host-driven implementation mirrors the reference algorithm exactly
-(single chain, NumPy global RNG, data-dependent shrink loops) and works
-with arbitrary Python log-density callables.  When used from ``GP.fit``
-the log density is a jitted device function, so each evaluation is one
-device call on the O(N^3) NLML — the Python loop overhead is amortized
-for all but tiny problems.  A fully-jitted vmapped multi-chain sampler
-for the TPU hot path lives in gpyreg_tpu/inference/device_slice.py.
+Behavioral parity with the reference sampler (reference
+slice_sample.py:119-836: same constructor/options surface, result dict,
+exit flags, burn-in width-adaptation rules and diagnostics thresholds),
+implemented independently around a per-coordinate kernel.  This is the
+``sampler_backend='host'`` path of ``GP.fit``, driving arbitrary Python
+log densities through the NumPy global RNG; the TPU hot path is the
+fully-jitted sampler in gpyreg_tpu/inference/device_slice.py, which
+shares the diagnostics helpers below.
 """
 
 import logging
@@ -17,25 +16,30 @@ import math
 
 import numpy as np
 
+_TRACE_FMT = " %7.0f     %8.0f    %12.6g    %26s"
+
 
 class SliceSampler:
-    """Coordinate-wise slice sampler (see reference slice_sample.py:9-117
-    for the full interface contract and literature references).
+    """Coordinate-wise slice sampler (interface contract of reference
+    slice_sample.py:9-117; see Neal 2003 for the algorithm).
 
     Parameters
     ----------
     log_f : callable
-        Log density of the target (up to a constant).  May return a
-        scalar or a vector of per-datapoint log densities (summed).
+        Log target density (up to a constant); may return per-datapoint
+        values, which are summed.
     x0 : ndarray, shape (D,)
         Starting point, inside the domain.
     widths : scalar or ndarray, optional
         Typical slice widths per dimension; adapted during burn-in.
     LB, UB : scalar or ndarray, optional
-        Domain bounds; LB[i] == UB[i] fixes dimension i.
+        Domain bounds; LB[i] == UB[i] pins dimension i.
     options : dict, optional
         step_out (False), display ('full'), log_prior (None),
-        adaptive (True), diagnostics (True), metropolis_pdf/rnd (None).
+        adaptive (True), diagnostics (True), metropolis_pdf /
+        metropolis_rnd (None; both spellings 'metopolis_rnd' and
+        'metropolis_rnd' are accepted — the former is the reference's
+        option key, slice_sample.py:214).
     """
 
     def __init__(
@@ -47,60 +51,49 @@ class SliceSampler:
         UB=None,
         options: dict = None,
     ):
-        D = x0.size
-        self.log_f = log_f
-        self.x0 = x0.copy()
-
-        if LB is None:
-            self.LB = np.tile(-np.inf, D)
-        elif np.size(LB) == 1:
-            self.LB = np.tile(LB, D)
-        else:
-            self.LB = LB.copy()
-        self.LB_out = np.nextafter(self.LB, -np.inf)
-
-        if UB is None:
-            self.UB = np.tile(np.inf, D)
-        elif np.size(UB) == 1:
-            self.UB = np.tile(UB, D)
-        else:
-            self.UB = UB.copy()
-        self.UB_out = np.nextafter(self.UB, np.inf)
-
-        if widths is None:
-            self.widths = ((self.UB - self.LB) / 2).copy()
-            self.base_widths = None
-        else:
-            if np.size(widths) == 1:
-                self.widths = np.tile(widths, D).astype(np.float64)
-            else:
-                self.widths = np.asarray(widths, dtype=np.float64).copy()
-            self.base_widths = self.widths.copy()
-
-        self.widths[np.isinf(self.widths)] = 10
-        # Width is irrelevant for fixed dimensions; avoid zeros.
-        self.widths[self.LB == self.UB] = 1
-
-        if np.ndim(self.x0) > 1:
+        x0 = np.asarray(x0, dtype=np.float64)
+        if x0.ndim > 1:
             raise ValueError(
                 "The initial point x0 needs to be a scalar or a 1D array"
             )
-        if np.shape(self.LB) != np.shape(self.x0) or np.shape(
-            self.UB
-        ) != np.shape(self.x0):
+        self.x0 = x0.ravel().copy()
+        D = self.x0.size
+        self.log_f = log_f
+
+        def as_bound(v, fill):
+            if v is None:
+                return np.full(D, fill, dtype=np.float64)
+            v = np.asarray(v, dtype=np.float64)
+            return np.full(D, float(v)) if v.size == 1 else v.copy()
+
+        self.LB = as_bound(LB, -np.inf)
+        self.UB = as_bound(UB, np.inf)
+        if self.LB.shape != self.x0.shape or self.UB.shape != self.x0.shape:
             raise ValueError(
                 "LB and UB need to be None, scalars, or 1D arrays of "
                 "the same size as X0."
             )
-        if not np.all(self.UB >= self.LB):
+        if np.any(self.UB < self.LB):
             raise ValueError(
                 "All upper bounds UB need to be equal or greater than "
                 "lower bounds LB."
             )
-        if (
-            np.any(self.widths <= 0)
-            or np.any(~np.isfinite(self.widths))
-            or np.any(~np.isreal(self.widths))
+        # One ulp outside the closed box: bracket endpoints may sit here
+        # so boundary values remain proposable.
+        self.LB_out = np.nextafter(self.LB, -np.inf)
+        self.UB_out = np.nextafter(self.UB, np.inf)
+
+        if widths is None:
+            self.base_widths = None
+            self.widths = (self.UB - self.LB) / 2
+        else:
+            self.widths = as_bound(widths, np.nan)
+            self.base_widths = self.widths.copy()
+        self.widths = np.where(np.isinf(self.widths), 10.0, self.widths)
+        self.widths = np.where(self.LB == self.UB, 1.0, self.widths)
+
+        if not (
+            np.all(np.isfinite(self.widths)) and np.all(self.widths > 0)
         ):
             raise ValueError(
                 "The widths vector needs to be all positive real numbers."
@@ -110,43 +103,162 @@ class SliceSampler:
                 "The initial starting point X0 is outside the bounds."
             )
 
-        self.func_count = 0
-
-        if options is None:
-            options = {}
-        self.step_out = options.get("step_out", False)
-        self.display = options.get("display", "full")
-        self.adaptive = options.get("adaptive", True)
-        self.log_prior = options.get("log_prior", None)
-        self.diagnostics = options.get("diagnostics", True)
-        self.metropolis_pdf = options.get("metropolis_pdf", None)
-        self.metropolis_rnd = options.get("metopolis_rnd", None)
-        self.metropolis_flag = (
-            self.metropolis_pdf is not None and self.metropolis_rnd is not None
+        opts = options or {}
+        self.step_out = opts.get("step_out", False)
+        self.display = opts.get("display", "full")
+        self.adaptive = opts.get("adaptive", True)
+        self.log_prior = opts.get("log_prior", None)
+        self.diagnostics = opts.get("diagnostics", True)
+        self.metropolis_pdf = opts.get("metropolis_pdf", None)
+        self.metropolis_rnd = opts.get(
+            "metropolis_rnd", opts.get("metopolis_rnd", None)
         )
 
+        self.func_count = 0
         self.logger = logging.getLogger("SliceSampler")
-        if len(self.logger.handlers) == 0:
+        if not self.logger.handlers:
             self.logger.addHandler(logging.StreamHandler())
-        if self.display == "off":
-            self.logger.setLevel(logging.WARN)
-        elif self.display == "summary":
-            self.logger.setLevel(logging.INFO)
-        else:
-            self.logger.setLevel(logging.DEBUG)
+        level = {"off": logging.WARNING, "summary": logging.INFO}.get(
+            self.display, logging.DEBUG
+        )
+        self.logger.setLevel(level)
+
+    # ------------------------------------------------------------------
+    # Density evaluation
+    # ------------------------------------------------------------------
+
+    def _density(self, x):
+        """(log_Px, f_val, log_prior) at x, with the bound mask, prior
+        screening and NaN -> -inf handling of reference
+        slice_sample.py:649-683."""
+        if np.any(x < self.LB) or np.any(x > self.UB):
+            return -np.inf, None, None
+
+        lp = 0
+        if self.log_prior is not None:
+            lp = self.log_prior(x)
+            if np.isnan(lp):
+                self.logger.warning(
+                    "Prior density function returned NaN. "
+                    "Trying to continue."
+                )
+                return -np.inf, None, lp
+            if not np.isfinite(lp):
+                return -np.inf, None, lp
+
+        f_val = np.asarray(self.log_f(x))
+        self.func_count += 1
+        if np.any(np.isnan(f_val)):
+            self.logger.warning(
+                "Target density function returned NaN. Trying to continue."
+            )
+            return -np.inf, f_val, lp
+        return np.sum(f_val) + lp, f_val, lp
+
+    # ------------------------------------------------------------------
+    # Per-coordinate slice kernel
+    # ------------------------------------------------------------------
+
+    def _sample_coordinate(self, dd, xx, log_Px):
+        """Slice-sample coordinate ``dd`` of ``xx`` in place.
+
+        Returns (log_Px, f_val, log_prior, n_shrink)."""
+        width = self.widths[dd]
+        here = xx[dd]
+
+        # Slice level, then a randomly positioned bracket of one width,
+        # clipped to just outside the bounds.
+        log_level = log_Px + np.log(np.random.rand())
+        offset = np.random.rand()
+        left = max(here - offset * width, self.LB_out[dd])
+        right = min(here + (1 - offset) * width, self.UB_out[dd])
+
+        probe = xx  # evaluated in place through self._density
+
+        if self.step_out:
+            steps = 0
+            for edge, sign in ((left, -1.0), (right, 1.0)):
+                while True:
+                    probe[dd] = edge
+                    if self._density(probe)[0] <= log_level:
+                        break
+                    edge += sign * width
+                    steps += 1
+                if sign < 0:
+                    left = edge
+                else:
+                    right = edge
+            if steps >= 10:
+                self.logger.debug(
+                    _TRACE_FMT,
+                    0,
+                    self.func_count,
+                    log_Px,
+                    f"step-out dim {dd} ({steps} steps)",
+                )
+
+        # Shrinkage: propose uniformly in the bracket, pulling in the
+        # rejected side, until a point clears the level.
+        n_shrink = 0
+        while True:
+            n_shrink += 1
+            proposal = left + np.random.rand() * (right - left)
+            probe[dd] = proposal
+            log_Px, f_val, lp = self._density(probe)
+            if log_Px > log_level:
+                break
+            if proposal > here:
+                right = proposal
+            elif proposal < here:
+                left = proposal
+            else:
+                self.logger.warning(
+                    "WARNING: Shrunk to current position and still "
+                    " not acceptable!"
+                )
+                break
+        # probe is xx: the accepted proposal is already written back.
+        return log_Px, f_val, lp, n_shrink
+
+    def _adapt_width(self, dd, n_shrink):
+        """In-burn-in width tuning (reference slice_sample.py:461-478):
+        shrink-heavy coordinates tighten by 1.1x, shrink-free ones widen
+        by 1.2x, within [spacing, UB - LB]."""
+        span = self.UB[dd] - self.LB[dd]
+        if n_shrink > 3:
+            floor = np.spacing(span) if np.isfinite(span) else np.spacing(1)
+            self.widths[dd] = max(self.widths[dd] / 1.1, abs(floor))
+        elif n_shrink < 2:
+            self.widths[dd] = min(self.widths[dd] * 1.2, span)
+
+    def _metropolis_step(self, xx, log_Px, f_val, lp):
+        """Independence-Metropolis move from the user proposal
+        (reference slice_sample.py:685-699)."""
+        candidate = self.metropolis_rnd()
+        cand_logp, cand_f, cand_lp = self._density(candidate)
+        ratio = np.exp(cand_logp - log_Px) * (
+            self.metropolis_pdf(xx) / self.metropolis_pdf(candidate)
+        )
+        if np.random.rand() < ratio:
+            return candidate, cand_logp, cand_f, cand_lp
+        return xx, log_Px, f_val, lp
+
+    # ------------------------------------------------------------------
+    # Main loop
+    # ------------------------------------------------------------------
 
     def sample(self, N: int, thin: int = 1, burn: int = None):
-        """Draw N samples (after optional burn-in and thinning).
+        """Draw N (thinned) samples, after ``burn`` burn-in sweeps.
 
         Returns the reference's result dict: samples, f_vals, exit_flag,
         log_priors, R, eff_N (reference slice_sample.py:232-602).
+        Repeated calls continue the chain (burn defaults to 0 then).
         """
-        xx = self.x0  # updated in place across repeated calls
+        xx = self.x0
         D = xx.size
-
+        fresh = self.func_count == 0
         if burn is None:
-            burn = 0 if self.func_count > 0 else round(N / 3)
-
+            burn = round(N / 3) if fresh else 0
         if not np.isscalar(thin) or thin <= 0:
             raise ValueError(
                 "The thinning factor option needs to be a positive integer."
@@ -156,223 +268,124 @@ class SliceSampler:
                 "The burn-in samples option needs to be a non-negative "
                 "integer."
             )
-        if (
-            burn == 0
-            and self.base_widths is None
-            and self.adaptive
-            and self.func_count == 0
-        ):
+        if burn == 0 and fresh and self.adaptive and self.base_widths is None:
             self.logger.warning(
                 "WIDTHS not specified and adaptation is ON, but burn-in is "
                 "set to 0. Attempting to use default values for WIDTHS."
             )
 
-        eff_N = N + (N - 1) * (thin - 1)
-
-        samples = np.zeros((N, D))
-        xx_sum = np.zeros((D,))
-        xx_sq_sum = np.zeros((D,))
-
-        log_Px, f_val, log_prior = self._log_pdf_bound(xx)
-        log_priors = np.zeros((N,))
-        f_vals = np.zeros((N, np.size(f_val)))
-
-        if np.any(~np.isfinite(log_Px)):
+        log_Px, f_val, lp = self._density(xx)
+        if not np.isfinite(log_Px):
             raise ValueError(
                 "The initial starting point X0 needs to evaluate to a "
                 "real number (not Inf or NaN)."
             )
 
-        xx_shape = xx.shape
-        xx = xx.ravel()
-        logdist = lambda x: self._log_pdf_bound(np.reshape(x, xx_shape))
+        n_sweeps = burn + N + (N - 1) * (thin - 1)
+        samples = np.zeros((N, D))
+        f_vals = np.zeros((N, np.size(f_val)))
+        log_priors = np.zeros(N)
+        burn_window = []  # second half of burn-in, for the 5*std rule
+        use_metropolis = (
+            self.metropolis_pdf is not None
+            and self.metropolis_rnd is not None
+        )
 
         self.logger.debug(
             " Iteration     f-count       log p(x)                   Action"
         )
-        fmt = " %7.0f     %8.0f    %12.6g    %26s"
-
-        perm = np.arange(D)
-        for i in range(eff_N + burn):
-            if i == burn:
+        order = np.arange(D)
+        free = self.LB != self.UB
+        for sweep in range(n_sweeps):
+            adapting = self.adaptive and sweep < burn
+            if sweep == burn:
                 self.logger.debug(
-                    fmt, i - burn + 1, self.func_count, log_Px,
+                    _TRACE_FMT,
+                    1,
+                    self.func_count,
+                    log_Px,
                     "start recording",
                 )
 
-            if self.metropolis_flag:
-                xx, log_Px, f_val, log_prior = self._metropolis_step(
-                    xx, logdist, log_Px, f_val, log_prior
+            if use_metropolis:
+                xx, log_Px, f_val, lp = self._metropolis_step(
+                    xx, log_Px, f_val, lp
                 )
 
-            # One slice-sampling sweep over a random axis order.
-            x_l = xx.copy()
-            x_r = xx.copy()
-            xprime = xx.copy()
-            np.random.shuffle(perm)
-
-            for dd in perm:
-                if self.LB[dd] == self.UB[dd]:
-                    continue  # fixed dimension
-
-                # Slice level and initial bracket around xx[dd].
-                log_uprime = log_Px + np.log(np.random.rand())
-                rr = np.random.rand()
-                x_l[dd] -= rr * self.widths[dd]
-                x_r[dd] += (1 - rr) * self.widths[dd]
-                x_l[dd] = np.fmax(x_l[dd], self.LB_out[dd])
-                x_r[dd] = np.fmin(x_r[dd], self.UB_out[dd])
-
-                if self.step_out:
-                    steps = 0
-                    while logdist(x_l)[0] > log_uprime:
-                        x_l[dd] -= self.widths[dd]
-                        steps += 1
-                    while logdist(x_r)[0] > log_uprime:
-                        x_r[dd] += self.widths[dd]
-                        steps += 1
-                    if steps >= 10:
-                        self.logger.debug(
-                            fmt, i - burn + 1, self.func_count, log_Px,
-                            f"step-out dim {dd} ({steps} steps)",
-                        )
-
-                # Shrinkage loop: propose until inside the slice.
-                shrink = 0
-                while True:
-                    shrink += 1
-                    xprime[dd] = (
-                        np.random.rand() * (x_r[dd] - x_l[dd]) + x_l[dd]
-                    )
-                    log_Px, f_val, log_prior = logdist(xprime)
-                    if log_Px > log_uprime:
-                        break
-                    if xprime[dd] > xx[dd]:
-                        x_r[dd] = xprime[dd]
-                    elif xprime[dd] < xx[dd]:
-                        x_l[dd] = xprime[dd]
-                    else:
-                        self.logger.warning(
-                            "WARNING: Shrunk to current position and still "
-                            " not acceptable!"
-                        )
-                        break
-
-                # Adapt widths during burn-in (may break detailed balance,
-                # hence burn-in only).
-                if i < burn and self.adaptive:
-                    delta = self.UB[dd] - self.LB[dd]
-                    if shrink > 3:
-                        if np.isfinite(delta):
-                            self.widths[dd] = np.maximum(
-                                self.widths[dd] / 1.1,
-                                np.abs(np.spacing(delta)),
-                            )
-                        else:
-                            self.widths[dd] = np.maximum(
-                                self.widths[dd] / 1.1, np.spacing(1)
-                            )
-                    elif shrink < 2:
-                        self.widths[dd] = np.minimum(
-                            self.widths[dd] * 1.2, delta
-                        )
-
-                if shrink >= 10:
+            np.random.shuffle(order)
+            for dd in order:
+                if not free[dd]:
+                    continue
+                log_Px, f_val, lp, n_shrink = self._sample_coordinate(
+                    dd, xx, log_Px
+                )
+                if adapting:
+                    self._adapt_width(dd, n_shrink)
+                if n_shrink >= 10:
                     self.logger.debug(
-                        fmt, i - burn + 1, self.func_count, log_Px,
-                        f"shrink dim {dd} ({shrink} steps)",
+                        _TRACE_FMT,
+                        sweep - burn + 1,
+                        self.func_count,
+                        log_Px,
+                        f"shrink dim {dd} ({n_shrink} steps)",
                     )
 
-                xx[dd] = xprime[dd]
-
-            if self.metropolis_flag:
-                xx, log_Px, f_val, log_prior = self._metropolis_step(
-                    xx, logdist, log_Px, f_val, log_prior
+            if use_metropolis:
+                xx, log_Px, f_val, lp = self._metropolis_step(
+                    xx, log_Px, f_val, lp
                 )
 
-            # Record (post burn-in, thinned).
-            record = i >= burn and np.mod(i - burn, thin) == 0
-            if record:
-                i_smpl = (i - burn) // thin
-                samples[i_smpl, :] = xx
-                f_vals[i_smpl, :] = f_val
-                log_priors[i_smpl] = log_prior
-
-            # Accumulate moments over the second half of burn-in for the
-            # end-of-burn-in width adaptation (reference :513-543).
-            if burn / 2 <= i < burn:
-                xx_sum += xx
-                xx_sq_sum += xx**2
-
-                if i == burn - 1 and self.adaptive:
-                    burn_stored = np.floor(burn / 2)
-                    new_widths = np.fmin(
-                        5
-                        * np.sqrt(
-                            np.maximum(
-                                xx_sq_sum / burn_stored
-                                - (xx_sum / burn_stored) ** 2,
-                                0,
-                            )
-                        ),
+            # End-of-burn-in width re-estimate from the posterior spread
+            # (reference slice_sample.py:513-543).
+            if sweep >= burn / 2 and sweep < burn:
+                burn_window.append(xx.copy())
+                if sweep == burn - 1 and self.adaptive:
+                    trail = np.stack(burn_window)
+                    spread = np.fmin(
+                        5.0 * trail.std(axis=0),
                         self.UB_out - self.LB_out,
                     )
-                    if not np.all(np.isreal(new_widths)):
-                        new_widths = self.widths
-                    if self.base_widths is None:
-                        self.widths = new_widths
-                    else:
-                        # Bias towards keeping larger user-supplied widths.
-                        self.widths = np.maximum(
-                            new_widths,
-                            np.sqrt(new_widths * self.base_widths),
+                    if self.base_widths is not None:
+                        spread = np.fmax(
+                            spread, np.sqrt(spread * self.base_widths)
                         )
+                    self.widths = np.where(
+                        np.isfinite(spread) & (spread > 0),
+                        spread,
+                        self.widths,
+                    )
 
-            if i < burn:
-                action = "burn"
-            elif not record:
-                action = "thin"
-            else:
-                action = "record"
+            past_burn = sweep - burn
+            recorded = past_burn >= 0 and past_burn % thin == 0
+            if recorded:
+                k = past_burn // thin
+                samples[k] = xx
+                f_vals[k] = f_val
+                log_priors[k] = lp
+            action = (
+                "burn" if past_burn < 0 else "record" if recorded else "thin"
+            )
             self.logger.debug(
-                fmt, i - burn + 1, self.func_count, log_Px, action
+                _TRACE_FMT, past_burn + 1, self.func_count, log_Px, action
             )
 
-        if thin > 1:
-            thin_msg = "   and keeping 1 sample every " + str(thin) + ", "
-        else:
-            thin_msg = "   "
-        thin_msg += "for a total of %d function evaluations."
+        self.x0 = xx  # chain state for continuation calls
         self.logger.info("\nSampling terminated: ")
         self.logger.info(
             " * %d samples obtained after a burn-in period of %d samples",
             N,
             burn,
         )
-        self.logger.info(thin_msg, self.func_count)
+        tail = "for a total of %d function evaluations."
+        if thin > 1:
+            tail = f"   and keeping 1 sample every {thin}, " + tail
+        else:
+            tail = "   " + tail
+        self.logger.info(tail, self.func_count)
 
-        R = eff_N_est = None
-        exit_flag = 0
+        exit_flag, R, eff = 0, None, None
         if self.diagnostics:
-            exit_flag, R, eff_N_est = self._diagnose(samples)
-            diag_msg = ""
-            if exit_flag in (-2, -3):
-                diag_msg = (
-                    " * Try sampling for longer, by increasing N "
-                    " or the thinning factor"
-                )
-            elif exit_flag == -1:
-                diag_msg = (
-                    " * Try increasing thinning factor to obtain "
-                    "more uncorrelated samples"
-                )
-            elif exit_flag == 0:
-                diag_msg = (
-                    " * No violations of convergence have been "
-                    "detected (this does NOT guarantee convergence)"
-                )
-            if diag_msg != "":
-                self.logger.info(diag_msg)
+            exit_flag, R, eff = self._diagnose(samples)
 
         return {
             "samples": samples,
@@ -380,160 +393,121 @@ class SliceSampler:
             "f_vals": f_vals,
             "log_priors": log_priors,
             "R": R,
-            "eff_N": eff_N_est,
+            "eff_N": eff,
         }
 
     def _diagnose(self, samples: np.ndarray):
-        """Split-chain R-hat and effective-N diagnosis with the
-        reference's thresholds and exit flags (slice_sample.py:604-647)."""
+        """Split-chain R-hat and effective-N with the reference's
+        thresholds and exit flags (slice_sample.py:604-647)."""
         N = samples.shape[0]
         half = math.floor(N / 2)
-        split = np.array([samples[0:half, :], samples[half : 2 * half]])
+        split = np.stack([samples[:half], samples[half : 2 * half]])
         R = gelman_rubin(split)
-        eff_N = effective_n(split)
+        eff = effective_n(split)
 
-        diag_msg = None
         exit_flag = 0
         if np.any(R > 1.5):
-            diag_msg = (
-                " * Detected lack of convergence! (max R = %.2f >> 1"
-                ", mean R = %.2f)" % (np.max(R), np.mean(R))
-            )
             exit_flag = -3
-        elif np.any(R > 1.1):
-            diag_msg = (
-                " * Detected probable lack of convergence! (max R = %.2f"
-                " > 1, mean R = %.2f)" % (np.max(R), np.mean(R))
+            self.logger.info(
+                " * Detected lack of convergence! (max R = %.2f >> 1, "
+                "mean R = %.2f)",
+                np.max(R),
+                np.mean(R),
             )
+        elif np.any(R > 1.1):
             exit_flag = -2
-
-        if np.any(eff_N < N / 10.0):
-            diag_msg = (
-                " * Low number of effective samples! (min eff_N = %.1f"
-                ", mean eff_N = %.1f, requested N = %d)"
-                % (np.min(eff_N), np.mean(eff_N), N)
+            self.logger.info(
+                " * Detected probable lack of convergence! "
+                "(max R = %.2f > 1, mean R = %.2f)",
+                np.max(R),
+                np.mean(R),
+            )
+        if np.any(eff < N / 10.0):
+            self.logger.info(
+                " * Low number of effective samples! (min eff_N = %.1f, "
+                "mean eff_N = %.1f, requested N = %d)",
+                np.min(eff),
+                np.mean(eff),
+                N,
             )
             if exit_flag == 0:
                 exit_flag = -1
-
-        if diag_msg is None and exit_flag == 0:
+        if exit_flag == 0:
             exit_flag = 1
-        if diag_msg is not None:
-            self.logger.info(diag_msg)
-
-        return exit_flag, R, eff_N
-
-    def _log_pdf_bound(self, x):
-        """Evaluate the log pdf with bound masking and optional prior;
-        NaN target values map to -inf with a warning."""
-        y = f_val = log_prior = None
-
-        if np.any(x < self.LB) or np.any(x > self.UB):
-            y = -np.inf
-        else:
-            if self.log_prior is not None:
-                log_prior = self.log_prior(x)
-                if np.isnan(log_prior):
-                    y = -np.inf
-                    self.logger.warning(
-                        "Prior density function returned NaN. "
-                        "Trying to continue."
-                    )
-                    return y, f_val, log_prior
-                if not np.isfinite(log_prior):
-                    y = -np.inf
-                    return y, f_val, log_prior
-            else:
-                log_prior = 0
-
-            f_val = np.asarray(self.log_f(x))
-            self.func_count += 1
-
-            if np.any(np.isnan(f_val)):
-                self.logger.warning(
-                    "Target density function returned NaN. "
-                    "Trying to continue."
-                )
-                y = -np.inf
-            else:
-                y = np.sum(f_val) + log_prior
-
-        return y, f_val, log_prior
-
-    def _metropolis_step(self, x, log_f, log_Px, f_val, log_prior):
-        """Independence-Metropolis step from a user-provided proposal."""
-        xx_new = self.metropolis_rnd()
-        log_Px_new, f_val_new, log_prior_new = log_f(xx_new)
-        a = np.exp(log_Px_new - log_Px) * (
-            self.metropolis_pdf(x) / self.metropolis_pdf(xx_new)
-        )
-        if np.random.rand() < a:
-            return xx_new, log_Px_new, f_val_new, log_prior_new
-        return x, log_Px, f_val, log_prior
+            self.logger.info(
+                " * No violations of convergence have been detected "
+                "(this does NOT guarantee convergence)"
+            )
+        if exit_flag in (-2, -3):
+            self.logger.info(
+                " * Try sampling for longer, by increasing N  or the "
+                "thinning factor"
+            )
+        elif exit_flag == -1:
+            self.logger.info(
+                " * Try increasing thinning factor to obtain more "
+                "uncorrelated samples"
+            )
+        return exit_flag, R, eff
 
 
-def gelman_rubin(x, return_var=False):
-    """Potential scale reduction factor R-hat across chains.
+# ----------------------------------------------------------------------
+# Convergence diagnostics (shared with the device sampler)
+# ----------------------------------------------------------------------
 
-    ``x`` has shape (m, n) for one parameter or (m, n, k); mirrors
-    reference slice_sample.py:701-773.
+
+def gelman_rubin(chains, return_var=False):
+    """Potential scale reduction factor.
+
+    ``chains`` is (m, n) for one parameter or (m, n, k) for k parameters
+    (vectorized over the trailing axis; semantics of reference
+    slice_sample.py:701-773).  With ``return_var`` returns the pooled
+    posterior-variance estimate instead of R-hat.
     """
-    if np.shape(x) < (2,):
+    chains = np.asarray(chains, dtype=np.float64)
+    if chains.ndim < 2 or chains.shape[0] < 2:
         raise ValueError(
             "Gelman-Rubin diagnostic requires multiple chains of the "
             "same length."
         )
-    try:
-        m, n = np.shape(x)
-    except ValueError:
-        return np.array(
-            [gelman_rubin(np.transpose(y)) for y in np.transpose(x)]
-        )
-
-    # Between-chain and within-chain variances.
-    B_over_n = np.sum((np.mean(x, 1) - np.mean(x)) ** 2) / (m - 1)
-    W = np.sum(
-        [(x[i] - xbar) ** 2 for i, xbar in enumerate(np.mean(x, 1))]
-    ) / (m * (n - 1))
-
+    m, n = chains.shape[:2]
+    chain_means = chains.mean(axis=1)  # (m, ...)
+    B_over_n = chain_means.var(axis=0, ddof=1)  # between-chain
+    W = chains.var(axis=1, ddof=1).mean(axis=0)  # within-chain
     s2 = W * (n - 1) / n + B_over_n
     if return_var:
         return s2
     return np.sqrt(s2 / W)
 
 
-def effective_n(x):
-    """Effective sample size from the variogram autocorrelation estimate
-    (reference slice_sample.py:775-836)."""
-    if np.shape(x) < (2,):
+def effective_n(chains):
+    """Effective sample size from the initial-positive-sequence
+    variogram autocorrelation estimate (semantics of reference
+    slice_sample.py:775-836), vectorized per parameter."""
+    chains = np.asarray(chains, dtype=np.float64)
+    if chains.ndim < 2 or chains.shape[0] < 2:
         raise ValueError(
             "Calculation of effective sample size requires multiple "
             "chains of the same length."
         )
-    try:
-        m, n = np.shape(x)
-    except ValueError:
+    if chains.ndim == 3:
         return np.array(
-            [effective_n(np.transpose(y)) for y in np.transpose(x)]
+            [effective_n(chains[:, :, k]) for k in range(chains.shape[2])]
         )
 
-    s2 = gelman_rubin(x, return_var=True)
-
-    negative_autocorr = False
-    t = 1
-    variogram = lambda t: (
-        sum(
-            sum((x[j][i] - x[j][i - t]) ** 2 for i in range(t, n))
-            for j in range(m)
-        )
-        / (m * (n - t))
-    )
+    m, n = chains.shape
+    s2 = gelman_rubin(chains, return_var=True)
+    # Vectorized variogram per lag; truncate the autocorrelation sum at
+    # the first odd lag whose consecutive pair turns negative (Geyer
+    # initial-positive-sequence rule, as in the reference: the negative
+    # pair itself is excluded from the sum).
     rho = np.ones(n)
-    # Sum autocorrelations until consecutive estimates turn negative.
-    while not negative_autocorr and (t < n):
-        rho[t] = 1.0 - variogram(t) / (2.0 * s2)
-        if t % 2:
-            negative_autocorr = sum(rho[t - 1 : t + 1]) < 0
-        t += 1
-
-    return m * n / (-1 + 2 * rho[0 : t - 2].sum())
+    stop = n
+    for t in range(1, n):
+        diffs = chains[:, t:] - chains[:, :-t]
+        gamma_t = np.sum(diffs**2) / (m * (n - t))
+        rho[t] = 1.0 - gamma_t / (2.0 * s2)
+        if t % 2 == 1 and rho[t - 1] + rho[t] < 0:
+            stop = t + 1
+            break
+    return m * n / (-1 + 2 * rho[: stop - 2].sum())

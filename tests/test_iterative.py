@@ -228,3 +228,76 @@ def test_preconditioned_matches_cholesky_gp():
     )
     assert np.max(np.abs(mu - mu_ref)) < 1e-6
     assert np.max(np.abs(var - s2_ref)) < 1e-6
+
+
+def test_slq_nlml_and_grad_match_exact():
+    """cg_nlml (SLQ logdet + Hutchinson gradient) tracks the exact
+    Cholesky NLML within stochastic-estimator tolerance."""
+    import jax
+
+    from gpyreg_tpu.core.nlml import nlz
+    from gpyreg_tpu.ops.iterative import cg_nlml
+
+    rng = np.random.default_rng(0)
+    N, D = 512, 4
+    X = rng.normal(size=(N, D))
+    y = np.sum(np.sin(X), 1, keepdims=True) + 0.1 * rng.normal(size=(N, 1))
+    spec = ModelSpec(
+        D=D, cov="se", mean="const",
+        noise_constant=True, noise_user=0, noise_rectified=False,
+    )
+    hyp = np.concatenate([0.2 * rng.normal(size=D), [0.1], [-1.2], [0.1]])
+
+    exact = float(nlz(spec, jnp.asarray(hyp), jnp.asarray(X),
+                      jnp.asarray(y), None))
+    est, grad = cg_nlml(
+        spec, hyp, X, y, key=jax.random.key(1), compute_grad=True,
+        row_chunk=128, n_probes=16, n_lanczos=40,
+    )
+    assert abs(est - exact) / abs(exact) < 0.01
+    g_exact = np.asarray(
+        jax.grad(
+            lambda h: nlz(spec, h, jnp.asarray(X), jnp.asarray(y), None)
+        )(jnp.asarray(hyp))
+    )
+    rel = np.max(np.abs(grad - g_exact)) / max(1.0, np.max(np.abs(g_exact)))
+    assert rel < 0.15
+
+
+def test_fit_cg_recovers_hyperparameters():
+    """Matrix-free MAP fit lands near the Cholesky-path optimum."""
+    import jax
+
+    from gpyreg_tpu.core.nlml import get_fns
+    from gpyreg_tpu.inference.map_optimize import multistart_map
+    from gpyreg_tpu.ops.iterative import fit_cg
+
+    rng = np.random.default_rng(5)
+    N, D = 256, 2
+    X = rng.uniform(-3, 3, (N, D))
+    y = np.sum(np.sin(X), 1, keepdims=True) + 0.1 * rng.normal(size=(N, 1))
+    spec = ModelSpec(
+        D=D, cov="se", mean="const",
+        noise_constant=True, noise_user=0, noise_rectified=False,
+    )
+    hyp0 = np.array([0.5, 0.5, 0.5, -1.0, 0.0])
+    LB = np.full(5, -8.0)
+    UB = np.full(5, 8.0)
+
+    hyp_it, res = fit_cg(
+        spec, X, y, hyp0=hyp0, LB=LB, UB=UB, key=jax.random.key(2),
+        row_chunk=128, n_probes=12, n_lanczos=40,
+    )
+    fns = get_fns(spec, False, False)
+    xs, fs, _ = multistart_map(
+        fns["obj_raw"], hyp0[None, :], LB, UB,
+        f_args=(jnp.asarray(X), jnp.asarray(y)), tol=1e-6,
+    )
+    f_chol = float(fs[0])
+    f_it_exact = float(
+        fns["obj"](jnp.asarray(hyp_it), jnp.asarray(X), jnp.asarray(y))
+    )
+    # The stochastic optimum's EXACT objective is within a fraction of
+    # a nat of the Cholesky optimum.
+    assert f_it_exact - f_chol < 1.0
+    assert np.max(np.abs(hyp_it - np.asarray(xs[0]))) < 0.5

@@ -46,3 +46,45 @@ def test_self_covariance_symmetric():
     assert K.shape == (50, 50)
     assert np.allclose(K, K.T, atol=1e-6)
     assert np.allclose(np.diag(K), 1.0, atol=1e-6)
+
+
+def test_pallas_predict_wiring_matches_xla():
+    """GP(pallas_predict=True) serves identical predictions through the
+    fused Pallas cross-covariance (interpreter mode on CPU; the compiled
+    path is exercised on-chip by benchmarks/tpu_consistency_check.py)."""
+    import gpyreg_tpu as gpr
+    from gpyreg_tpu.ops import pallas_kernels as pk
+
+    old = pk.INTERPRET
+    pk.INTERPRET = True
+    try:
+        rng = np.random.default_rng(3)
+        N, D, M = 300, 3, 50
+        X = rng.normal(size=(N, D))
+        y = np.sum(np.sin(X), 1, keepdims=True)
+        hyp = np.concatenate([np.zeros(D), [0.0], [-1.0], [0.0]])[None, :]
+        xs = rng.normal(size=(M, D))
+
+        def mk(**kw):
+            return gpr.GP(
+                D=D,
+                covariance=gpr.covariance_functions.SquaredExponential(),
+                mean=gpr.mean_functions.ConstantMean(),
+                noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+                dtype=np.float32,
+                **kw,
+            )
+
+        g1 = mk()
+        g1.update(X_new=X, y_new=y, hyp=hyp)
+        g2 = mk(pallas_predict=True)
+        g2.update(X_new=X, y_new=y, hyp=hyp)
+        # Force the chunked serving path where the Pallas kernel lives.
+        g2._posterior_mem_budget = 1
+        g2._predict_chunk_budget = 16 * N
+        mu1, s21 = g1.predict(xs)
+        mu2, s22 = g2.predict(xs)
+        assert np.allclose(mu1, mu2, atol=5e-5)
+        assert np.allclose(s21, s22, atol=5e-5)
+    finally:
+        pk.INTERPRET = old

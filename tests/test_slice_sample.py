@@ -166,3 +166,77 @@ def test_thinning_and_burn():
     assert res["samples"].shape == (50, 1)
     # func_count >= one eval per proposal in (burn + eff_N) iterations
     assert sampler.func_count >= 20 + 50 + 49 * 2
+
+
+def test_beta_bounded():
+    """Beta target on [0, 1] (reference test_slice_sample.py:99-108)."""
+    rv = scipy.stats.beta(2.31, 0.627)
+    np.random.seed(9)
+    sampler = SliceSampler(
+        rv.logpdf,
+        np.array([0.5]),
+        LB=np.array([0.0]),
+        UB=np.array([1.0]),
+        options={"display": "off"},
+    )
+    s = sampler.sample(8000)["samples"]
+    assert abs(rv.mean() - s.mean()) < 0.1
+    assert abs(rv.var() - s.var()) < 0.1
+
+
+def test_multivariate_normal_mean():
+    """3-D correlated Gaussian (reference test_slice_sample.py:111-124)."""
+    mean = np.array([0.68, 0.6, 0.4])
+    cov = np.array(
+        [[1.58, 0.96, -1.2], [0.96, 2.17, -1.725], [-1.2, -1.725, 1.85]]
+    )
+    rv = scipy.stats.multivariate_normal(mean, cov)
+    np.random.seed(10)
+    sampler = SliceSampler(
+        rv.logpdf, np.array([0.5, -0.5, 1.0]), options={"display": "off"}
+    )
+    s = sampler.sample(8000)["samples"]
+    assert np.all(np.abs(mean - s.mean(0)) < 0.12)
+
+
+def test_multivariate_t_mean():
+    """Heavy-tailed multivariate-t (reference test_slice_sample.py:127-133)."""
+    loc = np.array([1.0, -0.5])
+    shape = np.array([[2.1, 0.3], [0.3, 1.5]])
+    rv = scipy.stats.multivariate_t(loc, shape, df=3)
+    np.random.seed(11)
+    sampler = SliceSampler(
+        rv.logpdf, np.array([0.5, 0.5]), options={"display": "off"}
+    )
+    s = sampler.sample(8000)["samples"]
+    assert np.all(np.abs(loc - s.mean(0)) < 0.15)
+
+
+def test_device_sampler_multivariate_t():
+    """The DEVICE sampler passes the same heavy-tailed statistics."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpyreg_tpu.inference import device_slice
+
+    loc = jnp.asarray([1.0, -0.5])
+    P = jnp.linalg.inv(jnp.asarray([[2.1, 0.3], [0.3, 1.5]]))
+    df = 3.0
+
+    def log_f(x):
+        d = x - loc
+        q = d @ P @ d
+        return -0.5 * (df + 2) * jnp.log1p(q / df)
+
+    res, _ = device_slice.sample(
+        log_f,
+        np.array([0.5, 0.5]),
+        jax.random.key(12),
+        widths=2 * np.ones(2),
+        LB=-50 * np.ones(2),
+        UB=50 * np.ones(2),
+        n_samples=6000,
+        burn=1000,
+    )
+    s = res["samples"]
+    assert np.all(np.abs(np.asarray(loc) - s.mean(0)) < 0.15)
