@@ -519,9 +519,14 @@ class GP:
         # fast_predict stores every posterior in the explicit-inverse
         # parametrization (the reference's low-noise branch,
         # gaussian_process.py:2440-2448) regardless of noise level:
-        # predictions become pure MXU matmuls instead of TPU-slow
-        # triangular solves (~20x faster at N=16k), for one extra
-        # O(N^3) inversion per posterior build.
+        # predictions become pure MXU matmuls instead of triangular
+        # solves.  Wins at small N (one stable prediction program per
+        # fit) and for f64 at large N (emulated f64 trsm is very slow).
+        # CAUTION at large N in f32: the explicit inverse amplifies
+        # rounding by the kernel condition number (measured 1e-2
+        # absolute variance error at N=16k vs 3e-6 for the Cholesky
+        # path), and XLA's f32 trsm is fast enough that the Cholesky
+        # path also WINS on speed there (5785 vs 3330 pts/s).
         self.fast_predict = bool(fast_predict)
         # pad_bucket (default 64) rounds the training-set size up to a
         # multiple of this bucket with masked padding rows

@@ -45,7 +45,10 @@ def _panel_matvec(spec: ModelSpec, hyp_cov, X, V, sn2_vec, row_chunk):
         Kp = cov_matrix(spec, hyp_cov, Xp, Z=X)  # (chunk, N)
         return jnp.matmul(Kp, V, precision=lax.Precision.HIGHEST)
 
-    out = lax.map(panel, X_panels)  # (n_panels, chunk, B)
+    # Rematerialize each panel under autodiff: without this, reverse
+    # mode through the lax.map saves every (chunk, N) kernel panel —
+    # the full N x N matrix this module exists to avoid (17 GB at 65k).
+    out = lax.map(jax.checkpoint(panel), X_panels)  # (n_panels, chunk, B)
     out = out.reshape(N, -1)
     return out + sn2_vec[:, None] * V
 

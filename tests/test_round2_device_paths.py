@@ -291,3 +291,68 @@ def test_random_function_statistics():
     assert np.all(np.abs(draws.mean(1) - mu.ravel()) < 4 * np.sqrt(s2.ravel() / 400) + 0.05)
     assert np.all(draws.var(1) / s2.ravel() > 0.7)
     assert np.all(draws.var(1) / s2.ravel() < 1.4)
+
+
+def test_external_posterior_mutation_abi():
+    """Writing posterior factors through the public true-size ABI (the
+    reference's mutation style) still predicts correctly — the internal
+    padded fast path falls back to the true-size views."""
+    X, y = _data(12, N=30)
+    gp = _mk(gpr)
+    hyp = np.array([[0.0, 0.0, 0.0, np.log(0.1), 0.5]])
+    gp.update(X_new=X, y_new=y, hyp=hyp)
+    xs = np.random.default_rng(1).uniform(-3, 3, (9, 2))
+    mu0, s20 = gp.predict(xs)
+
+    p = gp.posteriors[0]
+    # Round-trip the true-size factors through the public setters.
+    p.alpha = np.asarray(p.alpha).copy()
+    p.sW = np.asarray(p.sW).copy()
+    p.L = np.asarray(p.L).copy()
+    assert p._direct == {"alpha", "sW", "L"}
+    mu1, s21 = gp.predict(xs)
+    assert np.allclose(mu0, mu1, atol=1e-9)
+    assert np.allclose(s20, s21, atol=1e-9)
+    # quad consumes the mutated factors too.
+    F0 = gp.quad(0.0, 0.5)
+    gp2 = _mk(gpr)
+    gp2.update(X_new=X, y_new=y, hyp=hyp)
+    F1 = gp2.quad(0.0, 0.5)
+    assert np.allclose(F0, F1, atol=1e-10)
+    # A rank-1 update after external mutation falls back to a full
+    # rebuild (correctness preserved).
+    x_new = np.array([[0.3, -0.4]])
+    y_new = np.array([[0.2]])
+    gp.update(X_new=x_new, y_new=y_new)
+    gp2.update(X_new=x_new, y_new=y_new)
+    mu2, _ = gp.predict(xs)
+    mu3, _ = gp2.predict(xs)
+    assert np.allclose(mu2, mu3, atol=1e-7)
+
+
+def test_pad_bucket_none_single_point_update():
+    """pad_bucket=None disables bucketing; single-point updates still
+    work (full rebuild path) and match the bucketed rank-1 GP."""
+    X, y = _data(13, N=20)
+    hyp = np.array([[0.1, -0.1, 0.2, np.log(0.2), 0.0]])
+    g1 = gpr.GP(
+        D=2,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+        pad_bucket=None,
+    )
+    g1.update(X_new=X, y_new=y, hyp=hyp)
+    assert g1.posteriors[0].n_real is None
+    g2 = _mk(gpr)  # default bucket 64
+    g2.update(X_new=X, y_new=y, hyp=hyp)
+
+    x_new = np.array([[0.5, 0.5]])
+    y_new = np.array([[0.1]])
+    g1.update(X_new=x_new, y_new=y_new)
+    g2.update(X_new=x_new, y_new=y_new)
+    xs = np.random.default_rng(2).uniform(-3, 3, (8, 2))
+    mu1, s21 = g1.predict(xs)
+    mu2, s22 = g2.predict(xs)
+    assert np.allclose(mu1, mu2, atol=1e-8)
+    assert np.allclose(s21, s22, atol=1e-8)

@@ -109,3 +109,56 @@ def test_uuinv_out_of_range_is_nan():
     B = [-2.0, -1.0, 1.0, 2.0]
     x = uuinv(np.array([-0.1, 1.1]), B, 0.5)
     assert np.all(np.isnan(x))
+
+
+def test_vectorized_functions_match_reference_pointwise():
+    """Our vectorized smoothbox cdf/ppf and uuinv equal the reference's
+    scalar implementations on dense grids (reference f_min_fill.py:
+    183-372)."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from gpyreg.f_min_fill import (
+        smoothbox_cdf as r_cdf,
+        smoothbox_ppf as r_ppf,
+        smoothbox_student_t_cdf as r_tcdf,
+        smoothbox_student_t_ppf as r_tppf,
+        uuinv as r_uuinv,
+    )
+
+    from gpyreg_tpu.f_min_fill import (
+        smoothbox_cdf,
+        smoothbox_ppf,
+        smoothbox_student_t_cdf,
+        smoothbox_student_t_ppf,
+        uuinv,
+    )
+
+    sigma, a, b, df = 0.7, -1.2, 2.3, 3.0
+    xs = np.linspace(-6, 8, 101)
+    qs = np.linspace(1e-6, 1 - 1e-6, 101)
+
+    cdf_v = smoothbox_cdf(xs, sigma, a, b)
+    tcdf_v = smoothbox_student_t_cdf(xs, df, sigma, a, b)
+    for i, x in enumerate(xs):
+        assert abs(cdf_v[i] - r_cdf(x, sigma, a, b)) < 1e-12
+        assert abs(tcdf_v[i] - r_tcdf(x, df, sigma, a, b)) < 1e-12
+
+    ppf_v = smoothbox_ppf(qs, sigma, a, b)
+    tppf_v = smoothbox_student_t_ppf(qs, df, sigma, a, b)
+    for i, q in enumerate(qs):
+        assert abs(ppf_v[i] - r_ppf(q, sigma, a, b)) < 1e-10
+        assert abs(tppf_v[i] - r_tppf(q, df, sigma, a, b)) < 1e-10
+
+    for B, w in (
+        ([-3.0, -1.0, 1.0, 3.0], 0.5),
+        ([-3.0, -1.0, 1.0, 3.0], 0.0),
+        ([-3.0, -1.0, 1.0, 3.0], 1.0),
+        ([-1.0, -1.0, 1.0, 1.0], 0.6),  # degenerate outer intervals
+    ):
+        ours = uuinv(qs, B, w)
+        ref = r_uuinv(qs, B, w)
+        assert np.allclose(ours, ref, atol=1e-12, equal_nan=True)
+    # Out-of-range quantiles -> NaN (reference behavior).
+    bad = uuinv(np.array([-0.1, 1.1]), [-3.0, -1.0, 1.0, 3.0], 0.5)
+    assert np.all(np.isnan(bad))
