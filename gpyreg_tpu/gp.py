@@ -810,46 +810,37 @@ class GP:
         )
 
     def __str__(self):
-        dimension = "Dimension: " + str(self.D) + "\n"
+        def n_params(k):
+            return f"{k} parameter" + ("" if k == 1 else "s")
 
-        cov_N = self.covariance.hyperparameter_count(self.D)
-        cov = "Covariance function: " + self.covariance.__class__.__name__
-        if self.covariance.__class__.__name__ == "Matern":
-            cov += "(degree=" + str(self.covariance.degree) + ")\n"
-        cov += ", " + str(cov_N)
-        cov += " parameter\n" if cov_N == 1 else " parameters\n"
-
-        mean_N = self.mean.hyperparameter_count(self.D)
-        mean = "Mean function: " + self.mean.__class__.__name__
-        mean += ", " + str(mean_N)
-        mean += " parameter\n" if mean_N == 1 else " parameters\n"
-
-        noise_N = self.noise.hyperparameter_count()
-        noise = "Noise function: " + self.noise.__class__.__name__
-        if np.any(self.noise.parameters):
-            flags = []
-            if self.noise.parameters[0] == 1:
-                flags.append("constant_add=True")
-            if self.noise.parameters[1] == 1:
-                flags.append("user_provided_add=True")
-            if self.noise.parameters[1] == 2:
-                flags.append("scale_user_provided=True")
-            if self.noise.parameters[2] == 1:
-                flags.append("rectified_linear_output_dependent_add=True")
-            noise += "(" + ", ".join(flags) + ")"
-        noise += ", " + str(noise_N)
-        noise += " parameter\n" if noise_N == 1 else " parameters\n"
-
-        priors = "Hyperparameter priors: "
-        priors += "none\n" if self.no_prior else "present\n"
-        samples = "Hyperparameter samples: "
-        if self.posteriors is None:
-            samples += "0"
-        else:
-            samples += str(np.size(self.posteriors))
-
-        body = dimension + cov + mean + noise + priors + samples
-        return "GP:\n" + indent(body, "    ")
+        cov_name = type(self.covariance).__name__
+        if cov_name == "Matern":
+            cov_name += f"(degree={self.covariance.degree})\n"
+        p0, p1, p2 = self.noise.parameters[:3]
+        noise_flags = [
+            flag
+            for cond, flag in [
+                (p0 == 1, "constant_add=True"),
+                (p1 == 1, "user_provided_add=True"),
+                (p1 == 2, "scale_user_provided=True"),
+                (p2 == 1, "rectified_linear_output_dependent_add=True"),
+            ]
+            if cond
+        ]
+        noise_name = type(self.noise).__name__
+        if noise_flags:
+            noise_name += "(" + ", ".join(noise_flags) + ")"
+        cov_N, noise_N, mean_N = self._hyp_counts()
+        s_N = 0 if self.posteriors is None else np.size(self.posteriors)
+        lines = [
+            f"Dimension: {self.D}",
+            f"Covariance function: {cov_name}, {n_params(cov_N)}",
+            f"Mean function: {type(self.mean).__name__}, {n_params(mean_N)}",
+            f"Noise function: {noise_name}, {n_params(noise_N)}",
+            "Hyperparameter priors: " + ("none" if self.no_prior else "present"),
+            f"Hyperparameter samples: {s_N}",
+        ]
+        return "GP:\n" + indent("\n".join(lines), "    ")
 
     # ------------------------------------------------------------------
     # Bounds and priors
@@ -933,108 +924,66 @@ class GP:
         if self.X is None or self.y is None:
             raise ValueError("GP does not have X or y set!")
 
-        if not isinstance(lower_bounds, (list, tuple, np.ndarray)):
-            if lower_bounds == "current":
-                lower_bounds = self.lower_bounds.copy()
-            elif lower_bounds is None or lower_bounds == "recommended":
-                lower_bounds = np.full_like(self.lower_bounds, np.nan)
-            else:
-                raise ValueError(
-                    "`lower_bounds` should be 'recommended'/`None`, "
-                    "'current', or an array."
-                )
-        if not isinstance(upper_bounds, (list, tuple, np.ndarray)):
-            if upper_bounds == "current":
-                upper_bounds = self.upper_bounds.copy()
-            elif upper_bounds is None or upper_bounds == "recommended":
-                upper_bounds = np.full_like(self.upper_bounds, np.nan)
-            else:
-                raise ValueError(
-                    "`lower_bounds` should be 'recommended'/`None`, "
-                    "'current', or an array."
-                )
-        if isinstance(lower_bounds, (list, tuple, np.ndarray)):
-            lower_bounds = np.asarray(lower_bounds, dtype=np.float64).copy()
-        if isinstance(upper_bounds, (list, tuple, np.ndarray)):
-            upper_bounds = np.asarray(upper_bounds, dtype=np.float64).copy()
+        def resolve(arg, current):
+            if isinstance(arg, (list, tuple, np.ndarray)):
+                return np.array(arg, dtype=np.float64)
+            if arg == "current":
+                return current.copy()
+            if arg is None or arg == "recommended":
+                return np.full_like(current, np.nan)
+            raise ValueError(
+                "`lower_bounds` should be 'recommended'/`None`, "
+                "'current', or an array."
+            )
 
-        cov_N, noise_N, mean_N = self._hyp_counts()
-        cov_info = self.covariance.get_bounds_info(self.X, self.y)
-        mean_info = self.mean.get_bounds_info(self.X, self.y)
-        noise_info = self.noise.get_bounds_info(self.X, self.y)
+        lb = resolve(lower_bounds, self.lower_bounds)
+        ub = resolve(upper_bounds, self.upper_bounds)
 
-        lb, ub = lower_bounds, upper_bounds
-        m_hi = cov_N + noise_N + mean_N
-        lb_cov = lb[0:cov_N]
-        lb_noise = lb[cov_N : cov_N + noise_N]
-        lb_mean = lb[cov_N + noise_N : m_hi]
-        lb_cov[np.isnan(lb_cov)] = cov_info["LB"][np.isnan(lb_cov)]
-        lb_noise[np.isnan(lb_noise)] = noise_info["LB"][np.isnan(lb_noise)]
-        lb_mean[np.isnan(lb_mean)] = mean_info["LB"][np.isnan(lb_mean)]
-
-        ub_cov = ub[0:cov_N]
-        ub_noise = ub[cov_N : cov_N + noise_N]
-        ub_mean = ub[cov_N + noise_N : m_hi]
-        ub_cov[np.isnan(ub_cov)] = cov_info["UB"][np.isnan(ub_cov)]
-        ub_noise[np.isnan(ub_noise)] = noise_info["UB"][np.isnan(ub_noise)]
-        ub_mean[np.isnan(ub_mean)] = mean_info["UB"][np.isnan(ub_mean)]
-
-        parts_lb = [lb_cov, lb_noise, lb_mean]
-        parts_ub = [ub_cov, ub_noise, ub_mean]
+        # One recommended-bounds table for the whole flat hyp vector, in
+        # canonical cov | noise | mean | outwarp order; NaN user entries
+        # pick up the recommendation elementwise.
+        modules = [self.covariance, self.noise, self.mean]
         if self.outwarp is not None:
-            ow_info = self.outwarp.get_bounds_info(self.X, self.y)
-            lb_ow = lb[m_hi:]
-            ub_ow = ub[m_hi:]
-            lb_ow[np.isnan(lb_ow)] = ow_info["LB"][np.isnan(lb_ow)]
-            ub_ow[np.isnan(ub_ow)] = ow_info["UB"][np.isnan(ub_ow)]
-            parts_lb.append(lb_ow)
-            parts_ub.append(ub_ow)
+            modules.append(self.outwarp)
+        infos = [m.get_bounds_info(self.X, self.y) for m in modules]
+        rec_lb = np.concatenate([info["LB"] for info in infos])
+        rec_ub = np.concatenate([info["UB"] for info in infos])
 
-        lb = np.concatenate(parts_lb)
-        ub = np.concatenate(parts_ub)
-        ub = np.maximum(lb, ub)
-        return self.bounds_to_dict(lb, ub)
+        lb = np.where(np.isnan(lb), rec_lb, lb)
+        ub = np.where(np.isnan(ub), rec_ub, ub)
+        return self.bounds_to_dict(lb, np.maximum(lb, ub))
 
     def get_priors(self):
         """Current hyperpriors as a dict of
         ``name -> (type, params) | None``."""
-        hyper_priors = {}
-        lower = 0
-        mu = self.hyper_priors["mu"].copy()
-        sigma = self.hyper_priors["sigma"].copy()
-        df = self.hyper_priors["df"].copy()
-        a = self.hyper_priors["a"].copy()
-        b = self.hyper_priors["b"].copy()
+        def decode(mu, sigma, df, a, b):
+            """Classify one hyperparameter group's SoA row back into the
+            named family; None when the row encodes no (usable) prior."""
+            light_tails = np.all(df == 0) or np.all(df == np.inf)
+            heavy_tails = np.all(df > 0)
+            if all(np.isfinite(v).all() for v in (a, b, sigma)):
+                if light_tails:
+                    return ("smoothbox", (a, b, sigma))
+                if heavy_tails:
+                    return ("smoothbox_student_t", (a, b, sigma, df))
+            elif np.isfinite(mu).all() and np.isfinite(sigma).all():
+                if light_tails:
+                    return ("gaussian", (mu, sigma))
+                if heavy_tails:
+                    return ("student_t", (mu, sigma, df))
+            return None
 
-        for info in self._hyper_info():
-            i = range(lower, lower + info[1])
-            prior_type = prior_params = None
-            if (
-                np.all(np.isfinite(a[i]))
-                and np.all(np.isfinite(b[i]))
-                and np.all(np.isfinite(sigma[i]))
-            ):
-                if df[i] == 0 or df[i] == np.inf:
-                    prior_type = "smoothbox"
-                    prior_params = (a[i], b[i], sigma[i])
-                elif df[i] > 0:
-                    prior_type = "smoothbox_student_t"
-                    prior_params = (a[i], b[i], sigma[i], df[i])
-            elif np.all(np.isfinite(mu[i])) and np.all(np.isfinite(sigma[i])):
-                if np.all(df[i] == 0) or np.all(df[i] == np.inf):
-                    prior_type = "gaussian"
-                    prior_params = (mu[i], sigma[i])
-                elif np.all(df[i] > 0):
-                    prior_type = "student_t"
-                    prior_params = (mu[i], sigma[i], df[i])
-
-            if prior_type is not None and prior_params is not None:
-                hyper_priors[info[0]] = (prior_type, prior_params)
-            else:
-                hyper_priors[info[0]] = None
-            lower += info[1]
-
-        return hyper_priors
+        table = self.hyper_priors
+        out = {}
+        pos = 0
+        for name, count, *_ in self._hyper_info():
+            rows = [
+                table[k][pos : pos + count].copy()
+                for k in ("mu", "sigma", "df", "a", "b")
+            ]
+            out[name] = decode(*rows)
+            pos += count
+        return out
 
     def set_priors(self, priors: dict = None):
         """Set hyperpriors from a dict of ``name -> (type, params)``;
@@ -1103,40 +1052,44 @@ class GP:
     def __recompute_normalization_constants(self):
         """Truncation normalization of bounded priors via CDFs at the
         bounds (reference gaussian_process.py:1234-1273)."""
-        self.normalization_constants = np.full(self.lower_bounds.shape, 1.0)
+        lb, ub = self.lower_bounds, self.upper_bounds
+        table = self.hyper_priors
+        mu, df = table["mu"], table["df"]
+        sigma = np.abs(table["sigma"])
+        a, b = table["a"], table["b"]
 
-        for i in range(np.size(self.lower_bounds)):
-            mu = self.hyper_priors["mu"][i]
-            sigma = np.abs(self.hyper_priors["sigma"])[i]
-            df = self.hyper_priors["df"][i]
-            a = self.hyper_priors["a"][i]
-            b = self.hyper_priors["b"][i]
-            lb = self.lower_bounds[i]
-            ub = self.upper_bounds[i]
+        # Truncation mass is only needed where (i) the dimension is not
+        # pinned (lb==ub), (ii) at least one bound is finite, and (iii) a
+        # proper (non-uniform) prior is attached.
+        needs_mass = (
+            (lb != ub)
+            & (np.isfinite(lb) | np.isfinite(ub))
+            & (np.isfinite(mu) | np.isfinite(sigma))
+        )
+        boxed = np.isfinite(a) & np.isfinite(b)
+        heavy = np.isfinite(df) & (df != 0)
 
-            if lb == ub:
-                continue  # fixed dimension
-            if not np.isfinite(lb) and not np.isfinite(ub):
-                continue  # unbounded
-            if not np.isfinite(mu) and not np.isfinite(sigma):
-                continue  # uniform
-
-            if np.isfinite(a) and np.isfinite(b):
-                if df == 0 or not np.isfinite(df):
-                    cdf_lb = smoothbox_cdf(lb, sigma, a, b)
-                    cdf_ub = smoothbox_cdf(ub, sigma, a, b)
-                else:
-                    cdf_lb = smoothbox_student_t_cdf(lb, df, sigma, a, b)
-                    cdf_ub = smoothbox_student_t_cdf(ub, df, sigma, a, b)
+        z = np.ones(lb.shape)
+        for i in np.flatnonzero(needs_mass):
+            if boxed[i] and heavy[i]:
+                edges = [
+                    smoothbox_student_t_cdf(v, df[i], sigma[i], a[i], b[i])
+                    for v in (ub[i], lb[i])
+                ]
+            elif boxed[i]:
+                edges = [
+                    smoothbox_cdf(v, sigma[i], a[i], b[i])
+                    for v in (ub[i], lb[i])
+                ]
+            elif heavy[i]:
+                rv = sp.stats.t(df[i], loc=mu[i], scale=sigma[i])
+                edges = [rv.cdf(ub[i]), rv.cdf(lb[i])]
             else:
-                if df == 0 or not np.isfinite(df):
-                    cdf_lb = sp.stats.norm.cdf(lb, loc=mu, scale=sigma)
-                    cdf_ub = sp.stats.norm.cdf(ub, loc=mu, scale=sigma)
-                else:
-                    cdf_lb = sp.stats.t.cdf(lb, df, loc=mu, scale=sigma)
-                    cdf_ub = sp.stats.t.cdf(ub, df, loc=mu, scale=sigma)
+                rv = sp.stats.norm(loc=mu[i], scale=sigma[i])
+                edges = [rv.cdf(ub[i]), rv.cdf(lb[i])]
+            z[i] = edges[0] - edges[1]
 
-            self.normalization_constants[i] = cdf_ub - cdf_lb
+        self.normalization_constants = z
         self._invalidate()
 
     # ------------------------------------------------------------------
