@@ -30,31 +30,17 @@ from functools import lru_cache
 import jax
 import jax.numpy as jnp
 
-from ..ops.linalg import chol_solve, jittered_cholesky
+from ..ops.linalg import chol_solve, jittered_cholesky, quad_logdet
 from .model import ModelSpec, cov_matrix, mean_value, noise_variance
 from .priors import log_prior
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
 
-def gp_parts(spec: ModelSpec, hyp, X, y, s2, n_real=None):
-    """Common sub-expressions: sn2 (raw), m, K, L=chol(G), mult, alpha,
-    and the output-warping log-Jacobian.
-
-    ``hyp`` is cast to the data dtype so a float32 X/y (the TPU fast
-    path; f64 is emulated on TPU) keeps the whole computation in f32
-    even when the caller passes f64 hyperparameters.
-
-    With output warping (spec.outwarp), the GP models g(y): the noise
-    function sees the ORIGINAL y (for the rectified output-dependent
-    branch) but warped user variance s2 * g'(y)^2, matching
-    matlab/gplite/private/gplite_core.m:13-37.
-
-    ``n_real`` (traced scalar or None): rows >= n_real are padding.
-    Masking turns G block-diagonal ([[G_real, 0], [0, mult*I]]) with
-    zero padded residual, so alpha's padded entries are exactly zero and
-    the real block's factor is exactly the unpadded factor.
-    """
+def assemble(spec: ModelSpec, hyp, X, y, s2, n_real=None):
+    """Model assembly shared by the NLML and posterior paths: returns
+    ``(K, sn2_vec, r, m, log_jacobian)`` with padding masks applied (see
+    :func:`gp_parts` for the masking semantics)."""
     N = X.shape[0]
     hyp = jnp.asarray(hyp).astype(X.dtype)
     hyp_cov, hyp_noise, hyp_mean = spec.split_hyp(hyp)
@@ -88,6 +74,28 @@ def gp_parts(spec: ModelSpec, hyp, X, y, s2, n_real=None):
         sn2_vec = jnp.where(mask > 0, sn2_vec, 1.0)
         r = r * mask[:, None]
 
+    return K, sn2_vec, r, m, log_jacobian
+
+
+def gp_parts(spec: ModelSpec, hyp, X, y, s2, n_real=None):
+    """Common sub-expressions: sn2 (raw), m, K, L=chol(G), mult, alpha,
+    and the output-warping log-Jacobian.
+
+    ``hyp`` is cast to the data dtype so a float32 X/y (the TPU fast
+    path; f64 is emulated on TPU) keeps the whole computation in f32
+    even when the caller passes f64 hyperparameters.
+
+    With output warping (spec.outwarp), the GP models g(y): the noise
+    function sees the ORIGINAL y (for the rectified output-dependent
+    branch) but warped user variance s2 * g'(y)^2, matching
+    matlab/gplite/private/gplite_core.m:13-37.
+
+    ``n_real`` (traced scalar or None): rows >= n_real are padding.
+    Masking turns G block-diagonal ([[G_real, 0], [0, mult*I]]) with
+    zero padded residual, so alpha's padded entries are exactly zero and
+    the real block's factor is exactly the unpadded factor.
+    """
+    K, sn2_vec, r, m, log_jacobian = assemble(spec, hyp, X, y, s2, n_real)
     L, mult = jittered_cholesky(K, sn2_vec)
     alpha = chol_solve(L, r)
     return sn2_vec, m, L, mult, r, alpha, log_jacobian
@@ -101,22 +109,22 @@ def nlz(spec: ModelSpec, hyp, X, y, s2, n_real=None):
     With padding, the padded rows' exact contributions
     (0.5*log(mult) per row to the log-determinant, 0.5*log(2pi) per row
     to the constant) are subtracted.
+
+    The factorize+solve+logdet block runs through the fused
+    :func:`~gpyreg_tpu.ops.linalg.quad_logdet` primitive, whose custom
+    VJP produces the analytic ``0.5*(G^{-1} - alpha alpha^T)`` cotangent
+    on the MXU instead of the generic trsm-bound Cholesky adjoint.
     """
     N = X.shape[0]
-    _, _, L, mult, r, alpha, log_jac = gp_parts(spec, hyp, X, y, s2, n_real)
-    logdet_half = jnp.sum(jnp.log(jnp.diag(L)))
+    K, sn2_vec, r, _, log_jac = assemble(spec, hyp, X, y, s2, n_real)
+    quad, logdet_half, mult = quad_logdet(K, sn2_vec, r)
     if n_real is None:
         n_eff = N
     else:
         n_pad = N - n_real
         logdet_half = logdet_half - 0.5 * n_pad * jnp.log(mult)
         n_eff = n_real
-    return (
-        0.5 * jnp.sum(r * alpha)
-        + logdet_half
-        + 0.5 * n_eff * _LOG_2PI
-        - log_jac
-    )
+    return 0.5 * quad + logdet_half + 0.5 * n_eff * _LOG_2PI - log_jac
 
 
 def posterior_factors(spec: ModelSpec, hyp, X, y, s2, n_real=None):

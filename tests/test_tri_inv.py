@@ -1,0 +1,84 @@
+"""Tests for the divide-and-conquer triangular inversion (ops/linalg.py
+tri_inv) and the dtype-gated Cholesky-VJP strategies built on it."""
+
+import numpy as np
+import pytest
+
+import gpyreg_tpu  # noqa: F401  (x64 on)
+import jax
+import jax.numpy as jnp
+
+from gpyreg_tpu.ops.linalg import (
+    _cholesky_vjp_core,
+    neg_inverse_from_chol,
+    tri_inv,
+)
+
+
+def _well_conditioned_lower(rng, N):
+    return np.tril(rng.normal(size=(N, N))) + N * np.eye(N)
+
+
+@pytest.mark.parametrize("N", [1, 5, 64, 300, 1025])
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_tri_inv_matches_identity(N, dtype):
+    rng = np.random.default_rng(N)
+    L = _well_conditioned_lower(rng, N)
+    W = np.asarray(tri_inv(jnp.asarray(L, dtype=dtype)))
+    tol = 1e-10 if dtype == np.float64 else 5e-4
+    assert np.max(np.abs(W @ L - np.eye(N))) < tol
+    # The inverse of a lower-triangular matrix is lower-triangular.
+    assert np.max(np.abs(np.triu(W, 1))) == 0.0
+
+
+def test_tri_inv_batched():
+    rng = np.random.default_rng(7)
+    Lb = np.stack([_well_conditioned_lower(rng, 130) for _ in range(3)])
+    Wb = np.asarray(tri_inv(jnp.asarray(Lb)))
+    for i in range(3):
+        assert np.max(np.abs(Wb[i] @ Lb[i] - np.eye(130))) < 1e-9
+
+
+def test_tri_inv_under_vmap_and_jit():
+    rng = np.random.default_rng(3)
+    Lb = np.stack([_well_conditioned_lower(rng, 96) for _ in range(4)])
+    W1 = np.asarray(jax.jit(jax.vmap(tri_inv))(jnp.asarray(Lb)))
+    W2 = np.asarray(tri_inv(jnp.asarray(Lb)))
+    np.testing.assert_allclose(W1, W2, rtol=1e-12, atol=1e-12)
+
+
+def test_cholesky_vjp_matmul_path_matches_trsm_path():
+    """The f32 matmul-path adjoint (used on TPU at N >= 1024) must agree
+    with the f64 two-trsm adjoint to f32 accuracy."""
+    rng = np.random.default_rng(0)
+    N = 1100
+    X = rng.normal(size=(N, 3))
+    K = np.exp(-0.5 * ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    L64 = np.linalg.cholesky(K + 1e-2 * np.eye(N))
+    L_bar = rng.normal(size=(N, N)) * np.tril(np.ones((N, N)))
+    g64 = np.asarray(
+        _cholesky_vjp_core(jnp.asarray(L64), jnp.asarray(L_bar))
+    )
+    g32 = np.asarray(
+        _cholesky_vjp_core(
+            jnp.asarray(L64, dtype=jnp.float32),
+            jnp.asarray(L_bar, dtype=jnp.float32),
+        )
+    )
+    rel = np.max(np.abs(g32 - g64)) / np.max(np.abs(g64))
+    assert rel < 1e-3
+
+
+def test_neg_inverse_matmul_path_matches_chunked():
+    rng = np.random.default_rng(1)
+    N = 1050  # above the f32 matmul-path threshold
+    X = rng.normal(size=(N, 2))
+    K = np.exp(-0.5 * ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    L = np.linalg.cholesky(K + 1e-2 * np.eye(N))
+    ref = -np.linalg.inv(K + 1e-2 * np.eye(N))
+    got32 = np.asarray(
+        neg_inverse_from_chol(jnp.asarray(L, dtype=jnp.float32))
+    )
+    got64 = np.asarray(neg_inverse_from_chol(jnp.asarray(L)))
+    assert np.max(np.abs(got64 - ref)) < 1e-8
+    assert np.max(np.abs(got32 - ref)) < 5e-3
