@@ -11,8 +11,27 @@ import jax.numpy as jnp
 from gpyreg_tpu.ops.linalg import (
     _cholesky_vjp_core,
     neg_inverse_from_chol,
+    sym_tri_product,
     tri_inv,
 )
+
+
+@pytest.mark.parametrize("N", [5, 300, 1025])
+def test_sym_tri_product_matches_dense(N):
+    rng = np.random.default_rng(N)
+    W = np.tril(rng.normal(size=(N, N)))
+    C = np.asarray(sym_tri_product(jnp.asarray(W), block=256))
+    np.testing.assert_allclose(C, W.T @ W, rtol=0, atol=1e-9 * N)
+
+
+def test_sym_tri_product_batched():
+    rng = np.random.default_rng(2)
+    Wb = np.tril(rng.normal(size=(3, 200, 200)))
+    Cb = np.asarray(sym_tri_product(jnp.asarray(Wb), block=64))
+    for i in range(3):
+        np.testing.assert_allclose(
+            Cb[i], Wb[i].T @ Wb[i], rtol=0, atol=1e-10 * 200
+        )
 
 
 def _well_conditioned_lower(rng, N):
