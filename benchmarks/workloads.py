@@ -188,7 +188,10 @@ def config5_large_n(gpr, seed=4, N=16384, D=10, S=8, M=10000, dtype=None):
     xs = rng.normal(size=(M, D))
 
     gp.update(X_new=X, y_new=y, hyp=hyp)  # warm-up (compile)
-    gp.predict(xs[: min(M, 1024)])
+    # Warm up the FULL M-shaped chunked-predict program: the first call
+    # at a new test-set shape includes its (remote) compile, which at
+    # M=100k costs tens of seconds and is not steady-state serving.
+    gp.predict(xs)
 
     t0 = _timer()
     gp.update(hyp=hyp + 1e-4, compute_posterior=True)
