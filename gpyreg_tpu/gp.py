@@ -155,7 +155,9 @@ def _predict_chunked_fn(spec: ModelSpec, flag: bool, chunk: int, pallas=False):
             return one(hyp, alpha, L, sW, X, n_real, xs_c)
 
         mu, s2 = jax.lax.map(body, xs_r)
-        return mu.reshape(-1), s2.reshape(-1)
+        # One packed output -> one device->host transfer (fixed tunnel
+        # latency per pull; see _predict_fns._packed_multi).
+        return jnp.stack([mu.reshape(-1), s2.reshape(-1)])
 
     return jax.jit(chunked)
 
@@ -298,9 +300,26 @@ def _predict_fns(spec: ModelSpec, pallas: bool = False):
         return m_star, K_star
 
     vmap_axes = (0, 0, 0, 0, None, None, None)
+
+    def _packed_multi(branch, axes):
+        """Vmapped branch with mean/variance stacked into ONE (2, s, M)
+        output: the remote tunnel charges a fixed ~30 ms per transfer,
+        so a single device->host pull halves the small-M predict
+        latency (measured 71 -> 45 ms at s=8, M=2000)."""
+        vm = jax.vmap(branch, in_axes=axes)
+
+        def f(*args):
+            mu, s2 = vm(*args)
+            return jnp.stack([mu, s2])
+
+        return jax.jit(f)
+
     return {
         "chol": jax.jit(jax.vmap(chol_branch, in_axes=vmap_axes)),
         "inv": jax.jit(jax.vmap(inv_branch, in_axes=vmap_axes)),
+        "chol_packed": _packed_multi(chol_branch, vmap_axes),
+        "inv_packed": _packed_multi(inv_branch, vmap_axes),
+        "prior_packed": _packed_multi(prior_branch, (0, None)),
         "chol_full": jax.jit(jax.vmap(chol_branch_full, in_axes=vmap_axes)),
         "inv_full": jax.jit(jax.vmap(inv_branch_full, in_axes=vmap_axes)),
         "prior": jax.jit(jax.vmap(prior_branch, in_axes=(0, None))),
@@ -1749,8 +1768,32 @@ class GP:
             v = getattr(ps[i], "_" + name) if padded else getattr(ps[i], name)
             return jnp.asarray(v, dtype=self.dtype)
 
+        cache = getattr(self, "_stack_cache", None)
+        if cache is None:
+            cache = self._stack_cache = {}
+
         def get(name, idx):
-            return jnp.stack([one(name, i) for i in idx])
+            # Memoize the stacked factors: an eager jnp.stack is a device
+            # round trip per call on the remote tunnel, and the factors
+            # only change when posteriors are rebuilt or mutated — which
+            # replaces the underlying arrays, detected here by identity.
+            idx_t = tuple(idx)
+            srcs = [
+                getattr(ps[i], "_" + name)
+                if padded
+                else getattr(ps[i], name)
+                for i in idx_t
+            ]
+            key = tuple(map(id, srcs))
+            hit = cache.get((name, idx_t, padded))
+            if hit is not None and hit[0] == key:
+                return hit[1]
+            stacked = jnp.stack(
+                [jnp.asarray(v, dtype=self.dtype) for v in srcs]
+            )
+            # Keep refs to the sources so their id()s stay unambiguous.
+            cache[(name, idx_t, padded)] = (key, stacked, srcs)
+            return stacked
 
         return get, one, X_use, n_real
 
@@ -1762,7 +1805,10 @@ class GP:
         pfns = _predict_fns(spec)
         s_N = self.posteriors.size
         M = x_star.shape[0]
-        xsj = jnp.asarray(x_star, dtype=self.dtype)
+        # Test points stay host-side; jit uploads them as part of each
+        # dispatch.  A separate jnp.asarray upload costs a full tunnel
+        # round trip (~40 ms) before the dispatch even starts.
+        xsh = np.asarray(x_star, dtype=self.dtype)
 
         mu = np.zeros((M, s_N))
         if full:
@@ -1771,14 +1817,17 @@ class GP:
             s2 = np.zeros((M, s_N))
 
         if self.y is None:
-            hyps = np.stack([p.hyp for p in self.posteriors])
-            key = "prior_full" if full else "prior"
-            mu_b, v_b = pfns[key](jnp.asarray(hyps, dtype=self.dtype), xsj)
-            mu[:] = np.asarray(mu_b).T
+            hyps = np.stack([p.hyp for p in self.posteriors]).astype(
+                self.dtype
+            )
             if full:
+                mu_b, v_b = pfns["prior_full"](hyps, xsh)
+                mu[:] = np.asarray(mu_b).T
                 cov[:] = np.asarray(v_b)
                 return mu, cov
-            s2[:] = np.asarray(v_b).T
+            packed = np.asarray(pfns["prior_packed"](hyps, xsh))
+            mu[:] = packed[0].T
+            s2[:] = packed[1].T
             return mu, s2
 
         get_stacked, get_one, Xj, n_real = self._posterior_arrays()
@@ -1835,13 +1884,13 @@ class GP:
                 for idx, p in enumerate(self.posteriors):
                     key = ("chol" if p.L_chol else "inv") + "_full_one"
                     mu_b, v_b = pfns_one[key](
-                        jnp.asarray(p.hyp, dtype=self.dtype),
+                        np.asarray(p.hyp, dtype=self.dtype),
                         get_one("alpha", idx),
                         get_one("L", idx),
                         get_one("sW", idx),
                         Xj,
                         n_real,
-                        xsj,
+                        xsh,
                     )
                     mu[:, idx] = np.asarray(mu_b)
                     cov[idx] = np.asarray(v_b)
@@ -1852,57 +1901,66 @@ class GP:
             n_chunks = -(-M // chunk)
             pad = n_chunks * chunk - M
             xs_p = (
-                jnp.concatenate(
-                    [xsj, jnp.broadcast_to(xsj[-1:], (pad,) + xsj.shape[1:])]
-                )
+                np.concatenate([xsh, np.repeat(xsh[-1:], pad, axis=0)])
                 if pad
-                else xsj
+                else xsh
             )
             for idx, p in enumerate(self.posteriors):
                 fn = _predict_chunked_fn(
                     spec, bool(p.L_chol), chunk, pallas
                 )
-                mu_b, v_b = fn(
-                    jnp.asarray(p.hyp, dtype=self.dtype),
-                    get_one("alpha", idx),
-                    get_one("L", idx),
-                    get_one("sW", idx),
-                    Xj,
-                    n_real,
-                    xs_p,
+                packed = np.asarray(
+                    fn(
+                        np.asarray(p.hyp, dtype=self.dtype),
+                        get_one("alpha", idx),
+                        get_one("L", idx),
+                        get_one("sW", idx),
+                        Xj,
+                        n_real,
+                        xs_p,
+                    )
                 )
-                mu[:, idx] = np.asarray(mu_b)[:M]
-                s2[:, idx] = np.asarray(v_b)[:M]
+                mu[:, idx] = packed[0][:M]
+                s2[:, idx] = packed[1][:M]
             return mu, s2
 
         for flag, idxs in groups.items():
             if not idxs:
                 continue
-            hyps = jnp.asarray(
-                np.stack([self.posteriors[i].hyp for i in idxs]),
-                dtype=self.dtype,
-            )
+            hyps = np.stack(
+                [self.posteriors[i].hyp for i in idxs]
+            ).astype(self.dtype)
             # Factors stay on device (jnp.asarray is a no-op for device
             # arrays of the right dtype; np fallbacks still upload).
             alphas = get_stacked("alpha", idxs)
             Ls = get_stacked("L", idxs)
             sWs = get_stacked("sW", idxs)
-            key = ("chol" if flag else "inv") + ("_full" if full else "")
+            key = "chol" if flag else "inv"
+            key += "_full" if full else "_packed"
 
             for start in range(0, M, chunk):
                 stop = min(start + chunk, M)
-                xs_c = xsj[start:stop]
+                xs_c = xsh[start:stop]
                 if stop - start < chunk:
                     # Pad the tail chunk to the compiled shape.
                     pad = chunk - (stop - start)
-                    xs_c = jnp.concatenate(
-                        [xs_c, jnp.broadcast_to(xs_c[-1:], (pad,) + xs_c.shape[1:])]
+                    xs_c = np.concatenate(
+                        [xs_c, np.repeat(xs_c[-1:], pad, axis=0)]
                     )
-                mu_b, v_b = pfns[key](
-                    hyps, alphas, Ls, sWs, Xj, n_real, xs_c
-                )
-                mu_b = np.asarray(mu_b)[:, : stop - start]
-                v_b = np.asarray(v_b)
+                if full:
+                    mu_b, v_b = pfns[key](
+                        hyps, alphas, Ls, sWs, Xj, n_real, xs_c
+                    )
+                    mu_b = np.asarray(mu_b)[:, : stop - start]
+                    v_b = np.asarray(v_b)
+                else:
+                    packed = np.asarray(
+                        pfns[key](
+                            hyps, alphas, Ls, sWs, Xj, n_real, xs_c
+                        )
+                    )
+                    mu_b = packed[0][:, : stop - start]
+                    v_b = packed[1]
                 for j, idx in enumerate(idxs):
                     mu[start:stop, idx] = mu_b[j]
                     if full:
