@@ -127,6 +127,33 @@ def nlz(spec: ModelSpec, hyp, X, y, s2, n_real=None):
     return 0.5 * quad + logdet_half + 0.5 * n_eff * _LOG_2PI - log_jac
 
 
+def nlz_design(spec: ModelSpec, hyp, X, y, s2, n_real=None):
+    """Single-attempt NLML for design RANKING (space-filling phase).
+
+    Under vmap, the jitter-escalation while_loop steps every batch lane
+    until the worst lane converges: one hopeless candidate in a
+    1024-wide design makes the whole batch pay up to CHOL_MAX_TRIES
+    batched factorizations (measured 200 vs 40 ms at N=100/B=1024 on
+    v5e).  For ranking, a candidate whose kernel cannot factor at the
+    nominal noise is a bad start regardless of its escalated value —
+    return +inf and sort it last (the reference evaluates escalated
+    values, gaussian_process.py:2413-2421; only the ordering among
+    near-degenerate candidates can differ)."""
+    N = X.shape[0]
+    K, sn2_vec, r, _, log_jac = assemble(spec, hyp, X, y, s2, n_real)
+    G = K + sn2_vec * jnp.eye(N, dtype=K.dtype)
+    L = jnp.linalg.cholesky(G)
+    alpha = chol_solve(L, r)
+    n_eff = N if n_real is None else n_real
+    val = (
+        0.5 * jnp.sum(r * alpha)
+        + jnp.sum(jnp.log(jnp.diag(L)))
+        + 0.5 * n_eff * _LOG_2PI
+        - log_jac
+    )
+    return jnp.where(jnp.isnan(val), jnp.inf, val)
+
+
 def posterior_factors(spec: ModelSpec, hyp, X, y, s2, n_real=None):
     """Device part of Posterior construction.
 
@@ -201,6 +228,13 @@ def get_fns(
         X, y, s2, n_real, _ = _split(args)
         return posterior_factors(spec, hyp, X, y, s2, n_real)
 
+    def _obj_design(hyp, *args):
+        X, y, s2, n_real, pack = _split(args)
+        v = nlz_design(spec, hyp, X, y, s2, n_real)
+        if pack is not None:
+            v = v - log_prior(pack, hyp)
+        return v
+
     def _log_post_raw(hyp, *args):
         """Positive (unnormalized) log posterior for MCMC samplers.
 
@@ -219,6 +253,7 @@ def get_fns(
     return {
         "log_post_raw": _log_post_raw,
         "obj_raw": _obj,
+        "obj_design_raw": _obj_design,
         "nlz": jax.jit(_nlz),
         "nlz_grad": jax.jit(jax.value_and_grad(_nlz)),
         "obj": jax.jit(_obj),

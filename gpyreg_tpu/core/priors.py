@@ -60,7 +60,11 @@ def build_prior_pack(hyper_priors, lower_bounds, upper_bounds, log_norm=0.0):
     t_mask = ~u_mask & ~sbt_mask & (df > 0) & fin(df)
 
     def dev(x):
-        return jnp.asarray(x)
+        # Host-side leaves: the pack rides along as a (tiny) traced jit
+        # argument, so jit folds the upload into each dispatch.  Eager
+        # jnp.asarray here would cost ~10 remote-tunnel round trips per
+        # prior rebuild (every warm refit).
+        return np.asarray(x)
 
     # NaN-safe parameter substitutions so that unmasked lanes cannot
     # poison gradients through jnp.where.
@@ -78,7 +82,7 @@ def build_prior_pack(hyper_priors, lower_bounds, upper_bounds, log_norm=0.0):
         sbt_mask=dev(sbt_mask),
         g_mask=dev(g_mask),
         t_mask=dev(t_mask),
-        log_norm=jnp.asarray(float(log_norm)),
+        log_norm=np.float64(log_norm),
     )
 
 

@@ -76,8 +76,7 @@ def _dim_warper(i, LB, UB, PLB, PUB, hprior, n_vars):
     return lambda q: mu + sigma * sp.stats.t.ppf(lo + (hi - lo) * q, df)
 
 
-def f_min_fill(
-    f,
+def build_design(
     x0,
     LB: np.ndarray,
     UB: np.ndarray,
@@ -86,17 +85,12 @@ def f_min_fill(
     hprior: dict,
     N: int,
     design: str = None,
-    f_batch=None,
 ):
-    """Create a space-filling design, evaluate ``f`` everywhere, sort.
-
-    Parameters mirror reference f_min_fill.py:11-57.  ``f_batch``, if
-    given, maps an (N, hyp_N) array to an (N,) array of objective values
-    in one call (the TPU-batched path); otherwise ``f`` is called
-    point-wise like the reference.
-
-    Returns (X sorted by objective ascending, sorted objective values).
-    """
+    """The design-construction half of :func:`f_min_fill`: clipped x0
+    rows followed by the prior-warped Sobol/uniform candidates, with NO
+    objective evaluation.  Used by the fused design+optimize program
+    (inference.map_optimize.design_optimize), which evaluates the design
+    on device in the same dispatch as the multistart optimization."""
     if design is None:
         design = "sobol"
 
@@ -133,6 +127,31 @@ def f_min_fill(
             for i in range(n_vars)
         ]
         X = np.concatenate([x0, np.stack(cols, axis=1)])
+    return X
+
+
+def f_min_fill(
+    f,
+    x0,
+    LB: np.ndarray,
+    UB: np.ndarray,
+    PLB: np.ndarray,
+    PUB: np.ndarray,
+    hprior: dict,
+    N: int,
+    design: str = None,
+    f_batch=None,
+):
+    """Create a space-filling design, evaluate ``f`` everywhere, sort.
+
+    Parameters mirror reference f_min_fill.py:11-57.  ``f_batch``, if
+    given, maps an (N, hyp_N) array to an (N,) array of objective values
+    in one call (the TPU-batched path); otherwise ``f`` is called
+    point-wise like the reference.
+
+    Returns (X sorted by objective ascending, sorted objective values).
+    """
+    X = build_design(x0, LB, UB, PLB, PUB, hprior, N, design)
 
     if f_batch is not None:
         y = np.asarray(f_batch(X), dtype=np.float64).reshape(-1)

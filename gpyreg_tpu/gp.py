@@ -34,6 +34,7 @@ from .core.model import ModelSpec, cov_matrix, mean_value
 from .core.nlml import get_fns
 from .core.priors import build_prior_pack
 from .f_min_fill import (
+    build_design,
     f_min_fill,
     smoothbox_cdf,
     smoothbox_student_t_cdf,
@@ -608,7 +609,6 @@ class GP:
             padded = bool(self.pad_bucket) and self.X is not None
             fns = get_fns(spec, has_s2, has_prior, padded)
 
-            Xj = jnp.asarray(self.X, dtype=self.dtype)
             pack = None
             if has_prior:
                 log_norm = float(
@@ -639,19 +639,32 @@ class GP:
                             s2_host = np.concatenate(
                                 [s2_host, np.ones((Np - N, 1))]
                             )
-                    n_real = jnp.asarray(N, dtype=jnp.int32)
+                    n_real = np.int32(N)
+                # Host-side args: jit folds the (small, (N,D)-sized)
+                # uploads into each dispatch; eager jnp.asarray would
+                # cost a tunnel round trip per array per context rebuild
+                # (every warm refit rebuilds this context).
                 args = [
-                    jnp.asarray(X_host, dtype=self.dtype),
-                    jnp.asarray(y_host, dtype=self.dtype),
+                    np.asarray(X_host, dtype=self.dtype),
+                    np.asarray(y_host, dtype=self.dtype),
                 ]
                 if has_s2:
-                    args.append(jnp.asarray(s2_host, dtype=self.dtype))
+                    args.append(np.asarray(s2_host, dtype=self.dtype))
                 if padded:
                     args.append(n_real)
                 if pack is not None:
                     args.append(pack)
                 args = tuple(args)
 
+            Xj = (
+                args[0]
+                if (args is not None and not padded)
+                else (
+                    None
+                    if self.X is None
+                    else np.asarray(self.X, dtype=self.dtype)
+                )
+            )
             self._ctx = (spec, fns, args, Xj, pack)
         return self._ctx
 
@@ -663,7 +676,9 @@ class GP:
         """Scalar objective nlZ - log_prior (prior included unless
         no_prior), mirroring __gp_obj_fun (gaussian_process.py:1540)."""
         fns, args = self._obj_args()
-        h = jnp.asarray(np.asarray(hyp, dtype=np.float64))
+        # Host-side hyp: jit folds the upload into the dispatch (an
+        # eager jnp.asarray costs a tunnel round trip per call).
+        h = np.asarray(hyp, dtype=np.float64)
         if grad:
             v, g = fns["obj_grad"](h, *args)
             v, g = float(v), np.asarray(g)
@@ -686,10 +701,10 @@ class GP:
             # Huge-N regime: the vmapped program compiles pathologically
             # and buys nothing (one Cholesky saturates the chip).
             return np.array(
-                [float(fns["obj"](jnp.asarray(h), *args)) for h in hyps]
+                [float(fns["obj"](h, *args)) for h in hyps]
             )
         if B <= chunk:
-            return np.asarray(fns["obj_batch"](jnp.asarray(hyps), *args))
+            return np.asarray(fns["obj_batch"](hyps, *args))
         n_chunks = (B + chunk - 1) // chunk
         padded = np.concatenate(
             [hyps, np.tile(hyps[:1], (n_chunks * chunk - B, 1))]
@@ -697,7 +712,7 @@ class GP:
         out = [
             np.asarray(
                 fns["obj_batch"](
-                    jnp.asarray(padded[i * chunk : (i + 1) * chunk]), *args
+                    padded[i * chunk : (i + 1) * chunk], *args
                 )
             )
             for i in range(n_chunks)
@@ -1490,8 +1505,33 @@ class GP:
         else:
             tol = tol_opt
 
+        opt_backend = options.get("optimizer_backend", "device")
+        # Fused path: design evaluation + start selection + multistart
+        # L-BFGS run as ONE device program with one packed pull — the
+        # split flow pays a full remote round trip per phase.
+        fused_device = opt_backend == "device" and opts_N > 0
+        X0_dev = y0_dev = None
+
         ## Space-filling design (batched evaluation on device).
-        if init_N > 0:
+        if fused_device:
+            hyp0_2d = np.atleast_2d(np.asarray(hyp0, dtype=np.float64))
+            if init_N > 0:
+                design = build_design(
+                    hyp0_2d,
+                    LB,
+                    UB,
+                    PLB,
+                    PUB,
+                    self.hyper_priors,
+                    init_N,
+                    init_method,
+                )
+            else:
+                design = hyp0_2d
+            self.fit_timings["design_s"] = (
+                time.perf_counter() - _t_start
+            )
+        elif init_N > 0:
             X0, y0 = f_min_fill(
                 objective_f_1,
                 hyp0,
@@ -1530,7 +1570,55 @@ class GP:
             hyp = hyp0[order, :]
             widths_default = PUB - PLB
 
-        self.fit_timings["design_s"] = time.perf_counter() - _t_start
+        if not fused_device:
+            self.fit_timings["design_s"] = (
+                time.perf_counter() - _t_start
+            )
+
+        ## Multistart MAP optimization.
+        if fused_device:
+            fns, obj_args = self._obj_args()
+            k = int(min(opts_N, design.shape[0]))
+            low_idx = (
+                cov_N if (noise_N > 0 and 1 < opts_N < init_N) else None
+            )
+            # Memory-bounded design-eval chunk (~2 GB of (chunk, N, N)
+            # f64 workspace; mirrors _objective_batch).
+            Nr = self.X.shape[0]
+            chunk = int(
+                max(
+                    1,
+                    min(design.shape[0], 2**31 // max(1, Nr * Nr * 8 * 3)),
+                )
+            )
+            (
+                xs,
+                fs,
+                opt_results,
+                w_prog,
+                X0_dev,
+                y0_dev,
+            ) = _map_optimize.design_optimize(
+                fns["obj_raw"],
+                design,
+                LB,
+                UB,
+                f_args=obj_args,
+                tol=tol,
+                opts_N=k,
+                low_noise_idx=low_idx,
+                chunk=chunk,
+                obj_design_raw=fns["obj_design_raw"],
+            )
+            opts_N = k
+            hyp = np.array(xs)
+            nll = np.array(fs)
+            if init_N > 1:
+                widths_default = w_prog.copy()
+            elif init_N > 0:
+                widths_default = np.zeros(shape=PLB.shape)
+            else:
+                widths_default = PUB - PLB
 
         # Fix zero widths.
         idx0 = widths_default == 0
@@ -1542,22 +1630,24 @@ class GP:
             if np.any(idx0):
                 widths_default[idx0] = np.minimum(1, UB[idx0] - LB[idx0])
 
-        # Clamp starts strictly inside finite bounds.
-        eps_LB = np.reshape(LB.copy(), (1, -1))
-        eps_UB = np.reshape(UB.copy(), (1, -1))
-        LB_idx = (eps_LB != eps_UB) & np.isfinite(eps_LB)
-        UB_idx = (eps_LB != eps_UB) & np.isfinite(eps_UB)
-        eps_LB[LB_idx] = np.nextafter(eps_LB[LB_idx], np.inf)
-        eps_UB[UB_idx] = np.nextafter(eps_UB[UB_idx], -np.inf)
-        hyp = np.minimum(eps_UB, np.maximum(eps_LB, hyp))
+        if not fused_device:
+            # Clamp starts strictly inside finite bounds (the fused path
+            # transforms to unbounded z-space in-program instead).
+            eps_LB = np.reshape(LB.copy(), (1, -1))
+            eps_UB = np.reshape(UB.copy(), (1, -1))
+            LB_idx = (eps_LB != eps_UB) & np.isfinite(eps_LB)
+            UB_idx = (eps_LB != eps_UB) & np.isfinite(eps_UB)
+            eps_LB[LB_idx] = np.nextafter(eps_LB[LB_idx], np.inf)
+            eps_UB[UB_idx] = np.nextafter(eps_UB[UB_idx], -np.inf)
+            hyp = np.minimum(eps_UB, np.maximum(eps_LB, hyp))
 
-        ## Multistart MAP optimization.
-        nll = np.full((np.maximum(opts_N, 1),), np.inf)
-        opt_results = []
+            nll = np.full((np.maximum(opts_N, 1),), np.inf)
+            opt_results = []
+            opts_N = np.minimum(opts_N, hyp.shape[0])
 
-        opts_N = np.minimum(opts_N, hyp.shape[0])
-        opt_backend = options.get("optimizer_backend", "device")
-        if opts_N > 0 and opt_backend == "device":
+        if fused_device:
+            pass  # optimized above, fused with the design evaluation
+        elif opts_N > 0 and opt_backend == "device":
             # All restarts advance together in one jitted vmapped L-BFGS
             # (vs the reference's sequential scipy loop,
             # gaussian_process.py:1177-1188).
@@ -1625,8 +1715,14 @@ class GP:
         if f_start is None:
             f_start = self._objective(hyp_start)
         if not np.isfinite(f_start):
-            cand = np.asarray(hyp)
-            vals = self._objective_batch(cand)
+            if X0_dev is not None:
+                # Reuse the fused program's sorted candidate pool (kept
+                # device-resident; its objective values already exist).
+                cand = np.asarray(X0_dev)
+                vals = np.asarray(y0_dev)
+            else:
+                cand = np.asarray(hyp)
+                vals = self._objective_batch(cand)
             finite = np.isfinite(vals)
             if not np.any(finite):
                 raise ValueError(

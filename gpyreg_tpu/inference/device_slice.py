@@ -372,7 +372,21 @@ def _run_chain(
     )
     samples = xs[::thin][:n_samples]
     f_vals = log_Pxs[::thin][:n_samples]
-    return state, samples, f_vals, init_log_Px
+    # Pack everything the host reads into ONE array (one device->host
+    # transfer; the remote tunnel charges a fixed latency per pull):
+    # row 0 = [init_log_Px, 0, 0...]; rows 1..n = [f_val, log_prior, x].
+    if log_prior is not None:
+        lp = jax.vmap(log_prior)(samples)
+    else:
+        lp = jnp.zeros_like(f_vals)
+    D = samples.shape[1]
+    head = jnp.concatenate(
+        [init_log_Px[None], jnp.zeros((D + 1,), dtype=samples.dtype)]
+    )[None, :]
+    body = jnp.concatenate(
+        [f_vals[:, None], lp[:, None], samples], axis=1
+    )
+    return state, jnp.concatenate([head, body], axis=0)
 
 
 def sample(
@@ -419,35 +433,36 @@ def sample(
         _logger.setLevel(logging.INFO)
     else:
         _logger.setLevel(logging.WARNING)
-    x0 = jnp.asarray(x0, dtype=jnp.float64).ravel()
+    # All setup/validation stays host-side numpy: every eager jnp op or
+    # device pull here would cost a remote-tunnel round trip before the
+    # chain even dispatches.  jit uploads these with the dispatch.
+    x0 = np.asarray(x0, dtype=np.float64).ravel()
     D = x0.shape[0]
 
     def _expand(v, default):
         if v is None:
-            return jnp.full((D,), default, dtype=x0.dtype)
-        v = jnp.asarray(v, dtype=x0.dtype)
-        return jnp.broadcast_to(v.ravel(), (D,))
+            return np.full((D,), default, dtype=np.float64)
+        v = np.asarray(v, dtype=np.float64)
+        return np.broadcast_to(v.ravel(), (D,)).copy()
 
-    LB = _expand(LB, -jnp.inf)
-    UB = _expand(UB, jnp.inf)
+    LB = _expand(LB, -np.inf)
+    UB = _expand(UB, np.inf)
 
-    if np.any(np.asarray(x0) < np.asarray(LB)) or np.any(
-        np.asarray(x0) > np.asarray(UB)
-    ):
+    if np.any(x0 < LB) or np.any(x0 > UB):
         raise ValueError(
             "The initial starting point X0 is outside the bounds."
         )
 
     base_widths = None
     if widths is None:
-        w = (np.asarray(UB) - np.asarray(LB)) / 2.0
+        w = (UB - LB) / 2.0
     else:
         w = np.broadcast_to(
             np.asarray(widths, dtype=np.float64).ravel(), (D,)
         ).copy()
-        base_widths = jnp.asarray(w)
+        base_widths = w
     w = np.where(np.isinf(w), 10.0, w)
-    w = np.where(np.asarray(LB == UB), 1.0, w)
+    w = np.where(LB == UB, 1.0, w)
     if np.any(w <= 0) or np.any(~np.isfinite(w)):
         raise ValueError(
             "The widths vector needs to be all positive real numbers."
@@ -467,14 +482,14 @@ def sample(
     if state is None:
         state = SliceState(
             x=x0,
-            log_Px=jnp.asarray(0.0, dtype=x0.dtype),
-            widths=jnp.asarray(w),
+            log_Px=np.float64(0.0),
+            widths=w,
             key=key,
         )
 
-    LB_out = jnp.asarray(np.nextafter(np.asarray(LB), -np.inf))
-    UB_out = jnp.asarray(np.nextafter(np.asarray(UB), np.inf))
-    state, samples, f_vals, init_log_Px = _run_chain(
+    LB_out = np.nextafter(LB, -np.inf)
+    UB_out = np.nextafter(UB, np.inf)
+    state, packed = _run_chain(
         log_f,
         state,
         LB,
@@ -491,23 +506,21 @@ def sample(
         bool(step_out),
         log_prior,
     )
-    if not np.isfinite(float(init_log_Px)):
+    packed = np.asarray(packed)  # the chain's single device->host pull
+    init_log_Px = packed[0, 0]
+    f_vals = packed[1:, 0:1]
+    log_priors = packed[1:, 1]
+    samples = packed[1:, 2:]
+    if not np.isfinite(init_log_Px):
         raise ValueError(
             "The initial starting point X0 needs to evaluate to a real "
             "number (not Inf or NaN)."
         )
 
-    samples = np.asarray(samples)
-    f_vals = np.asarray(f_vals).reshape(-1, 1)
     if log_prior is not None:
         # The chain carries the full density; split the reported values
         # so f_vals excludes the prior (reference result contract).
-        log_priors = np.asarray(
-            jax.vmap(log_prior)(jnp.asarray(samples))
-        ).reshape(-1)
         f_vals = f_vals - log_priors[:, None]
-    else:
-        log_priors = np.zeros((samples.shape[0],))
 
     _logger.info("\nSampling terminated:")
     _logger.info(
@@ -601,7 +614,7 @@ def sample_chains(
     UB_out = jnp.asarray(np.nextafter(np.asarray(UB), np.inf))
 
     def one(state):
-        _, samples, f_vals, _ = _run_chain(
+        _, packed = _run_chain(
             log_f,
             state,
             LB,
@@ -616,7 +629,8 @@ def sample_chains(
             int(max_shrink),
             f_args,
         )
-        return samples, f_vals
+        return packed
 
-    samples, f_vals = jax.vmap(one)(states)
-    return np.asarray(samples), np.asarray(f_vals)
+    # One pull for all chains (packed rows: see _run_chain).
+    packed = np.asarray(jax.vmap(one)(states))
+    return packed[:, 1:, 2:], packed[:, 1:, 0]

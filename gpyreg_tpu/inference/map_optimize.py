@@ -15,6 +15,7 @@ own fit tests compare recovered hyperparameters within loose tolerance,
 not optimizer iterates (testing/test_gaussian_process.py:844).
 """
 
+import math
 from functools import lru_cache, partial
 
 import numpy as np
@@ -47,11 +48,14 @@ def _make_transform(LB, UB):
         tuple(fin_l.tolist()), tuple(fin_u.tolist()), tuple(fixed.tolist())
     )
     two = fin_l & fin_u & ~fixed
-    bp = jnp.stack(
+    # Host-side packed bound params: uploaded as part of the optimizer
+    # dispatch (an eager jnp.stack here would cost a tunnel round trip
+    # per fit before the optimization even starts).
+    bp = np.stack(
         [
-            jnp.asarray(np.where(fin_l, LB, 0.0)),
-            jnp.asarray(np.where(fin_u, UB, 0.0)),
-            jnp.asarray(np.where(two, UB - LB, 1.0)),
+            np.where(fin_l, LB, 0.0),
+            np.where(fin_u, UB, 0.0),
+            np.where(two, UB - LB, 1.0),
         ]
     )
     return to_x, to_z, bp
@@ -101,19 +105,8 @@ def _make_transform_cached(fin_l, fin_u, fixed):
     return to_x, to_z
 
 
-@partial(
-    jax.jit,
-    static_argnames=("obj_raw", "to_x", "max_iter", "memory_size"),
-)
-def _run_multistart(
-    obj_raw,
-    to_x,
-    z0,  # (B, n)
-    bp,  # (3, n) packed bound params (LB, UB, width), traced
-    tol,
-    max_iter: int,
-    memory_size: int,
-    f_args,
+def _multistart_core(
+    obj_raw, to_x, bp, tol, max_iter, memory_size, f_args, z0
 ):
     opt = optax.lbfgs(memory_size=memory_size)
 
@@ -180,6 +173,177 @@ def _run_multistart(
     return lax.map(one_start, z0)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("obj_raw", "to_x", "to_z", "max_iter", "memory_size"),
+)
+def _run_multistart(
+    obj_raw,
+    to_x,
+    to_z,
+    starts,  # (B, n) in x-space; transformed to z inside the program
+    bp,  # (3, n) packed bound params (LB, UB, width), traced
+    tol,
+    max_iter: int,
+    memory_size: int,
+    f_args,
+):
+    z0 = jax.vmap(to_z, in_axes=(0, None))(starts, bp)
+    xs, fs, its = _multistart_core(
+        obj_raw, to_x, bp, tol, max_iter, memory_size, f_args, z0
+    )
+    # One packed output -> one device->host pull (the remote tunnel
+    # charges a fixed latency per transfer).
+    return jnp.concatenate(
+        [xs, fs[:, None], its[:, None].astype(xs.dtype)], axis=1
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "obj_raw",
+        "obj_design_raw",
+        "to_x",
+        "to_z",
+        "opts_N",
+        "low_noise_idx",
+        "chunk",
+        "max_iter",
+        "memory_size",
+    ),
+)
+def _run_design_optimize(
+    obj_raw,
+    obj_design_raw,
+    to_x,
+    to_z,
+    design,  # (B0, n) candidate hyp rows (x0 rows first)
+    bp,
+    tol,
+    opts_N: int,
+    low_noise_idx,
+    chunk: int,
+    max_iter: int,
+    memory_size: int,
+    f_args,
+):
+    """Design evaluation + start selection + multistart L-BFGS fused
+    into ONE program (one dispatch, one packed pull): the space-filling
+    phase and the optimization phase otherwise each pay a full remote
+    round trip per fit (reference flow gaussian_process.py:1097-1188).
+
+    Returns ``(packed, X_sorted, y_sorted)``; only ``packed`` (rows
+    0..k-1 = [x | f | iters], row k = [widths_default | 0 | 0]) is meant
+    to be pulled — the sorted candidate pool stays device-resident for
+    the rare non-finite-start fallback.
+    """
+    B0, n = design.shape
+    n_chunks = -(-B0 // chunk)
+    pad = n_chunks * chunk - B0
+    dpad = (
+        jnp.concatenate(
+            [design, jnp.broadcast_to(design[:1], (pad, n))]
+        )
+        if pad
+        else design
+    )
+    ys = lax.map(
+        lambda c: jax.vmap(lambda h: obj_design_raw(h, *f_args))(c),
+        dpad.reshape(n_chunks, chunk, n),
+    ).reshape(-1)[:B0]
+    # Failed evaluations (NaN kernel factorization) sort last.
+    ys = jnp.where(jnp.isfinite(ys), ys, jnp.inf)
+    order = jnp.argsort(ys)
+    X_sorted = design[order]
+    y_sorted = ys[order]
+    starts = X_sorted[:opts_N]
+
+    if low_noise_idx is not None and 1 < opts_N < B0:
+        # Low-noise second restart (reference :1112-1125): among the
+        # 20% lowest-noise leftover candidates, take the best objective.
+        rest = X_sorted[opts_N:]
+        y_rest = y_sorted[opts_N:]
+        noise_order = jnp.argsort(rest[:, low_noise_idx])
+        m = max(1, math.ceil(0.2 * rest.shape[0]))
+        cand = noise_order[:m]
+        starts = starts.at[1].set(rest[cand[jnp.argmin(y_rest[cand])]])
+
+    if B0 > 1:
+        widths = jnp.std(design, axis=0, ddof=1)
+    else:
+        widths = jnp.zeros((n,), design.dtype)
+
+    z0 = jax.vmap(to_z, in_axes=(0, None))(starts, bp)
+    xs, fs, its = _multistart_core(
+        obj_raw, to_x, bp, tol, max_iter, memory_size, f_args, z0
+    )
+    packed = jnp.concatenate(
+        [xs, fs[:, None], its[:, None].astype(xs.dtype)], axis=1
+    )
+    w_row = jnp.concatenate(
+        [widths, jnp.zeros((2,), dtype=xs.dtype)]
+    )[None, :]
+    return jnp.concatenate([packed, w_row], axis=0), X_sorted, y_sorted
+
+
+def design_optimize(
+    obj_raw,
+    design,
+    LB,
+    UB,
+    f_args=(),
+    tol=1e-5,
+    opts_N=3,
+    low_noise_idx=None,
+    chunk=None,
+    max_iter=500,
+    memory_size=10,
+    obj_design_raw=None,
+):
+    """Fused design-eval + top-k selection + multistart MAP.
+
+    ``design`` is the full host-built candidate matrix (x0 rows first;
+    see f_min_fill.build_design).  Returns ``(xs, fs, results,
+    widths_default, X_sorted_dev, y_sorted_dev)`` — the last two are
+    device-resident (pull only if needed).
+    """
+    design = np.atleast_2d(np.asarray(design, dtype=np.float64))
+    B0 = design.shape[0]
+    opts_N = int(min(opts_N, B0))
+    if chunk is None:
+        chunk = B0
+    chunk = int(max(1, min(chunk, B0)))
+    to_x, to_z, bp = _make_transform(LB, UB)
+    packed_dev, X_sorted, y_sorted = _run_design_optimize(
+        obj_raw,
+        obj_design_raw if obj_design_raw is not None else obj_raw,
+        to_x,
+        to_z,
+        design,
+        bp,
+        np.float64(tol),
+        opts_N,
+        low_noise_idx,
+        chunk,
+        int(max_iter),
+        int(memory_size),
+        tuple(f_args),
+    )
+    packed = np.asarray(packed_dev)  # the phase's single pull
+    xs, fs, its = packed[:-1, :-2], packed[:-1, -2], packed[:-1, -1]
+    widths_default = packed[-1, :-2]
+    LBc = np.nextafter(np.asarray(LB, dtype=np.float64), np.inf)
+    UBc = np.nextafter(np.asarray(UB, dtype=np.float64), -np.inf)
+    fixed = np.asarray(LB) == np.asarray(UB)
+    xs = np.clip(xs, np.where(fixed, LB, LBc), np.where(fixed, UB, UBc))
+    results = [
+        MapResult(xs[i], float(fs[i]), int(its[i]))
+        for i in range(xs.shape[0])
+    ]
+    return xs, fs, results, widths_default, X_sorted, y_sorted
+
+
 class MapResult:
     """Duck-typed stand-in for scipy OptimizeResult (fields the library
     and its consumers read: x, fun, nit, success)."""
@@ -215,20 +379,20 @@ def multistart_map(
     """
     starts = np.atleast_2d(np.asarray(starts, dtype=np.float64))
     to_x, to_z, bp = _make_transform(LB, UB)
-    z0 = jax.vmap(to_z, in_axes=(0, None))(jnp.asarray(starts), bp)
-    xs, fs, its = _run_multistart(
-        obj_raw,
-        to_x,
-        z0,
-        bp,
-        jnp.asarray(float(tol)),
-        int(max_iter),
-        int(memory_size),
-        tuple(f_args),
+    packed = np.asarray(
+        _run_multistart(
+            obj_raw,
+            to_x,
+            to_z,
+            starts,
+            bp,
+            np.float64(tol),
+            int(max_iter),
+            int(memory_size),
+            tuple(f_args),
+        )
     )
-    xs = np.asarray(xs)
-    fs = np.asarray(fs)
-    its = np.asarray(its)
+    xs, fs, its = packed[:, :-2], packed[:, -2], packed[:, -1]
     # Clamp strictly inside the numerical bounds (transform round-off).
     LBc = np.nextafter(np.asarray(LB, dtype=np.float64), np.inf)
     UBc = np.nextafter(np.asarray(UB, dtype=np.float64), -np.inf)
