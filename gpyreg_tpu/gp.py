@@ -754,6 +754,7 @@ class GP:
 
         S = hyp_arr.shape[0]
         L_stored = [None] * S
+        full_L_stack = None
         for flag in (True, False):
             idx = np.nonzero(flags == flag)[0]
             if idx.size == 0:
@@ -764,13 +765,18 @@ class GP:
                 out = _scaled_upper_batch(sub, sls)
             else:
                 out = _neg_inverse_batch(sub)
+            if idx.size == S:
+                full_L_stack = out
             for j, s in enumerate(idx):
                 L_stored[s] = out[j]
-        return [
+
+        alpha_rows = [alphas[s] for s in range(S)]
+        sw_rows = [sWs[s] for s in range(S)]
+        posts = [
             Posterior(
                 np.asarray(hyp_arr[s], dtype=np.float64).copy(),
-                alphas[s],
-                sWs[s],
+                alpha_rows[s],
+                sw_rows[s],
                 L_stored[s],
                 float(mults_h[s]),
                 bool(flags[s]),
@@ -778,6 +784,27 @@ class GP:
             )
             for s in range(S)
         ]
+        if S > 0 and full_L_stack is not None:
+            # Seed the predict-path stack cache with the batched factors
+            # that already exist here, so even the FIRST predict after a
+            # refit skips the eager re-stacking device round trips
+            # (_posterior_arrays memoization; keys match by row-view
+            # identity).
+            cache = getattr(self, "_stack_cache", None)
+            if cache is None:
+                cache = self._stack_cache = {}
+            idx_t = tuple(range(S))
+            for name, rows, stacked in (
+                ("alpha", alpha_rows, alphas),
+                ("sW", sw_rows, sWs),
+                ("L", L_stored, full_L_stack),
+            ):
+                cache[(name, idx_t, True)] = (
+                    tuple(map(id, rows)),
+                    stacked,
+                    rows,
+                )
+        return posts
 
     def _compute_posteriors(self, hyp_arr):
         """Batched posterior-factor computation for all samples.

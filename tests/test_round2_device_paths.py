@@ -356,3 +356,33 @@ def test_pad_bucket_none_single_point_update():
     mu2, s22 = g2.predict(xs)
     assert np.allclose(mu1, mu2, atol=1e-8)
     assert np.allclose(s21, s22, atol=1e-8)
+
+
+def test_stack_cache_seeded_at_finalize():
+    """The batched factors built during posterior finalization must be
+    reusable by the first predict without re-stacking (gp.py
+    _finalize_posteriors seeds _stack_cache; _posterior_arrays hits it
+    by row-view identity)."""
+    rng = np.random.default_rng(0)
+    X = rng.uniform(-3, 3, (24, 2))
+    y = np.sin(np.sum(X, 1, keepdims=True))
+    gp = gpr.GP(
+        D=2,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+    )
+    hyp = np.tile(
+        np.array([[0.1, -0.1, 0.2, -2.0, 0.0]]), (3, 1)
+    ) + 0.01 * rng.normal(size=(3, 5))
+    gp.update(X_new=X, y_new=y, hyp=hyp)
+
+    cache = gp._stack_cache
+    keys = {k[0] for k in cache}
+    assert {"alpha", "sW", "L"} <= keys
+    get_stacked, _, _, _ = gp._posterior_arrays()
+    seeded = cache[("L", (0, 1, 2), True)][1]
+    assert get_stacked("L", range(3)) is seeded
+    # And prediction through the seeded stacks stays correct.
+    mu, s2 = gp.predict(np.zeros((4, 2)))
+    assert np.all(np.isfinite(mu)) and np.all(s2 >= 0)
