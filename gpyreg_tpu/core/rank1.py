@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
-from .model import ModelSpec, cov_matrix
+from .model import ModelSpec, cov_matrix, mean_value
 
 
 @lru_cache(maxsize=None)
@@ -53,28 +53,43 @@ def get_rank1_fns(spec: ModelSpec):
 
     Each function takes ``(hyps (S,h), alphas (S,Np,1), Ls (S,Np,Np),
     sWs (S,Np,1), X_pad (Np,D), n (traced int), x_new (1,D),
-    y_new (scalar), sn2_effs (S,), m_preds (S,), v_preds (S,))`` and
-    returns ``(L' (S,Np,Np), alpha' (S,Np,1), sW' (S,Np,1), ok (S,))``.
+    y_new (scalar), sn2_effs (S,))`` and returns ``(L' (S,Np,Np),
+    alpha' (S,Np,1), sW' (S,Np,1), ok (S,))``.
+
+    The per-sample predictive mean/variance at the new point (with
+    observation noise; reference gaussian_process.py:756) is computed
+    INSIDE the program from the same cross-covariance — the round-1/2
+    code paid a separate ``predict`` dispatch (a full remote round
+    trip) per update just to obtain these two scalars.
     """
 
     def _common(hyp, X, n, x_new):
         dtype = X.dtype
-        hyp_cov, _, _ = spec.split_hyp(hyp.astype(dtype))
+        hyp_cov, _, hyp_mean = spec.split_hyp(hyp.astype(dtype))
         ar = jnp.arange(X.shape[0])
         mask = (ar < n).astype(dtype)
         e_n = (ar == n).astype(dtype)
         k_star = cov_matrix(spec, hyp_cov, X, Z=x_new)[:, 0] * mask
         k_new = cov_matrix(spec, hyp_cov, x_new, diag=True)[0]
-        return mask, e_n, k_star, k_new
+        m_star = mean_value(spec, hyp_mean, x_new)[0]
+        return mask, e_n, k_star, k_new, m_star
 
     def _append(alpha, sW, e_n, mask, upd, delta, sn2_eff):
         alpha_new = alpha[:, 0] + delta * (upd * mask - e_n)
         sW_new = sW[:, 0] * (1.0 - e_n) + e_n / jnp.sqrt(sn2_eff)
         return alpha_new[:, None], sW_new[:, None]
 
-    def chol_one(hyp, alpha, L, sW, X, n, x_new, y_new, sn2_eff, m_pred, v_pred):
+    def chol_one(hyp, alpha, L, sW, X, n, x_new, y_new, sn2_eff):
         dtype = X.dtype
-        mask, e_n, k_star, k_new = _common(hyp, X, n, x_new)
+        mask, e_n, k_star, k_new, m_star = _common(hyp, X, n, x_new)
+        # Predictive moments at x_new (chol parametrization, mirrors
+        # _predict_fns.chol_branch + observation noise).
+        m_pred = m_star + jnp.sum(k_star * alpha[:, 0])
+        Vc = solve_triangular(
+            L, (sW[:, 0] * k_star)[:, None], lower=False, trans=1
+        )[:, 0]
+        v_pred = jnp.maximum(k_new - jnp.sum(Vc * Vc), 0.0) + sn2_eff
+
         c = solve_triangular(L, k_star[:, None], lower=False, trans=1)[:, 0]
         sqrt_arg = sn2_eff**2 + k_new * sn2_eff - jnp.sum(c * c)
         ok = sqrt_arg > 0
@@ -89,9 +104,16 @@ def get_rank1_fns(spec: ModelSpec):
         alpha_new, sW_new = _append(alpha, sW, e_n, mask, upd, delta, sn2_eff)
         return L_new, alpha_new, sW_new, ok
 
-    def inv_one(hyp, alpha, L, sW, X, n, x_new, y_new, sn2_eff, m_pred, v_pred):
-        mask, e_n, k_star, k_new = _common(hyp, X, n, x_new)
-        upd = -jnp.matmul(L, k_star[:, None])[:, 0]
+    def inv_one(hyp, alpha, L, sW, X, n, x_new, y_new, sn2_eff):
+        mask, e_n, k_star, k_new, m_star = _common(hyp, X, n, x_new)
+        Lk = jnp.matmul(L, k_star[:, None])[:, 0]
+        # Predictive moments (explicit-negative-inverse parametrization,
+        # mirrors _predict_fns.inv_branch + observation noise).
+        m_pred = m_star + jnp.sum(k_star * alpha[:, 0])
+        v_pred = (
+            jnp.maximum(k_new + jnp.sum(k_star * Lk), 0.0) + sn2_eff
+        )
+        upd = -Lk
         v = -upd / v_pred
         L_new = L + jnp.outer(v, upd)
         L_new = L_new.at[:, n].set(-v)
@@ -101,8 +123,26 @@ def get_rank1_fns(spec: ModelSpec):
         alpha_new, sW_new = _append(alpha, sW, e_n, mask, upd, delta, sn2_eff)
         return L_new, alpha_new, sW_new, jnp.asarray(True)
 
-    axes = (0, 0, 0, 0, None, None, None, None, 0, 0, 0)
+    def mixed_one(flag, hyp, alpha, L, sW, X, n, x_new, y_new, sn2_eff):
+        """Both parametrization branches in one program, where-selected
+        per sample — mixed-parametrization posteriors otherwise cost a
+        second dispatch+pull round trip per update."""
+        Lc, ac, sc, okc = chol_one(
+            hyp, alpha, L, sW, X, n, x_new, y_new, sn2_eff
+        )
+        Li, ai, si, oki = inv_one(
+            hyp, alpha, L, sW, X, n, x_new, y_new, sn2_eff
+        )
+        return (
+            jnp.where(flag, Lc, Li),
+            jnp.where(flag, ac, ai),
+            jnp.where(flag, sc, si),
+            jnp.where(flag, okc, oki),
+        )
+
+    axes = (0, 0, 0, 0, None, None, None, None, 0)
     return {
         "chol": jax.jit(jax.vmap(chol_one, in_axes=axes)),
         "inv": jax.jit(jax.vmap(inv_one, in_axes=axes)),
+        "mixed": jax.jit(jax.vmap(mixed_one, in_axes=(0,) + axes)),
     }

@@ -315,11 +315,26 @@ def _predict_fns(spec: ModelSpec, pallas: bool = False):
 
         return jax.jit(f)
 
+    def mixed_branch(flag, hyp, alpha, L, sW, X, n_real, xs):
+        # Posterior samples whose parametrization differs (reference
+        # L_chol split, gaussian_process.py:2404) share ONE program:
+        # both branches are evaluated and `where`-selected per sample.
+        # The duplicated compute is trivial next to the per-dispatch
+        # latency a second group call would cost.
+        mu_c, s2_c = chol_branch(hyp, alpha, L, sW, X, n_real, xs)
+        mu_i, s2_i = inv_branch(hyp, alpha, L, sW, X, n_real, xs)
+        return (
+            jnp.where(flag, mu_c, mu_i),
+            jnp.where(flag, s2_c, s2_i),
+        )
+
+    mixed_axes = (0,) + vmap_axes
     return {
         "chol": jax.jit(jax.vmap(chol_branch, in_axes=vmap_axes)),
         "inv": jax.jit(jax.vmap(inv_branch, in_axes=vmap_axes)),
         "chol_packed": _packed_multi(chol_branch, vmap_axes),
         "inv_packed": _packed_multi(inv_branch, vmap_axes),
+        "mixed_packed": _packed_multi(mixed_branch, mixed_axes),
         "prior_packed": _packed_multi(prior_branch, (0, None)),
         "chol_full": jax.jit(jax.vmap(chol_branch_full, in_axes=vmap_axes)),
         "inv_full": jax.jit(jax.vmap(inv_branch_full, in_axes=vmap_axes)),
@@ -496,10 +511,33 @@ def _quad_fns(spec: ModelSpec):
 
     mean_axes = (0, 0, None, None, None, None)
     var_axes = (0, 0, 0, 0, None, None, None, None)
+
+    def _packed_var(branch, axes=var_axes):
+        # Mean and variance stacked into one (2, s, M) output: one
+        # device->host pull per call (fixed tunnel latency per transfer;
+        # same treatment as _predict_fns._packed_multi).
+        vm = jax.vmap(branch, in_axes=axes)
+
+        def f(*args):
+            F, J = vm(*args)
+            return jnp.stack([F, J])
+
+        return jax.jit(f)
+
+    def mixed_var_one(flag, hyp, alpha, L, mult, X, n_real, mu, sigma):
+        # Both parametrization branches in one program, where-selected
+        # per sample (see _predict_fns.mixed_branch rationale).
+        F_c, J_c = chol_var_one(hyp, alpha, L, mult, X, n_real, mu, sigma)
+        F_i, J_i = inv_var_one(hyp, alpha, L, mult, X, n_real, mu, sigma)
+        return jnp.where(flag, F_c, F_i), jnp.where(flag, J_c, J_i)
+
     return {
         "mean": jax.jit(jax.vmap(mean_one, in_axes=mean_axes)),
         "chol_var": jax.jit(jax.vmap(chol_var_one, in_axes=var_axes)),
         "inv_var": jax.jit(jax.vmap(inv_var_one, in_axes=var_axes)),
+        "chol_var_packed": _packed_var(chol_var_one),
+        "inv_var_packed": _packed_var(inv_var_one),
+        "mixed_var_packed": _packed_var(mixed_var_one, (0,) + var_axes),
     }
 
 
@@ -1289,9 +1327,6 @@ class GP:
         if rank_one_update:
             cov_N, noise_N, _ = self._hyp_counts()
 
-            m_star, v_star = self.predict(
-                X_new, y_new, add_noise=True, separate_samples=True
-            )
             s_N = np.size(self.posteriors)
             sn2_effs = np.array(
                 [
@@ -1316,30 +1351,50 @@ class GP:
             groups = {True: [], False: []}
             for i, p in enumerate(self.posteriors):
                 groups[bool(p.L_chol)].append(i)
+            if groups[True] and groups[False]:
+                # Mixed parametrizations: one program (core/rank1.py
+                # mixed_one) instead of a round trip per group.
+                groups = {None: list(range(s_N))}
 
-            x_new_j = jnp.asarray(X_new, dtype=self.dtype)
-            y_new_j = jnp.asarray(float(y_new[0, 0]), dtype=self.dtype)
+            # Host-side scalars/points: uploads fold into the dispatch
+            # (the per-sample predictive at x_new is computed INSIDE the
+            # rank-1 program — one dispatch + one ok-pull per group).
+            x_new_h = np.asarray(X_new, dtype=self.dtype)
+            y_new_h = self.dtype.type(y_new[0, 0])
             for flag, idxs in groups.items():
                 if not idxs:
                     continue
-                hyps = jnp.asarray(
-                    np.stack([self.posteriors[i].hyp for i in idxs]),
-                    dtype=self.dtype,
-                )
-                L_out, a_out, sw_out, ok = r1fns["chol" if flag else "inv"](
+                hyps = np.stack(
+                    [self.posteriors[i].hyp for i in idxs]
+                ).astype(self.dtype)
+                call_args = (
                     hyps,
                     get_stacked("alpha", idxs),
                     get_stacked("L", idxs),
                     get_stacked("sW", idxs),
                     X_pad,
                     n_real,
-                    x_new_j,
-                    y_new_j,
-                    jnp.asarray(sn2_effs[idxs], dtype=self.dtype),
-                    jnp.asarray(m_star[0, idxs], dtype=self.dtype),
-                    jnp.asarray(v_star[0, idxs], dtype=self.dtype),
+                    x_new_h,
+                    y_new_h,
+                    np.asarray(sn2_effs[idxs], dtype=self.dtype),
                 )
+                if flag is None:
+                    flags_arr = np.array(
+                        [bool(self.posteriors[i].L_chol) for i in idxs]
+                    )
+                    L_out, a_out, sw_out, ok = r1fns["mixed"](
+                        flags_arr, *call_args
+                    )
+                else:
+                    L_out, a_out, sw_out, ok = r1fns[
+                        "chol" if flag else "inv"
+                    ](*call_args)
                 ok = np.asarray(ok)
+                rows = {
+                    "alpha": [a_out[j] for j in range(len(idxs))],
+                    "sW": [sw_out[j] for j in range(len(idxs))],
+                    "L": [L_out[j] for j in range(len(idxs))],
+                }
                 for j, i in enumerate(idxs):
                     if not ok[j]:
                         full_updates.append(i)
@@ -1350,11 +1405,30 @@ class GP:
                         )
                         continue
                     p = self.posteriors[i]
-                    p._alpha = a_out[j]
-                    p._sW = sw_out[j]
-                    p._L = L_out[j]
+                    p._alpha = rows["alpha"][j]
+                    p._sW = rows["sW"][j]
+                    p._L = rows["L"][j]
                     p._views = {}
                     p.n_real = n_real + 1
+                if np.all(ok):
+                    # Re-seed the predict/quad stack cache with the
+                    # program's stacked outputs, so the next update /
+                    # predict skips re-stacking (keys match by row-view
+                    # identity — see _posterior_arrays).
+                    cache = getattr(self, "_stack_cache", None)
+                    if cache is None:
+                        cache = self._stack_cache = {}
+                    idx_t = tuple(idxs)
+                    for name, stacked in (
+                        ("alpha", a_out),
+                        ("sW", sw_out),
+                        ("L", L_out),
+                    ):
+                        cache[(name, idx_t, True)] = (
+                            tuple(map(id, rows[name])),
+                            stacked,
+                            rows[name],
+                        )
 
         if X_new is not None:
             self.X = X_new if self.X is None else np.concatenate(
@@ -2047,6 +2121,12 @@ class GP:
                 s2[:, idx] = packed[1][:M]
             return mu, s2
 
+        mixed = bool(groups[True]) and bool(groups[False]) and not full
+        if mixed:
+            # One program for both parametrization groups (see
+            # _predict_fns.mixed_branch): a second group call would pay
+            # another full dispatch+pull round trip.
+            groups = {None: list(range(s_N))}
         for flag, idxs in groups.items():
             if not idxs:
                 continue
@@ -2058,8 +2138,14 @@ class GP:
             alphas = get_stacked("alpha", idxs)
             Ls = get_stacked("L", idxs)
             sWs = get_stacked("sW", idxs)
-            key = "chol" if flag else "inv"
-            key += "_full" if full else "_packed"
+            if mixed:
+                key = "mixed_packed"
+                flags_arr = np.array(
+                    [bool(self.posteriors[i].L_chol) for i in idxs]
+                )
+            else:
+                key = "chol" if flag else "inv"
+                key += "_full" if full else "_packed"
 
             for start in range(0, M, chunk):
                 stop = min(start + chunk, M)
@@ -2077,11 +2163,10 @@ class GP:
                     mu_b = np.asarray(mu_b)[:, : stop - start]
                     v_b = np.asarray(v_b)
                 else:
-                    packed = np.asarray(
-                        pfns[key](
-                            hyps, alphas, Ls, sWs, Xj, n_real, xs_c
-                        )
-                    )
+                    call_args = (hyps, alphas, Ls, sWs, Xj, n_real, xs_c)
+                    if mixed:
+                        call_args = (flags_arr,) + call_args
+                    packed = np.asarray(pfns[key](*call_args))
                     mu_b = packed[0][:, : stop - start]
                     v_b = packed[1]
                 for j, idx in enumerate(idxs):
@@ -2286,9 +2371,13 @@ class GP:
         # solves; this is PyVBMC's ELBO hot path).
         qfns = _quad_fns(self._spec())
         get_stacked, _, X_use, n_real = self._posterior_arrays()
-        muj = jnp.asarray(mu, dtype=self.dtype)
-        sigmaj = jnp.asarray(sigma, dtype=self.dtype)
-        hyps_all = np.stack([p.hyp for p in self.posteriors])
+        # Integration points and hyps stay host-side (uploads fold into
+        # the dispatch; eager jnp.asarray costs a tunnel round trip).
+        muh = np.asarray(mu, dtype=self.dtype)
+        sigmah = np.asarray(sigma, dtype=self.dtype)
+        hyps_all = np.stack([p.hyp for p in self.posteriors]).astype(
+            self.dtype
+        )
 
         F = np.zeros((N_star, N_s))
         if compute_var:
@@ -2296,39 +2385,49 @@ class GP:
             groups = {True: [], False: []}
             for i, p in enumerate(self.posteriors):
                 groups[bool(p.L_chol)].append(i)
+            if groups[True] and groups[False]:
+                # Mixed parametrizations: one program, where-selected
+                # per sample (a second group call costs a full round
+                # trip).
+                groups = {None: list(range(N_s))}
             for flag, idxs in groups.items():
                 if not idxs:
                     continue
-                mults = jnp.asarray(
-                    np.array(
-                        [self.posteriors[i].sn2_mult for i in idxs],
-                        dtype=np.float64,
-                    )
+                mults = np.array(
+                    [self.posteriors[i].sn2_mult for i in idxs],
+                    dtype=np.float64,
                 )
-                F_b, J_b = qfns["chol_var" if flag else "inv_var"](
-                    jnp.asarray(hyps_all[idxs], dtype=self.dtype),
+                call_args = (
+                    hyps_all[idxs],
                     get_stacked("alpha", idxs),
                     get_stacked("L", idxs),
                     mults,
                     X_use,
                     n_real,
-                    muj,
-                    sigmaj,
+                    muh,
+                    sigmah,
                 )
-                F_b = np.asarray(F_b, dtype=np.float64)
-                J_b = np.asarray(J_b, dtype=np.float64)
+                if flag is None:
+                    key = "mixed_var_packed"
+                    flags_arr = np.array(
+                        [bool(self.posteriors[i].L_chol) for i in idxs]
+                    )
+                    call_args = (flags_arr,) + call_args
+                else:
+                    key = "chol_var_packed" if flag else "inv_var_packed"
+                packed = np.asarray(qfns[key](*call_args), dtype=np.float64)
                 for j, i in enumerate(idxs):
-                    F[:, i] = F_b[j]
-                    F_var[:, i] = J_b[j]
+                    F[:, i] = packed[0, j]
+                    F_var[:, i] = packed[1, j]
         else:
             idxs = list(range(N_s))
             F_b = qfns["mean"](
-                jnp.asarray(hyps_all, dtype=self.dtype),
+                hyps_all,
                 get_stacked("alpha", idxs),
                 X_use,
                 n_real,
-                muj,
-                sigmaj,
+                muh,
+                sigmah,
             )
             F[:] = np.asarray(F_b, dtype=np.float64).T
 

@@ -386,3 +386,96 @@ def test_stack_cache_seeded_at_finalize():
     # And prediction through the seeded stacks stays correct.
     mu, s2 = gp.predict(np.zeros((4, 2)))
     assert np.all(np.isfinite(mu)) and np.all(s2 >= 0)
+
+
+def test_mixed_parametrization_single_program_matches_split():
+    """Posterior samples with different L_chol parametrizations run
+    through the mixed where-selected program (gp.py mixed_branch /
+    _quad_fns.mixed_var_one / rank1 mixed_one); results must match the
+    reference semantics for each sample independently."""
+    rng = np.random.default_rng(8)
+    X = rng.uniform(-3, 3, (30, 2))
+    y = np.sin(np.sum(X, 1, keepdims=True))
+    gp = gpr.GP(
+        D=2,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+    )
+    # Noise hyps straddling the L_chol threshold sn2 >= 1e-6
+    # (log sn: -2 -> sn2=e^-4 >= 1e-6; -9 -> sn2=e^-36 < 1e-6).
+    hyp = np.array(
+        [
+            [0.1, -0.1, 0.2, -2.0, 0.0],
+            [0.15, -0.05, 0.1, -9.0, 0.0],
+        ]
+    )
+    gp.update(X_new=X, y_new=y, hyp=hyp)
+    flags = [bool(p.L_chol) for p in gp.posteriors]
+    assert flags == [True, False], flags
+
+    xs = rng.uniform(-3, 3, (7, 2))
+    mu_mixed, s2_mixed = gp.predict(xs, separate_samples=True)
+
+    # Oracle: two single-sample GPs, one per parametrization.
+    for s in range(2):
+        solo = gpr.GP(
+            D=2,
+            covariance=gpr.covariance_functions.SquaredExponential(),
+            mean=gpr.mean_functions.ConstantMean(),
+            noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+        )
+        solo.update(X_new=X, y_new=y, hyp=hyp[s : s + 1])
+        mu_s, s2_s = solo.predict(xs, separate_samples=True)
+        np.testing.assert_allclose(
+            mu_mixed[:, s], mu_s[:, 0], rtol=1e-8, atol=1e-10
+        )
+        np.testing.assert_allclose(
+            s2_mixed[:, s], s2_s[:, 0], rtol=1e-6, atol=1e-9
+        )
+
+    # Quadrature through the mixed program vs solo GPs.
+    mu_q = rng.uniform(-1, 1, (5, 2))
+    sig_q = np.full((5, 2), 0.3)
+    Fm, Vm = gp.quad(mu_q, sig_q, compute_var=True, separate_samples=True)
+    for s in range(2):
+        solo = gpr.GP(
+            D=2,
+            covariance=gpr.covariance_functions.SquaredExponential(),
+            mean=gpr.mean_functions.ConstantMean(),
+            noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+        )
+        solo.update(X_new=X, y_new=y, hyp=hyp[s : s + 1])
+        Fs, Vs = solo.quad(
+            mu_q, sig_q, compute_var=True, separate_samples=True
+        )
+        np.testing.assert_allclose(Fm[:, s], Fs[:, 0], rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(Vm[:, s], Vs[:, 0], rtol=1e-5, atol=1e-9)
+
+    # Rank-1 update through the mixed program == full rebuild.
+    x1 = rng.uniform(-3, 3, (1, 2))
+    y1 = np.array([[0.3]])
+    gp.update(X_new=x1, y_new=y1)
+    mu_r1, s2_r1 = gp.predict(xs, separate_samples=True)
+    ref = gpr.GP(
+        D=2,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+    )
+    ref.update(
+        X_new=np.concatenate([X, x1]),
+        y_new=np.concatenate([y, y1]),
+        hyp=hyp,
+    )
+    mu_ref, s2_ref = ref.predict(xs, separate_samples=True)
+    # Sample 0 (moderate noise) must match tightly; sample 1 sits at
+    # sn2 ~ 1e-16 where BOTH the reference's and our rank-1 update are
+    # ill-conditioned (dividing by a ~0 predictive variance), so only
+    # the stable sample is compared against the rebuild.
+    np.testing.assert_allclose(
+        mu_r1[:, 0], mu_ref[:, 0], rtol=1e-6, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        s2_r1[:, 0], s2_ref[:, 0], rtol=1e-4, atol=1e-8
+    )
