@@ -105,6 +105,7 @@ def get_rank1_fns(spec: ModelSpec):
         return L_new, alpha_new, sW_new, ok
 
     def inv_one(hyp, alpha, L, sW, X, n, x_new, y_new, sn2_eff):
+        dtype = X.dtype
         mask, e_n, k_star, k_new, m_star = _common(hyp, X, n, x_new)
         Lk = jnp.matmul(L, k_star[:, None])[:, 0]
         # Predictive moments (explicit-negative-inverse parametrization,
@@ -113,15 +114,25 @@ def get_rank1_fns(spec: ModelSpec):
         v_pred = (
             jnp.maximum(k_new + jnp.sum(k_star * Lk), 0.0) + sn2_eff
         )
+        # Stability guard the reference LACKS on this branch (it checks
+        # sqrt_arg only on the Cholesky path, :784-798): at a predictive
+        # variance near the dtype's noise floor the -1/v* pivot and the
+        # (m*-y*)/v* residual scale blow up and poison the factor (and
+        # everything downstream) with inf/overflow.  Flag it and let the
+        # caller fall back to a full recompute, like the Cholesky branch.
+        eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+        floor = eps * (k_new + sn2_eff + 1.0)
+        ok = v_pred > floor
+        v_safe = jnp.maximum(v_pred, floor)
         upd = -Lk
-        v = -upd / v_pred
+        v = -upd / v_safe
         L_new = L + jnp.outer(v, upd)
         L_new = L_new.at[:, n].set(-v)
         L_new = L_new.at[n, :].set(-v)
-        L_new = L_new.at[n, n].set(-1.0 / v_pred)
-        delta = (m_pred - y_new) / v_pred
+        L_new = L_new.at[n, n].set(-1.0 / v_safe)
+        delta = (m_pred - y_new) / v_safe
         alpha_new, sW_new = _append(alpha, sW, e_n, mask, upd, delta, sn2_eff)
-        return L_new, alpha_new, sW_new, jnp.asarray(True)
+        return L_new, alpha_new, sW_new, ok
 
     def mixed_one(flag, hyp, alpha, L, sW, X, n, x_new, y_new, sn2_eff):
         """Both parametrization branches in one program, where-selected
