@@ -85,3 +85,53 @@ def test_gp_objective_matches_scipy():
     )
     # Same basin -> same objective value (iterates may differ).
     assert abs(fs[0] - res.fun) < 1e-4 * max(1.0, abs(res.fun))
+
+
+def test_design_optimize_start_selection_matches_host_logic():
+    """The fused program's top-k + low-noise-restart selection
+    (map_optimize._run_design_optimize) must reproduce the host-side
+    selection logic (reference gaussian_process.py:1112-1125) on the
+    same design and objective values."""
+    import math
+
+    from gpyreg_tpu.inference.map_optimize import design_optimize
+
+    rng = np.random.default_rng(0)
+    n, B0, cov_N = 4, 64, 1
+    design = rng.normal(size=(B0, n))
+    LB = np.full(n, -10.0)
+    UB = np.full(n, 10.0)
+
+    # A deterministic, jit-friendly objective: quadratic bowl.
+    def obj_raw(h):
+        return jnp.sum((h - 0.5) ** 2)
+
+    xs, fs, results, widths, X_sorted, y_sorted = design_optimize(
+        obj_raw,
+        design,
+        LB,
+        UB,
+        tol=1e-8,
+        opts_N=3,
+        low_noise_idx=cov_N,
+        chunk=16,
+    )
+
+    # Host replication of the selection.
+    y_host = np.array([float(np.sum((h - 0.5) ** 2)) for h in design])
+    order = np.argsort(y_host)
+    X0 = design[order]
+    y0 = y_host[order]
+    starts = X0[:3].copy()
+    xx, noise_y = X0[3:], y0[3:]
+    nz_order = np.argsort(xx[:, cov_N])
+    m = math.ceil(0.2 * len(noise_y))
+    cand = nz_order[:m]
+    starts[1] = xx[cand[np.argmin(noise_y[cand])]]
+
+    np.testing.assert_allclose(np.asarray(X_sorted), X0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(y_sorted), y0, atol=1e-10)
+    np.testing.assert_allclose(widths, np.std(design, 0, ddof=1), atol=1e-10)
+    # All three optimized starts must converge to the bowl's minimum.
+    np.testing.assert_allclose(xs, 0.5, atol=1e-4)
+    assert np.all(fs < 1e-6)
