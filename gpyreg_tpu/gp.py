@@ -766,8 +766,12 @@ class GP:
         s_N = np.size(self.posteriors)
         if N * N * self.dtype.itemsize * s_N > 2 * 2**30:
             self.posteriors = None
+            # The stack cache holds full copies of the same factors.
+            self._stack_cache = {}
 
-    def _finalize_posteriors(self, hyp_arr, alphas, Ls, mults, sn2mins):
+    def _finalize_posteriors(
+        self, hyp_arr, alphas, Ls, mults, sn2mins, seed_cache=True
+    ):
         """Turn raw batched device factors (alpha, chol(G), mult,
         sn2_min; shapes (S, Np, ...)) into Posterior objects.
 
@@ -822,15 +826,23 @@ class GP:
             )
             for s in range(S)
         ]
-        if S > 0 and full_L_stack is not None:
-            # Seed the predict-path stack cache with the batched factors
-            # that already exist here, so even the FIRST predict after a
-            # refit skips the eager re-stacking device round trips
-            # (_posterior_arrays memoization; keys match by row-view
-            # identity).
-            cache = getattr(self, "_stack_cache", None)
-            if cache is None:
-                cache = self._stack_cache = {}
+        # Posteriors were rebuilt: drop every stale stack-cache entry
+        # (they pin the PREVIOUS factor set's device memory — at
+        # N=16k/S=8 that is 8 GB of HBM the release path exists to
+        # free).  Then seed with the batched factors that already exist
+        # here, so even the FIRST predict after a refit skips the eager
+        # re-stacking device round trips (_posterior_arrays memoization;
+        # keys match by row-view identity) — but only when the stacked
+        # copies fit the same memory criterion the predict path uses to
+        # decide stacking (large-N serving runs per-sample and would
+        # never read them).
+        self._stack_cache = cache = {}
+        Np = 0 if full_L_stack is None else full_L_stack.shape[-1]
+        small_enough = (
+            S * Np * Np * self.dtype.itemsize
+            <= getattr(self, "_posterior_mem_budget", 8 * 2**30) // 4
+        )
+        if seed_cache and S > 0 and full_L_stack is not None and small_enough:
             idx_t = tuple(range(S))
             for name, rows, stacked in (
                 ("alpha", alpha_rows, alphas),
@@ -874,6 +886,10 @@ class GP:
                         L[None],
                         mult[None],
                         sn2min[None],
+                        # Per-sample large-N path: the predict side runs
+                        # no_stack, so a seeded 1-sample stack would only
+                        # pin HBM.
+                        seed_cache=False,
                     )
                 )
             return out
@@ -1414,10 +1430,10 @@ class GP:
                     # Re-seed the predict/quad stack cache with the
                     # program's stacked outputs, so the next update /
                     # predict skips re-stacking (keys match by row-view
-                    # identity — see _posterior_arrays).
-                    cache = getattr(self, "_stack_cache", None)
-                    if cache is None:
-                        cache = self._stack_cache = {}
+                    # identity — see _posterior_arrays).  Replace the
+                    # dict outright: stale entries pin the pre-update
+                    # factor set's device memory.
+                    cache = self._stack_cache = {}
                     idx_t = tuple(idxs)
                     for name, stacked in (
                         ("alpha", a_out),
@@ -1477,6 +1493,7 @@ class GP:
         """Drop reconstructible posterior factors and temporary data to
         save memory; rebuild with ``update(compute_posterior=True)``."""
         self.temporary_data = {}
+        self._stack_cache = {}  # stop pinning the stacked device factors
         if self.posteriors is not None:
             for posterior in self.posteriors:
                 posterior.alpha = None
@@ -1684,14 +1701,20 @@ class GP:
                 cov_N if (noise_N > 0 and 1 < opts_N < init_N) else None
             )
             # Memory-bounded design-eval chunk (~2 GB of (chunk, N, N)
-            # f64 workspace; mirrors _objective_batch).
-            Nr = self.X.shape[0]
-            chunk = int(
-                max(
-                    1,
-                    min(design.shape[0], 2**31 // max(1, Nr * Nr * 8 * 3)),
-                )
+            # f64 workspace; mirrors _objective_batch).  Derived from
+            # the PADDED row count and rounded down to a power of two:
+            # 'chunk' is a static argument of the fused program, and a
+            # value that tracked the true N would recompile the largest
+            # program in fit() at every refit of a growing dataset.
+            obj_args_nr = obj_args[0].shape[0]
+            raw = max(
+                1,
+                min(
+                    design.shape[0],
+                    2**31 // max(1, obj_args_nr * obj_args_nr * 8 * 3),
+                ),
             )
+            chunk = 1 << (int(raw).bit_length() - 1)
             (
                 xs,
                 fs,

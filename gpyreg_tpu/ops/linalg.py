@@ -104,33 +104,10 @@ def jittered_cholesky(K, sn2_vec):
     Differentiable in K and sn2_vec (m is treated as a constant).
     Safe under vmap: the escalation loop is masked per-sample.
     """
-    # Single Cholesky instance in the graph (the loop body): iteration 0
-    # factors G(1); each retry multiplies the noise by 10.  Keeping one
-    # cholesky call (instead of one outside + one inside the loop) halves
-    # the compile time of the dominant op at large N.
-    def cond(carry):
-        mult, L, i = carry
-        return jnp.logical_and(
-            jnp.logical_or(i == 0, jnp.any(jnp.isnan(L))),
-            i < CHOL_MAX_TRIES,
-        )
-
-    def body(carry):
-        mult, L, i = carry
-        mult_new = jnp.where(i == 0, mult, mult * 10.0)
-        L_new = _chol_of(K, sn2_vec, mult_new)
-        return mult_new, L_new, i + 1
-
-    mult, L, _ = lax.while_loop(
-        cond,
-        body,
-        (
-            jnp.asarray(1.0, dtype=K.dtype),
-            jnp.full_like(K, jnp.nan),
-            jnp.asarray(0, dtype=jnp.int32),
-        ),
-    )
-    return L, mult
+    # One shared escalation-loop implementation (also the primal of the
+    # fused quad_logdet): the two paths' mult/factor semantics MUST
+    # agree for the stored posterior factors to match the objective.
+    return _jittered_chol_impl(K, sn2_vec)
 
 
 def tri_inv(L, block: int = 256, precision=None):
@@ -350,7 +327,10 @@ def _quad_logdet_bwd(res, cotangents):
             W, block=1024, precision=lax.Precision.HIGH
         )
     else:
-        G_inv = chol_solve(L, jnp.eye(N, dtype=L.dtype))
+        # Chunked inverse (max_rhs-bounded): a single N-wide solve at
+        # large N materializes huge XLA trsm temps — see
+        # neg_inverse_from_chol, which implements exactly this inverse.
+        G_inv = -neg_inverse_from_chol(L)
     G_bar = (0.5 * h_bar) * G_inv - q_bar * (alpha * alpha.T)
     # G = K + mult * diag(sn2): dG/dK = I, dG/dsn2_i = mult e_i e_i^T.
     K_bar = G_bar

@@ -479,3 +479,59 @@ def test_mixed_parametrization_single_program_matches_split():
     np.testing.assert_allclose(
         s2_r1[:, 0], s2_ref[:, 0], rtol=1e-4, atol=1e-8
     )
+
+
+def test_stack_cache_dropped_on_rebuild_and_clean():
+    """Stale stack-cache entries must not pin the previous factor set's
+    device memory (code-review finding): the cache is replaced on every
+    posterior rebuild and cleared by clean()."""
+    rng = np.random.default_rng(1)
+    X = rng.uniform(-3, 3, (20, 2))
+    y = np.sin(np.sum(X, 1, keepdims=True))
+    gp = gpr.GP(
+        D=2,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+    )
+    hyp = np.array([[0.1, -0.1, 0.2, -2.0, 0.0]])
+    gp.update(X_new=X, y_new=y, hyp=hyp)
+    first = dict(gp._stack_cache)
+    assert first  # seeded
+    gp.update(hyp=hyp + 0.01, compute_posterior=True)  # rebuild
+    second = gp._stack_cache
+    # The dict was replaced wholesale; no entry from the first set
+    # survives (the old stacked arrays are released).
+    assert second is not first
+    old_ids = {id(v[1]) for v in first.values()}
+    new_ids = {id(v[1]) for v in second.values()}
+    assert old_ids.isdisjoint(new_ids)
+    gp.clean()
+    assert gp._stack_cache == {}
+
+
+def test_fused_fit_chunk_stable_within_bucket():
+    """The fused design+optimize program's static chunk must not change
+    as N grows within a pad bucket (code-review finding: a chunk tied
+    to the true N recompiled fit()'s largest program every refit)."""
+    from gpyreg_tpu.inference.map_optimize import _run_design_optimize
+
+    rng = np.random.default_rng(2)
+    gp = gpr.GP(
+        D=2,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+        pad_bucket=64,
+    )
+    X = rng.uniform(-3, 3, (20, 2))
+    y = np.sin(np.sum(X, 1, keepdims=True))
+    opts = {"n_samples": 0, "opts_N": 2, "init_N": 32}
+    gp.fit(X=X, y=y, options=opts)
+    n_compiled = _run_design_optimize._cache_size()
+    for _ in range(2):  # grow within the 64-bucket, refit warm
+        Xn = rng.uniform(-3, 3, (5, 2))
+        yn = np.sin(np.sum(Xn, 1, keepdims=True))
+        gp.update(X_new=Xn, y_new=yn, compute_posterior=False)
+        gp.fit(options=opts)
+    assert _run_design_optimize._cache_size() == n_compiled
