@@ -1211,38 +1211,30 @@ class GP:
     # Hyperparameter access
     # ------------------------------------------------------------------
 
+    def _hyp_N(self):
+        cov_N, noise_N, mean_N = self._hyp_counts()
+        return cov_N + noise_N + mean_N + self._outwarp_N()
+
     def get_hyperparameters(self, as_array: bool = False):
         """Hyperparameters as (hyp_samples, hyp_N) array or list of
         name->value dicts; NaN-filled if none set yet."""
         if self.posteriors is None:
-            cov_N, noise_N, mean_N = self._hyp_counts()
-            hyp = np.full(
-                (1, cov_N + mean_N + noise_N + self._outwarp_N()), np.nan
-            )
+            hyp = np.full((1, self._hyp_N()), np.nan)
         else:
-            hyp = np.zeros(
-                (np.size(self.posteriors), np.size(self.posteriors[0].hyp))
-            )
-            for i in range(np.size(self.posteriors)):
-                hyp[i, :] = self.posteriors[i].hyp.copy()
-        if as_array:
-            return hyp
-        return self.hyperparameters_to_dict(hyp)
+            hyp = np.stack([p.hyp.copy() for p in self.posteriors])
+        return hyp if as_array else self.hyperparameters_to_dict(hyp)
 
     def set_hyperparameters(self, hyp_new, compute_posterior: bool = True):
         """Replace hyperparameters (array or dict form)."""
         if isinstance(hyp_new, np.ndarray):
-            cov_N, noise_N, mean_N = self._hyp_counts()
-            if hyp_new.ndim == 1:
-                hyp_new = np.reshape(hyp_new, (1, -1))
-            if hyp_new.shape[1] != cov_N + mean_N + noise_N + self._outwarp_N():
+            hyp_new = np.atleast_2d(hyp_new)
+            if hyp_new.shape[1] != self._hyp_N():
                 raise ValueError(
                     "Input hyperparameter array is the wrong shape!"
                 )
-            self.update(hyp=hyp_new, compute_posterior=compute_posterior)
         else:
-            hyp_new_arr = self.hyperparameters_from_dict(hyp_new)
-            self.update(hyp=hyp_new_arr, compute_posterior=compute_posterior)
+            hyp_new = self.hyperparameters_from_dict(hyp_new)
+        self.update(hyp=hyp_new, compute_posterior=compute_posterior)
 
     def hyperparameters_to_dict(self, hyp_arr):
         """(hyp_samples, hyp_N) array -> list of name->values dicts."""

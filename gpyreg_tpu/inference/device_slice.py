@@ -575,29 +575,32 @@ def sample_chains(
     the NLML evaluations of all chains batch into one XLA Cholesky per
     step (SURVEY.md section 2.3, "MCMC-chain parallelism").
     """
-    x0s = jnp.asarray(x0s, dtype=jnp.float64)
+    # Host-side setup (numpy): uploads fold into the vmapped chain
+    # dispatch — see sample() above for the per-eager-op latency
+    # rationale.
+    x0s = np.asarray(x0s, dtype=np.float64)
     B, D = x0s.shape
 
     def _expand(v, default):
         if v is None:
-            return jnp.full((D,), default, dtype=x0s.dtype)
-        return jnp.broadcast_to(
-            jnp.asarray(v, dtype=x0s.dtype).ravel(), (D,)
-        )
+            return np.full((D,), default, dtype=np.float64)
+        return np.broadcast_to(
+            np.asarray(v, dtype=np.float64).ravel(), (D,)
+        ).copy()
 
-    LB = _expand(LB, -jnp.inf)
-    UB = _expand(UB, jnp.inf)
+    LB = _expand(LB, -np.inf)
+    UB = _expand(UB, np.inf)
 
     base_widths = None
     if widths is None:
-        w = (np.asarray(UB) - np.asarray(LB)) / 2.0
+        w = (UB - LB) / 2.0
     else:
         w = np.broadcast_to(
             np.asarray(widths, dtype=np.float64).ravel(), (D,)
         ).copy()
-        base_widths = jnp.asarray(w)
+        base_widths = w
     w = np.where(np.isinf(w), 10.0, w)
-    w = np.where(np.asarray(LB == UB), 1.0, w)
+    w = np.where(LB == UB, 1.0, w)
 
     if burn is None:
         burn = round(n_samples / 3)
@@ -605,13 +608,13 @@ def sample_chains(
     keys = jax.random.split(key, B)
     states = SliceState(
         x=x0s,
-        log_Px=jnp.zeros((B,), dtype=x0s.dtype),
-        widths=jnp.broadcast_to(jnp.asarray(w), (B, D)),
+        log_Px=np.zeros((B,), dtype=np.float64),
+        widths=np.broadcast_to(w, (B, D)).copy(),
         key=keys,
     )
 
-    LB_out = jnp.asarray(np.nextafter(np.asarray(LB), -np.inf))
-    UB_out = jnp.asarray(np.nextafter(np.asarray(UB), np.inf))
+    LB_out = np.nextafter(LB, -np.inf)
+    UB_out = np.nextafter(UB, np.inf)
 
     def one(state):
         _, packed = _run_chain(
