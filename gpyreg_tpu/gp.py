@@ -792,7 +792,7 @@ class GP:
         n_real = N_true if alphas.shape[1] != N_true else None
 
         flags = (sn2mins_h >= 1e-6) & (not self.fast_predict)
-        sWs = _sw_batch(Ls, jnp.asarray(sn2mins_h), jnp.asarray(mults_h))
+        sWs = _sw_batch(Ls, sn2mins_h, mults_h)
 
         S = hyp_arr.shape[0]
         L_stored = [None] * S
@@ -803,8 +803,7 @@ class GP:
                 continue
             sub = Ls if idx.size == S else Ls[jnp.asarray(idx)]
             if flag:
-                sls = jnp.asarray(sn2mins_h[idx] * mults_h[idx])
-                out = _scaled_upper_batch(sub, sls)
+                out = _scaled_upper_batch(sub, sn2mins_h[idx] * mults_h[idx])
             else:
                 out = _neg_inverse_batch(sub)
             if idx.size == S:
@@ -877,8 +876,7 @@ class GP:
             # slowly); run the single-sample program per sample.
             out = []
             for s in range(s_N):
-                h = jnp.asarray(hyp_arr[s])
-                alpha, L, mult, sn2min = fns["post"](h, *args)
+                alpha, L, mult, sn2min = fns["post"](hyp_arr[s], *args)
                 out.extend(
                     self._finalize_posteriors(
                         hyp_arr[s : s + 1],
@@ -894,9 +892,7 @@ class GP:
                 )
             return out
 
-        alphas, Ls, mults, sn2mins = fns["post_batch"](
-            jnp.asarray(hyp_arr), *args
-        )
+        alphas, Ls, mults, sn2mins = fns["post_batch"](hyp_arr, *args)
         return self._finalize_posteriors(
             hyp_arr, alphas, Ls, mults, sn2mins
         )
@@ -1931,7 +1927,7 @@ class GP:
             hyp = self.hyperparameters_from_dict(hyp)
         hyp = np.asarray(hyp, dtype=np.float64).reshape(-1)
         fns, args = self._obj_args()
-        h = jnp.asarray(hyp)
+        h = hyp  # host-side; jit folds the upload into the dispatch
         if compute_grad:
             v, g = fns["nlz_grad"](h, *args)
             return -float(v), -np.asarray(g)
@@ -2478,11 +2474,11 @@ class GP:
 
         hyp = self.posteriors[s].hyp
         rfns = _random_fns(self._spec())
-        hyp_j = jnp.asarray(hyp, dtype=self.dtype)
-        xsj = jnp.asarray(X_star, dtype=self.dtype)
-        zr = jnp.asarray(
-            np.random.standard_normal((N_star, 1)), dtype=self.dtype
-        )
+        # Host-side args: jit folds the uploads into the dispatch
+        # (eager jnp.asarray costs a tunnel round trip per array).
+        hyp_j = np.asarray(hyp, dtype=self.dtype)
+        xsj = np.asarray(X_star, dtype=self.dtype)
+        zr = np.random.standard_normal((N_star, 1)).astype(self.dtype)
 
         if self.y is None:
             f_star = np.asarray(rfns["prior"](hyp_j, xsj, zr))
