@@ -77,9 +77,13 @@ def config2_matern_fit_predict(gpr, seed=1):
     t0 = _timer()
     gp.fit(X=X, y=y, options=opts)
     fit_s = _timer() - t0
-    t0 = _timer()
-    mu, s2 = gp.predict(xs)
-    predict_s = _timer() - t0
+    # Steady-state serving latency: best of three (single-shot timings
+    # through the remote tunnel swing 2-5x on transient degradation).
+    predict_s = np.inf
+    for _ in range(3):
+        t0 = _timer()
+        mu, s2 = gp.predict(xs)
+        predict_s = min(predict_s, _timer() - t0)
     return {"fit_s": fit_s, "predict_s": predict_s, "grid_pts": xs.shape[0]}
 
 
@@ -105,9 +109,11 @@ def config3_mcmc_hyperposterior(gpr, seed=2):
     t0 = _timer()
     gp.fit(X=X, y=y, options=opts)
     fit_s = _timer() - t0
-    t0 = _timer()
-    mu, s2 = gp.predict(xs)
-    predict_s = _timer() - t0
+    predict_s = np.inf
+    for _ in range(3):
+        t0 = _timer()
+        mu, s2 = gp.predict(xs)
+        predict_s = min(predict_s, _timer() - t0)
     return {"fit_s": fit_s, "predict_s": predict_s}
 
 
