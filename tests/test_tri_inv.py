@@ -101,3 +101,59 @@ def test_neg_inverse_matmul_path_matches_chunked():
     got64 = np.asarray(neg_inverse_from_chol(jnp.asarray(L)))
     assert np.max(np.abs(got64 - ref)) < 1e-8
     assert np.max(np.abs(got32 - ref)) < 5e-3
+
+
+@pytest.mark.parametrize("padded", [False, True])
+def test_fused_nlz_grad_equals_legacy_cholesky_path(padded):
+    """The fused quad_logdet custom-VJP gradient must equal autodiff
+    through the jittered_cholesky path (the posterior-factor route) —
+    the two share one escalation-loop implementation and must never
+    diverge."""
+    from gpyreg_tpu.core.model import ModelSpec
+    from gpyreg_tpu.core.nlml import assemble, nlz
+    from gpyreg_tpu.ops.linalg import chol_solve, jittered_cholesky
+
+    spec = ModelSpec(
+        D=2,
+        cov="se",
+        mean="const",
+        noise_constant=True,
+        noise_user=0,
+        noise_rectified=False,
+    )
+    rng = np.random.default_rng(0)
+    N, pad = 24, 8
+    X = rng.normal(size=(N + (pad if padded else 0), 2))
+    y = np.sin(X.sum(1, keepdims=True))
+    if padded:
+        y[N:] = 0.0
+    Xj, yj = jnp.asarray(X), jnp.asarray(y)
+    n_real = N if padded else None
+    hyp = jnp.asarray(0.2 * rng.normal(size=(spec.hyp_N,)))
+
+    def legacy(h):
+        K, sn2_vec, r, _, log_jac = assemble(spec, h, Xj, yj, None, n_real)
+        L, mult = jittered_cholesky(K, sn2_vec)
+        alpha = chol_solve(L, r)
+        logdet_half = jnp.sum(jnp.log(jnp.diag(L)))
+        n_eff = X.shape[0]
+        if n_real is not None:
+            logdet_half = logdet_half - 0.5 * (
+                X.shape[0] - n_real
+            ) * jnp.log(mult)
+            n_eff = n_real
+        return (
+            0.5 * jnp.sum(r * alpha)
+            + logdet_half
+            + 0.5 * n_eff * np.log(2 * np.pi)
+            - log_jac
+        )
+
+    v1, g1 = jax.value_and_grad(
+        lambda h: nlz(spec, h, Xj, yj, None, n_real)
+    )(hyp)
+    v2, g2 = jax.value_and_grad(legacy)(hyp)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g2), rtol=1e-9, atol=1e-12
+    )
