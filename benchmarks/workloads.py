@@ -23,6 +23,18 @@ def _timer():
     return time.perf_counter()
 
 
+def _best_of(fn, n=3):
+    """Best (min) wall time of n calls: single-shot timings through the
+    remote tunnel swing 2-5x on transient degradation; steady-state is
+    what serving sees."""
+    best = np.inf
+    for _ in range(n):
+        t0 = _timer()
+        fn()
+        best = min(best, _timer() - t0)
+    return best
+
+
 def _make(gpr, D, cov, mean):
     return gpr.GP(
         D=D,
@@ -77,13 +89,7 @@ def config2_matern_fit_predict(gpr, seed=1):
     t0 = _timer()
     gp.fit(X=X, y=y, options=opts)
     fit_s = _timer() - t0
-    # Steady-state serving latency: best of three (single-shot timings
-    # through the remote tunnel swing 2-5x on transient degradation).
-    predict_s = np.inf
-    for _ in range(3):
-        t0 = _timer()
-        mu, s2 = gp.predict(xs)
-        predict_s = min(predict_s, _timer() - t0)
+    predict_s = _best_of(lambda: gp.predict(xs))
     return {"fit_s": fit_s, "predict_s": predict_s, "grid_pts": xs.shape[0]}
 
 
@@ -109,11 +115,7 @@ def config3_mcmc_hyperposterior(gpr, seed=2):
     t0 = _timer()
     gp.fit(X=X, y=y, options=opts)
     fit_s = _timer() - t0
-    predict_s = np.inf
-    for _ in range(3):
-        t0 = _timer()
-        mu, s2 = gp.predict(xs)
-        predict_s = min(predict_s, _timer() - t0)
+    predict_s = _best_of(lambda: gp.predict(xs))
     return {"fit_s": fit_s, "predict_s": predict_s}
 
 

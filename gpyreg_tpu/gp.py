@@ -731,10 +731,14 @@ class GP:
         fns, args = self._obj_args()
         hyps = np.asarray(hyps, dtype=np.float64)
         B = hyps.shape[0]
-        N = self.X.shape[0]
         # Bound live memory at ~2 GB of (chunk, N, N) float64 workspace
-        # (x3 for kernel + factor + autodiff slack).
-        chunk = int(max(1, min(B, 2**31 // max(1, N * N * 8 * 3))))
+        # (x3 for kernel + factor + autodiff slack).  N is the PADDED
+        # row count and the chunk rounds down to a power of two so the
+        # compiled program stays stable while the dataset grows within
+        # a pad bucket (same policy as the fused fit path).
+        N = args[0].shape[0]
+        raw = int(max(1, min(B, 2**31 // max(1, N * N * 8 * 3))))
+        chunk = 1 << (raw.bit_length() - 1)
         if chunk == 1 and B > 1:
             # Huge-N regime: the vmapped program compiles pathologically
             # and buys nothing (one Cholesky saturates the chip).
@@ -756,6 +760,15 @@ class GP:
             for i in range(n_chunks)
         ]
         return np.concatenate(out)[:B]
+
+    def _stack_budget_ok(self, s_N, n_rows):
+        """One policy for 'are stacked (s_N, n, n) factors worth holding
+        in HBM': used by the stacked-predict decision and the
+        finalize-time cache seeding (they must agree)."""
+        return (
+            s_N * n_rows * n_rows * self.dtype.itemsize
+            <= getattr(self, "_posterior_mem_budget", 8 * 2**30) // 4
+        )
 
     def _maybe_release_posteriors(self):
         """Drop old posterior factors ahead of a full rebuild when they
@@ -837,10 +850,7 @@ class GP:
         # never read them).
         self._stack_cache = cache = {}
         Np = 0 if full_L_stack is None else full_L_stack.shape[-1]
-        small_enough = (
-            S * Np * Np * self.dtype.itemsize
-            <= getattr(self, "_posterior_mem_budget", 8 * 2**30) // 4
-        )
+        small_enough = self._stack_budget_ok(S, Np)
         if seed_cache and S > 0 and full_L_stack is not None and small_enough:
             idx_t = tuple(range(S))
             for name, rows, stacked in (
@@ -1403,8 +1413,8 @@ class GP:
                     if not ok[j]:
                         full_updates.append(i)
                         warnings.warn(
-                            "Rank-one update of Cholesky factor unstable "
-                            + f"for posterior {i}. Reverting to full update.",
+                            "Rank-one posterior update unstable for "
+                            + f"posterior {i}. Reverting to full update.",
                             stacklevel=2,
                         )
                         continue
@@ -2070,10 +2080,7 @@ class GP:
 
         # Stacking copies every factor: at large N run per-sample
         # (the jitted branch takes each device-resident L by reference).
-        no_stack = (
-            s_N * N * N * self.dtype.itemsize
-            > getattr(self, "_posterior_mem_budget", 8 * 2**30) // 4
-        )
+        no_stack = not self._stack_budget_ok(s_N, N)
 
         # The fused Pallas cross-covariance applies to the single-sample
         # serving path (f32, gradient-free); everything else stays XLA.
