@@ -88,7 +88,10 @@ def _chol_of(K, sn2_vec, mult):
     """
     N = K.shape[-1]
     G = K + mult * sn2_vec * jnp.eye(N, dtype=K.dtype)
-    return jnp.linalg.cholesky(G)
+    # G is symmetric by construction (cov_matrix emits both triangles);
+    # skipping XLA's defensive symmetrization saves an N^2 pass per
+    # factorization attempt.
+    return lax.linalg.cholesky(G, symmetrize_input=False)
 
 
 @jax.custom_vjp
