@@ -47,6 +47,13 @@ def main():
     X = rng.uniform(-3, 3, (40, D))
     y = log_target(X)[:, None] + 0.05 * rng.normal(size=(X.shape[0], 1))
 
+    # A noise prior, as PyVBMC sets one: without it the hyperposterior
+    # on near-noise-free data wanders into the sn2 -> 0 region where
+    # exact-GP posteriors are ill-conditioned in ANY implementation.
+    priors = gp.get_priors()
+    priors["noise_log_scale"] = ("gaussian", (np.log(0.05), 0.5))
+    gp.set_priors(priors)
+
     fit_opts = {"n_samples": 4, "opts_N": 2, "init_N": 256, "thin": 2}
     warm_opts = {"n_samples": 4, "opts_N": 1, "init_N": 0, "thin": 2}
 

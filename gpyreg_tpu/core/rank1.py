@@ -115,13 +115,15 @@ def get_rank1_fns(spec: ModelSpec):
             jnp.maximum(k_new + jnp.sum(k_star * Lk), 0.0) + sn2_eff
         )
         # Stability guard the reference LACKS on this branch (it checks
-        # sqrt_arg only on the Cholesky path, :784-798): at a predictive
-        # variance near the dtype's noise floor the -1/v* pivot and the
-        # (m*-y*)/v* residual scale blow up and poison the factor (and
-        # everything downstream) with inf/overflow.  Flag it and let the
-        # caller fall back to a full recompute, like the Cholesky branch.
+        # sqrt_arg only on the Cholesky path, :784-798): v* comes from a
+        # catastrophic cancellation (k_new + k*'(-G^-1)k*), so below
+        # ~sqrt(eps) of the kernel scale it carries at most half the
+        # dtype's digits and the -1/v* pivot and (m*-y*)/v* residual
+        # scale poison the factor (and every downstream quad/predict)
+        # with garbage-magnitude values.  Flag it and let the caller
+        # fall back to a full recompute, like the Cholesky branch.
         eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
-        floor = eps * (k_new + sn2_eff + 1.0)
+        floor = jnp.sqrt(eps) * (k_new + sn2_eff + eps)
         ok = v_pred > floor
         v_safe = jnp.maximum(v_pred, floor)
         upd = -Lk
