@@ -245,6 +245,16 @@ def get_fns(
         """
         return -_obj(hyp, *args)
 
+    def _log_prior_raw(hyp, *args):
+        """Log hyperprior alone (for samplers reporting per-sample
+        log-prior values, reference slice_sample.py:281-284).  Takes the
+        same ``(hyp, *obj_args)`` signature as every bundle function;
+        identity-stable like log_post_raw."""
+        _, _, _, _, pack = _split(args)
+        if pack is None:
+            return jnp.zeros((), dtype=hyp.dtype)
+        return log_prior(pack, hyp)
+
     obj_grad = jax.value_and_grad(_obj)
     n_extra = 2 + int(has_s2) + int(padded) + int(has_prior)
     in_axes = (0,) + (None,) * n_extra
@@ -252,6 +262,7 @@ def get_fns(
     post_axes = (0,) + (None,) * n_post_extra
     return {
         "log_post_raw": _log_post_raw,
+        "log_prior_raw": _log_prior_raw,
         "obj_raw": _obj,
         "obj_design_raw": _obj_design,
         "nlz": jax.jit(_nlz),

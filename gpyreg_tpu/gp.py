@@ -1880,6 +1880,10 @@ class GP:
                 UB=UB,
                 burn=burn_in,
                 f_args=obj_args,
+                log_prior=(
+                    None if self.no_prior else fns["log_prior_raw"]
+                ),
+                diagnostics=options.get("sampler_diagnostics", True),
             )
         elif backend == "device":
             # Fully-jitted chain: zero host round-trips per NLML eval.

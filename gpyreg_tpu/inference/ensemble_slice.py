@@ -20,13 +20,85 @@ rejection; out-of-bounds and NaN evaluate to -inf (eissample_lite.m's
 logPfuns contract).
 """
 
-from functools import partial
+import logging
+from functools import lru_cache, partial
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+_logger = logging.getLogger("EnsembleSliceSampler")
+
+
+@lru_cache(maxsize=None)
+def _log_prior_batch_fn(log_prior, n_args: int):
+    """Jitted batched log-prior evaluation, cached on the callable's
+    identity (get_fns bundles are lru_cached per model spec, so warm
+    refits reuse the compiled program)."""
+    in_axes = (0,) + (None,) * n_args
+    return jax.jit(jax.vmap(log_prior, in_axes=in_axes))
+
+
+def diagnose_ensemble(chain_x, n_requested: int):
+    """Cross-walker convergence diagnostics of an ensemble chain.
+
+    ``chain_x`` is the post-burn (n_iters, K, D) walker history.  Every
+    walker is an MCMC chain targeting the same density, so the standard
+    multi-chain Gelman-Rubin R-hat / effective-N estimators apply
+    directly (the MATLAB oracle computes the same cross-walker
+    diagnostics in eissample_lite.m's output stage; thresholds and exit
+    flags mirror reference slice_sample.py:604-647: 1 converged,
+    -3 max R > 1.5, -2 max R > 1.1, -1 eff_N < requested/10, 0 unknown).
+    """
+    from ..slice_sample import effective_n, gelman_rubin
+
+    n_iters, K, D = chain_x.shape
+    if n_iters < 2 or K < 2:
+        return 0, None, None
+    chains = np.transpose(np.asarray(chain_x), (1, 0, 2))  # (K, n, D)
+    R = gelman_rubin(chains)
+    eff_N = effective_n(chains)
+    # The variogram estimator's truncated sum can come up empty on very
+    # short per-walker chains (the ensemble trades chain length for
+    # width), yielding a non-positive artifact; fall back to the
+    # independent-draw bound m*n — exactly what the estimator gives when
+    # only the lag-0 autocorrelation term survives.
+    eff_N = np.where(
+        np.isfinite(eff_N) & (eff_N > 0), eff_N, float(K * n_iters)
+    )
+
+    exit_flag = 0
+    if np.any(R > 1.5):
+        _logger.info(
+            " * Detected lack of convergence! (max R = %.2f >> 1, "
+            "mean R = %.2f)",
+            np.max(R),
+            np.mean(R),
+        )
+        exit_flag = -3
+    elif np.any(R > 1.1):
+        _logger.info(
+            " * Detected probable lack of convergence! (max R = %.2f > 1"
+            ", mean R = %.2f)",
+            np.max(R),
+            np.mean(R),
+        )
+        exit_flag = -2
+    if np.any(eff_N < n_requested / 10.0):
+        _logger.info(
+            " * Low number of effective samples! (min eff_N = %.1f, "
+            "mean eff_N = %.1f, requested N = %d)",
+            np.min(eff_N),
+            np.mean(eff_N),
+            n_requested,
+        )
+        if exit_flag == 0:
+            exit_flag = -1
+    if exit_flag == 0:
+        exit_flag = 1
+    return exit_flag, R, eff_N
 
 
 def _masked_log_f(log_f, LB, UB, f_args):
@@ -155,6 +227,8 @@ def sample(
     sigma_factor: float = 5.0,
     max_shrink: int = 256,
     f_args=(),
+    log_prior=None,
+    diagnostics: bool = True,
 ):
     """Draw ``n_samples`` from ``log_f`` with ensemble slice sampling.
 
@@ -163,6 +237,14 @@ def sample(
     (eissample_lite.m:12-14); the default ensemble size is
     K = 2*(D+1) (:31-34) rounded up to even.  Returns
     (result_dict, final_walker_positions).
+
+    ``log_prior`` (optional) is a jittable ``(x, *f_args) -> scalar``
+    additive log-hyperprior already included in ``log_f``; when given,
+    per-sample prior values are reported in ``log_priors`` and
+    subtracted from ``f_vals`` (reference slice_sample.py:281-284
+    result contract).  With ``diagnostics`` (default True), the result
+    carries cross-walker split R-hat / effective-N and the reference's
+    exit flags (see :func:`diagnose_ensemble`).
     """
     x0 = np.atleast_2d(np.asarray(x0, dtype=np.float64))
     D = x0.shape[1]
@@ -227,17 +309,35 @@ def sample(
             "(not Inf or NaN)."
         )
 
-    kept_x = np.asarray(chain_x[burn:]).reshape(-1, D)
+    chain_keep = np.asarray(chain_x[burn:])  # (n_keep_iters, K, D)
+    kept_x = chain_keep.reshape(-1, D)
     kept_l = np.asarray(chain_logP[burn:]).reshape(-1)
     kept_x = kept_x[::thin][:n_samples]
     kept_l = kept_l[::thin][:n_samples]
 
+    if log_prior is not None:
+        lp_fn = _log_prior_batch_fn(log_prior, len(f_args))
+        log_priors = np.asarray(lp_fn(kept_x, *f_args), dtype=np.float64)
+        # The chain carries the full density; split the reported values
+        # so f_vals excludes the prior (reference result contract).
+        f_vals = kept_l - log_priors
+    else:
+        log_priors = np.zeros((kept_x.shape[0],))
+        f_vals = kept_l
+
+    if diagnostics:
+        exit_flag, R, eff_N = diagnose_ensemble(
+            chain_keep, n_requested=n_samples
+        )
+    else:
+        exit_flag, R, eff_N = 0, None, None
+
     result = {
         "samples": kept_x,
-        "f_vals": kept_l.reshape(-1, 1),
-        "log_priors": np.zeros((kept_x.shape[0],)),
-        "exit_flag": 0,
-        "R": None,
-        "eff_N": None,
+        "f_vals": f_vals.reshape(-1, 1),
+        "log_priors": log_priors,
+        "exit_flag": exit_flag,
+        "R": R,
+        "eff_N": eff_N,
     }
     return result, np.asarray(chain_x[-1])
