@@ -42,6 +42,7 @@ from .f_min_fill import (
 from .formatting import full_repr
 from .inference import device_slice as _device_slice
 from .inference import ensemble_slice as _ensemble_slice
+from .inference import mala as _mala
 from .inference import map_optimize as _map_optimize
 from .ops.linalg import neg_inverse_from_chol, robust_cholesky
 from .slice_sample import SliceSampler
@@ -1825,8 +1826,18 @@ class GP:
 
         ## Slice sampling of the hyperposterior.
         eff_s_N = s_N * thin
-        if sampler_name not in ("slicesample", "eissample"):
+        if sampler_name not in ("slicesample", "eissample", "mala"):
             raise ValueError("Unknown sampler!")
+        if sampler_name == "mala":
+            # MALA moves all dimensions at once: the gplite driver
+            # scales the effective sample count, burn-in and thinning
+            # by the number of hyperparameters to keep the per-dimension
+            # exploration comparable to the coordinate-wise slice
+            # sampler (gplite_train.m:413,424,431).
+            hyp_N = int(np.size(LB))
+            thin = thin * hyp_N
+            eff_s_N = s_N * thin
+            burn_in = burn_in * hyp_N
 
         # Robustness guard: an f32 MAP point can sit where the objective
         # is borderline non-finite (Cholesky retry exhaustion); the
@@ -1864,7 +1875,29 @@ class GP:
             widths = np.minimum(widths, widths_default)
 
         backend = options.get("sampler_backend", "device")
-        if sampler_name == "eissample":
+        if sampler_name == "mala":
+            # Metropolis-adjusted Langevin: gradient-informed global
+            # proposals via the autodiff bundle, fully on device
+            # (gplite_train.m:409-431; inference/mala.py).
+            fns, obj_args = self._obj_args()
+            key = jax.random.key(int(np.random.randint(0, 2**31 - 1)))
+            sampling_result, _ = _mala.sample(
+                fns["log_post_raw"],
+                hyp_start,
+                key,
+                n_samples=eff_s_N,
+                widths=widths,
+                LB=LB,
+                UB=UB,
+                burn=burn_in,
+                step_size=options.get("step_size", None),
+                f_args=obj_args,
+                log_prior=(
+                    None if self.no_prior else fns["log_prior_raw"]
+                ),
+                diagnostics=options.get("sampler_diagnostics", True),
+            )
+        elif sampler_name == "eissample":
             # Ensemble slice sampling (MATLAB gplite_train.m sampler;
             # absent from the Python reference).  Walkers start from a
             # jittered cloud around the MAP.
