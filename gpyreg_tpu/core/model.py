@@ -38,6 +38,47 @@ MEAN_KINDS = (
     "negse_mean",
 )
 
+# User-supplied mean functions (the oracle accepts function handles,
+# gplite_meanfun.m:10-18,43-50).  Registered callables are keyed by name
+# so the ModelSpec stays a frozen/hashable string-keyed description:
+# spec.mean == "custom:<name>" dispatches here.  Entries are
+# (value_fn, hyp_count_fn) with value_fn(hyp_mean, X) -> (N,) jittable
+# and hyp_count_fn(D) -> int.
+_CUSTOM_MEANS = {}
+
+
+def register_custom_mean(name: str, value_fn, hyp_count):
+    """Register a user mean function under ``name``.
+
+    ``value_fn(hyp_mean, X) -> (N,)`` must be jittable (pure jax.numpy);
+    ``hyp_count`` is an int or a callable ``D -> int``.  Re-registering
+    the same name with the same callable is a no-op; with a different
+    callable it raises (compiled programs are cached per spec string —
+    silently swapping the function under a live name would serve stale
+    compilations).
+    """
+    count_fn = hyp_count if callable(hyp_count) else (lambda D: int(hyp_count))
+    if name in _CUSTOM_MEANS:
+        if _CUSTOM_MEANS[name][0] is not value_fn:
+            raise ValueError(
+                f"A different mean function is already registered under "
+                f"{name!r}; pick a unique name (compiled programs are "
+                f"cached per registered name)."
+            )
+        return f"custom:{name}"
+    _CUSTOM_MEANS[name] = (value_fn, count_fn)
+    return f"custom:{name}"
+
+
+def custom_mean_entry(kind: str):
+    name = kind.split(":", 1)[1]
+    if name not in _CUSTOM_MEANS:
+        raise ValueError(
+            f"Custom mean {name!r} is not registered (construct the "
+            f"CustomMean / call register_custom_mean first)."
+        )
+    return _CUSTOM_MEANS[name]
+
 
 @dataclass(frozen=True)
 class ModelSpec:
@@ -54,7 +95,9 @@ class ModelSpec:
     def __post_init__(self):
         if self.cov not in COV_KINDS:
             raise ValueError(f"Unknown covariance kind {self.cov}")
-        if self.mean not in MEAN_KINDS:
+        if self.mean.startswith("custom:"):
+            custom_mean_entry(self.mean)  # raises if unregistered
+        elif self.mean not in MEAN_KINDS:
             raise ValueError(f"Unknown mean kind {self.mean}")
         if self.outwarp is not None:
             from ..outwarp_functions import OUTWARP_KINDS
@@ -71,6 +114,8 @@ class ModelSpec:
     @property
     def mean_N(self) -> int:
         # reference mean_functions.py:27,155,284; gplite_meanfun.m:57-127
+        if self.mean.startswith("custom:"):
+            return custom_mean_entry(self.mean)[1](self.D)
         return {
             "zero": 0,
             "const": 1,
@@ -124,6 +169,10 @@ def mean_value(spec: ModelSpec, hyp_mean, X):
     NegativeQuadratic :384-388).
     """
     N, D = X.shape
+    if spec.mean.startswith("custom:"):
+        # User handle (gplite_meanfun.m:43-50): jittable value function.
+        value_fn = custom_mean_entry(spec.mean)[0]
+        return jnp.reshape(value_fn(hyp_mean, X), (N,))
     if spec.mean == "zero":
         return jnp.zeros((N,), dtype=X.dtype)
     if spec.mean == "const":

@@ -2571,6 +2571,13 @@ class GP:
         against reference testing/test_gaussian_process.py:254-299).
         """
         p = self.noise.parameters
+        if self.mean._kind.startswith("custom:"):
+            raise ValueError(
+                "GPs with a CustomMean cannot be serialized: the user "
+                "callable is not representable in the .npz metadata. "
+                "Reconstruct the GP (re-registering the mean) and "
+                "restore hyperparameters via update(hyp=...)."
+            )
         meta = {
             "D": self.D,
             "cov_kind": self.covariance._kind,

@@ -403,3 +403,102 @@ class NegativeSquaredExponentialMean(_SEMeanBase):
 
     _kind = "negse_mean"
     _sgn = -1.0
+
+
+class CustomMean:
+    """User-supplied mean function (the oracle accepts function handles,
+    gplite_meanfun.m:10-18,43-50; the Python reference has no analog).
+
+    Parameters
+    ----------
+    value_fn : callable
+        Jittable ``value_fn(hyp_mean, X) -> (N,)`` over jax arrays
+        (``hyp_mean`` is the mean's slice of the flat hyp vector).
+        Gradients come from autodiff — no ``dm`` to supply.
+    hyp_count : int or callable
+        Number of mean hyperparameters, or ``D -> int``.
+    name : str, optional
+        Registry key (defaults to the callable's qualified name).
+        Compiled programs are cached per name; re-using a name for a
+        *different* callable raises.
+    bounds_info_fn : callable, optional
+        ``(X, y) -> {"LB","PLB","UB","PUB","x0"}`` override.  The
+        default recommends the constant-mean data-driven box for every
+        hyperparameter (reference mean_functions.py:400-459 idx=1) —
+        generic but finite, so ``GP.fit``'s NaN-fill and space-filling
+        design work out of the box.
+    hyp_info : list[(str, int)], optional
+        Hyperparameter-name groups for the dict ABI (default one group
+        ``("mean_custom", hyp_count)``).
+    """
+
+    def __init__(
+        self,
+        value_fn,
+        hyp_count,
+        name: str = None,
+        bounds_info_fn=None,
+        hyp_info=None,
+    ):
+        from .core.model import register_custom_mean
+
+        if name is None:
+            name = getattr(value_fn, "__qualname__", None) or getattr(
+                value_fn, "__name__", "anonymous"
+            )
+        self._name = name
+        self._value_fn = value_fn
+        self._count = (
+            hyp_count if callable(hyp_count) else (lambda D: int(hyp_count))
+        )
+        self._bounds_info_fn = bounds_info_fn
+        self._hyp_info = hyp_info
+        self._kind = register_custom_mean(name, value_fn, self._count)
+
+    def hyperparameter_count(self, D: int):
+        return self._count(D)
+
+    def hyperparameter_info(self, D: int):
+        if self._hyp_info is not None:
+            return list(self._hyp_info)
+        return [("mean_custom", self._count(D))]
+
+    def get_bounds_info(self, X: np.ndarray, y: np.ndarray):
+        if self._bounds_info_fn is not None:
+            return self._bounds_info_fn(X, y)
+        mean_N = self._count(X.shape[1])
+        return _custom_default_bounds(mean_N, X, y)
+
+    def compute(
+        self, hyp: np.ndarray, X: np.ndarray, compute_grad: bool = False
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        N, D = X.shape
+        mean_N = self._count(D)
+        _validate_hyp(np.asarray(hyp), mean_N)
+        hj = jnp.asarray(np.asarray(hyp, dtype=np.float64))
+        Xj = jnp.asarray(np.asarray(X, dtype=np.float64))
+        m = np.asarray(self._value_fn(hj, Xj)).reshape(N)
+        if compute_grad:
+            dm = np.asarray(
+                jax.jacfwd(lambda h: jnp.reshape(self._value_fn(h, Xj), (N,)))(hj)
+            )
+            return m, dm.reshape(N, mean_N)
+        return m
+
+
+def _custom_default_bounds(mean_N, X, y):
+    """Generic finite recommended box for custom-mean hyperparameters:
+    the constant-mean y-range heuristic applied to every hyperparameter
+    (reference mean_functions.py:400-459, idx=1 branch)."""
+    if np.size(y) <= 1:
+        y = np.array([0, 1])
+    h = np.max(y) - np.min(y)
+    LB = np.full((mean_N,), np.min(y) - 10.0 * max(h, 1.0))
+    UB = np.full((mean_N,), np.max(y) + 10.0 * max(h, 1.0))
+    PLB = np.full((mean_N,), np.min(y) - 0.5 * max(h, 1.0))
+    PUB = np.full((mean_N,), np.max(y) + 0.5 * max(h, 1.0))
+    x0 = np.full((mean_N,), float(np.median(y)))
+    return {"LB": LB, "PLB": PLB, "UB": UB, "PUB": PUB, "x0": x0}
