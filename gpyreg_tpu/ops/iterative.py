@@ -283,14 +283,33 @@ def cg_nlml(
     """
     if key is None:
         key = jax.random.key(0)
-    dtype = jnp.asarray(X).dtype
+    Xj = jnp.asarray(X)
+    dtype = Xj.dtype
+    N = Xj.shape[0]
+    # Mask-padded rows make any N work with a fixed panel size: the
+    # padded operator is block-diagonal [[A, 0], [0, I]], so the
+    # quadratic term (zero padded residual), the log-determinant
+    # (log 1 = 0 per padded row) and the trace estimator are all exact.
+    row_chunk = int(min(row_chunk, N))
+    yj = jnp.asarray(y, dtype=dtype)
+    s2j = None if s2 is None else jnp.asarray(s2, dtype=dtype)
+    n_real = None
+    if N % row_chunk:
+        Xj, _ = _pad_rows(Xj, row_chunk)
+        pad = Xj.shape[0] - N
+        yj = jnp.concatenate([yj, jnp.zeros((pad, 1), dtype)])
+        if s2j is not None:
+            s2j = jnp.concatenate([s2j, jnp.ones((pad, 1), dtype)])
+        n_real = jnp.asarray(N, dtype=jnp.int32)
     fn = _cg_nlml_fn(spec, bool(compute_grad), int(row_chunk),
                      int(max_iter), int(n_probes), int(n_lanczos),
-                     s2 is not None)
-    args = [jnp.asarray(hyp), jnp.asarray(X), jnp.asarray(y, dtype=dtype),
+                     s2 is not None, n_real is not None)
+    args = [jnp.asarray(hyp), Xj, yj,
             key, jnp.asarray(tol, dtype=dtype)]
-    if s2 is not None:
-        args.append(jnp.asarray(s2, dtype=dtype))
+    if s2j is not None:
+        args.append(s2j)
+    if n_real is not None:
+        args.append(n_real)
     out = fn(*args)
     if compute_grad:
         return float(out[0]), np.asarray(out[1])
@@ -299,23 +318,56 @@ def cg_nlml(
 
 @partial(jax.jit, static_argnames=("spec", "compute_grad", "row_chunk",
                                    "max_iter", "n_probes", "n_lanczos",
-                                   "has_s2"))
+                                   "has_s2", "has_mask"))
 def _cg_nlml_impl(spec, compute_grad, row_chunk, max_iter, n_probes,
-                  n_lanczos, has_s2, hyp, X, y, key, tol, s2=None):
+                  n_lanczos, has_s2, has_mask, hyp, X, y, key, tol,
+                  s2=None, n_real=None):
     N = X.shape[0]
     dtype = X.dtype
     hyp = jnp.asarray(hyp).astype(dtype)
+    if has_mask:
+        # Mask-padded rows: the effective operator is block-diagonal
+        # [[A, 0], [0, I]] — zero padded residual (quadratic term),
+        # log 1 = 0 per padded row (logdet), and the Hutchinson /
+        # SLQ estimators stay exact (tr log [[A,0],[0,I]] = tr log A).
+        mask = (jnp.arange(N) < n_real).astype(dtype)
+        n_eff = n_real.astype(dtype)
+    else:
+        mask = None
+        n_eff = N
 
     def parts(h):
         hyp_cov, hyp_noise, hyp_mean = spec.split_hyp(h)
         sn2 = noise_variance(spec, hyp_noise, y, s2, dtype)
         sn2_vec = jnp.broadcast_to(jnp.reshape(sn2, (-1,)), (N,))
         m = mean_value(spec, hyp_mean, X)[:, None]
+        if mask is not None:
+            sn2_vec = jnp.where(mask > 0, sn2_vec, 1.0)
+            m = m * mask[:, None] + y * (1.0 - mask[:, None])
         return hyp_cov, sn2_vec, m
+
+    def make_mv(hyp_cov_h, sn2_h):
+        if mask is None:
+            return lambda V: _panel_matvec(
+                spec, hyp_cov_h, X, V, sn2_h, row_chunk
+            )
+
+        def mv_masked(V):
+            out = _panel_matvec(
+                spec,
+                hyp_cov_h,
+                X,
+                V * mask[:, None],
+                jnp.zeros_like(sn2_h),
+                row_chunk,
+            )
+            return out * mask[:, None] + sn2_h[:, None] * V
+
+        return mv_masked
 
     hyp_cov, sn2_vec, m = parts(hyp)
     r = y - m
-    mv = lambda V: _panel_matvec(spec, hyp_cov, X, V, sn2_vec, row_chunk)
+    mv = make_mv(hyp_cov, sn2_vec)
 
     # Shared CG batch: [r | probes]; u = A^{-1} z reused by the gradient.
     Z = jax.random.rademacher(key, (N, n_probes), dtype=dtype)
@@ -327,7 +379,7 @@ def _cg_nlml_impl(spec, compute_grad, row_chunk, max_iter, n_probes,
     nlml = (
         0.5 * jnp.sum(r * alpha)
         + 0.5 * logdet
-        + 0.5 * N * jnp.log(2.0 * jnp.pi)
+        + 0.5 * n_eff * jnp.log(2.0 * jnp.pi)
     )
     if not compute_grad:
         return nlml
@@ -341,9 +393,7 @@ def _cg_nlml_impl(spec, compute_grad, row_chunk, max_iter, n_probes,
 
     def surrogate(h):
         hyp_cov_h, sn2_h, m_h = parts(h)
-        mv_h = lambda V: _panel_matvec(
-            spec, hyp_cov_h, X, V, sn2_h, row_chunk
-        )
+        mv_h = make_mv(hyp_cov_h, sn2_h)
         r_h = y - m_h
         A_cols = mv_h(jnp.concatenate([alpha_c, Z_c], axis=1))
         A_alpha, A_Z = A_cols[:, :1], A_cols[:, 1:]
@@ -357,12 +407,14 @@ def _cg_nlml_impl(spec, compute_grad, row_chunk, max_iter, n_probes,
 
 @lru_cache(maxsize=None)
 def _cg_nlml_fn(spec, compute_grad, row_chunk, max_iter, n_probes,
-                n_lanczos, has_s2):
+                n_lanczos, has_s2, has_mask=False):
     def run(hyp, X, y, key, tol, *rest):
+        rest = list(rest)
+        n_real = rest.pop() if has_mask else None
         s2 = rest[0] if rest else None
         return _cg_nlml_impl(spec, compute_grad, row_chunk, max_iter,
-                             n_probes, n_lanczos, has_s2, hyp, X, y, key,
-                             tol, s2)
+                             n_probes, n_lanczos, has_s2, has_mask, hyp,
+                             X, y, key, tol, s2, n_real)
 
     return run
 
@@ -383,6 +435,7 @@ def fit_cg(
     n_probes: int = 8,
     n_lanczos: int = 32,
     max_opt_iter: int = 100,
+    ftol: float = 1e-9,
 ):
     """MAP hyperparameter fit past the Cholesky N limit.
 
@@ -392,6 +445,11 @@ def fit_cg(
     device program = batched CG solve [r | probes] + SLQ logdet +
     Hutchinson gradient; the kernel matrix is never materialized, so
     N is bounded by O(row_chunk * N) workspace, not O(N^2).
+
+    ``tol`` maps to L-BFGS-B's gradient tolerance; ``ftol`` (kept at
+    scipy's tight default scale) governs the relative-decrease stop —
+    looser values let the optimizer quit on the flat plateaus far from
+    the optimum where early relative progress is slow.
 
     Returns (hyp (h,), scipy OptimizeResult).
     """
@@ -429,8 +487,8 @@ def fit_cg(
         hyp0,
         jac=True,
         bounds=bounds,
-        tol=tol,
-        options={"maxiter": max_opt_iter},
+        method="L-BFGS-B",
+        options={"maxiter": max_opt_iter, "ftol": ftol, "gtol": tol},
     )
     return res.x, res
 
@@ -480,6 +538,7 @@ def cg_predict(
     test_chunk: int = 1024,
     max_iter: int = 1000,
     precond_rank: int = 0,
+    alpha0=None,
 ):
     """Exact-GP prediction with a never-materialized kernel matrix.
 
@@ -500,6 +559,12 @@ def cg_predict(
     None, info dict).  Accuracy is CG-tolerance-limited; at tol=1e-6 it
     matches the Cholesky path to ~1e-5 relative (see
     tests/test_iterative.py).
+
+    ``alpha0``: a previously-computed padded weight vector (the
+    ``info["alpha"]`` of an earlier call at the same hyp/data) — skips
+    the alpha CG solve, so repeat serving pays only the per-test-chunk
+    work.  ``info["alpha"]`` always carries the (device-resident)
+    padded weights for this reuse.
     """
     dtype = jnp.asarray(X).dtype
     Xj = jnp.asarray(X)
@@ -549,10 +614,14 @@ def cg_predict(
         precond = woodbury_preconditioner(Lk, sn2_vec)
 
     solve = jax.jit(lambda b: _cg(mv, b, tol, max_iter, precond))
-    alpha, res_a, it_a = solve(r)
-
-    info = {"alpha_rel_residual": float(jnp.max(res_a)),
-            "alpha_iters": int(it_a)}
+    if alpha0 is not None:
+        alpha = jnp.asarray(alpha0, dtype=dtype)
+        info = {"alpha_reused": True}
+    else:
+        alpha, res_a, it_a = solve(r)
+        info = {"alpha_rel_residual": float(jnp.max(res_a)),
+                "alpha_iters": int(it_a)}
+    info["alpha"] = alpha
 
     mu_parts, var_parts = [], []
     xsj = jnp.asarray(xs, dtype=dtype)

@@ -1,0 +1,165 @@
+"""GP-level CG/BBMM capability (VERDICT r2 item 3): the matrix-free
+stack (ops/iterative.py) reachable from the public API via
+``fit(options={"method": "cg"})`` and CG-backed ``predict``."""
+
+import numpy as np
+import pytest
+
+import gpyreg_tpu as gpr
+
+
+def _make_gp(D=2):
+    return gpr.GP(
+        D=D,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+    )
+
+
+def _data(N=400, D=2, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(-3, 3, (N, D))
+    y = np.sin(np.sum(X, 1))[:, None] + 0.1 * rng.normal(size=(N, 1))
+    return X, y
+
+
+CG_OPTS = {
+    "method": "cg",
+    "cg_row_chunk": 128,
+    "cg_tol": 1e-6,
+    "cg_n_probes": 16,
+    "cg_n_lanczos": 48,
+    "cg_init_N": 8,  # small design keeps the CPU suite fast
+}
+
+
+def test_fit_cg_matches_exact_map():
+    """CG MAP lands at (near) the exact MAP objective."""
+    X, y = _data()
+    gp_e = _make_gp()
+    np.random.seed(0)
+    hyp_e, res_e, _ = gp_e.fit(
+        X=X, y=y, options={"n_samples": 0, "opts_N": 1, "init_N": 32}
+    )
+    gp_c = _make_gp()
+    hyp_c, res_c, samp = gp_c.fit(
+        X=X, y=y, options=dict(CG_OPTS, hyp0=None, opts_N=1)
+    )
+    assert samp is None
+    assert hyp_c.shape == (1, hyp_e.shape[1])
+    # Exact NLML at the CG optimum is within ~1% of the exact optimum
+    # (the CG objective is an SLQ estimate; see tests/test_iterative.py).
+    ll_exact_at_c = gp_e.log_likelihood(hyp_c[0])
+    ll_exact_at_e = gp_e.log_likelihood(hyp_e[0])
+    assert ll_exact_at_c > ll_exact_at_e - 0.02 * abs(ll_exact_at_e)
+
+
+def test_cg_predict_matches_exact_at_same_hyp():
+    X, y = _data()
+    gp_c = _make_gp()
+    hyp_c, _, _ = gp_c.fit(X=X, y=y, options=dict(CG_OPTS))
+    assert gp_c.posteriors[0].matrix_free
+    assert gp_c.posteriors[0].L is None
+
+    # Exact GP at the same hyperparameters.
+    gp_e = _make_gp()
+    gp_e.X, gp_e.y = X, y
+    gp_e.update(hyp=hyp_c)
+
+    rng = np.random.default_rng(1)
+    xs = rng.uniform(-3, 3, (50, 2))
+    mu_c, s2_c = gp_c.predict(xs)
+    mu_e, s2_e = gp_e.predict(xs)
+    assert np.max(np.abs(mu_c - mu_e)) < 1e-5
+    assert np.max(np.abs(s2_c - s2_e)) < 1e-5
+    # add_noise flows through the shared noise machinery.
+    mu_cn, s2_cn = gp_c.predict(xs, add_noise=True)
+    mu_en, s2_en = gp_e.predict(xs, add_noise=True)
+    assert np.max(np.abs(s2_cn - s2_en)) < 1e-5
+
+    # The cached alpha makes repeat serving deterministic and cheap.
+    mu_c2, s2_c2 = gp_c.predict(xs)
+    assert np.array_equal(mu_c, mu_c2)
+    assert gp_c.posteriors[0]._alpha is not None
+
+
+def test_cg_update_with_new_data():
+    X, y = _data(N=300)
+    gp_c = _make_gp()
+    hyp_c, _, _ = gp_c.fit(X=X, y=y, options=dict(CG_OPTS))
+    X2, y2 = _data(N=40, seed=3)
+    gp_c.update(X_new=X2, y_new=y2)
+    assert gp_c.X.shape[0] == 340
+    assert gp_c.posteriors[0].matrix_free
+    xs = X2[:10]
+    mu, s2 = gp_c.predict(xs)
+
+    gp_e = _make_gp()
+    gp_e.X, gp_e.y = gp_c.X, gp_c.y
+    gp_e.update(hyp=hyp_c)
+    mu_e, s2_e = gp_e.predict(xs)
+    assert np.max(np.abs(mu - mu_e)) < 1e-5
+    assert np.max(np.abs(s2 - s2_e)) < 1e-5
+
+
+def test_cg_guards_and_method_validation():
+    X, y = _data(N=200)
+    gp_c = _make_gp()
+    gp_c.fit(X=X, y=y, options=dict(CG_OPTS))
+    with pytest.raises(ValueError, match="matrix-free"):
+        gp_c.quad(np.zeros((1, 2)), np.ones((1, 2)))
+    with pytest.raises(ValueError, match="matrix-free"):
+        gp_c.predict_full(np.zeros((3, 2)))
+    with pytest.raises(ValueError, match="matrix-free"):
+        gp_c.random_function(np.zeros((3, 2)))
+    with pytest.raises(ValueError, match="MAP-only"):
+        gp_c.fit(X=X, y=y, options=dict(CG_OPTS, n_samples=4))
+    with pytest.raises(ValueError, match="Unknown fit method"):
+        gp_c.fit(X=X, y=y, options={"method": "nope"})
+
+
+def test_auto_dispatch_small_n_stays_exact():
+    X, y = _data(N=120)
+    gp = _make_gp()
+    np.random.seed(0)
+    gp.fit(
+        X=X,
+        y=y,
+        options={"method": "auto", "n_samples": 0, "opts_N": 1,
+                 "init_N": 16},
+    )
+    assert not gp.posteriors[0].matrix_free
+    assert gp.posteriors[0].L is not None
+
+
+def test_exact_refit_resets_cg_mode():
+    X, y = _data(N=150)
+    gp = _make_gp()
+    gp.fit(X=X, y=y, options=dict(CG_OPTS))
+    assert gp._infer_method == "cg"
+    np.random.seed(0)
+    gp.fit(
+        X=X, y=y,
+        options={"n_samples": 0, "opts_N": 1, "init_N": 16},
+    )
+    assert gp._infer_method == "exact"
+    assert not gp.posteriors[0].matrix_free
+
+
+def test_cg_save_load_roundtrip(tmp_path):
+    X, y = _data(N=200)
+    gp = _make_gp()
+    gp.fit(X=X, y=y, options=dict(CG_OPTS))
+    rng = np.random.default_rng(4)
+    xs = rng.uniform(-3, 3, (20, 2))
+    mu0, s20 = gp.predict(xs)
+    gp.save(tmp_path / "gp_cg.npz")
+    gp2 = gpr.GP.load(tmp_path / "gp_cg.npz")
+    assert gp2._infer_method == "cg"
+    assert gp2.posteriors[0].matrix_free
+    mu1, s21 = gp2.predict(xs)
+    # CG-tolerance-limited equality: the loaded GP re-solves its weight
+    # vector from scratch (factors are never serialized).
+    assert np.max(np.abs(mu0 - mu1)) < 1e-4
+    assert np.max(np.abs(s20 - s21)) < 1e-4
