@@ -45,7 +45,7 @@ from .inference import ensemble_slice as _ensemble_slice
 from .inference import mala as _mala
 from .inference import map_optimize as _map_optimize
 from .ops.linalg import neg_inverse_from_chol, robust_cholesky
-from .slice_sample import SliceSampler
+from .slice_sample import SliceSampler, effective_n, gelman_rubin
 
 from functools import lru_cache
 from jax.scipy.linalg import solve_triangular as _jsolve_tri
@@ -177,6 +177,39 @@ def _predict_chunked_fn(spec: ModelSpec, flag: bool, chunk: int, pallas=False):
         return jnp.stack([mu.reshape(-1), s2.reshape(-1)])
 
     return jax.jit(chunked)
+
+
+@lru_cache(maxsize=None)
+def _predict_sharded_fn(
+    spec: ModelSpec, flag: bool, mesh, pallas: bool = False
+):
+    """Single-sample prediction with the TEST-POINT axis sharded over a
+    device mesh (the sequence-parallel analog for GP serving, SURVEY.md
+    section 2.3): each device holds the full padded posterior factors —
+    the factors the GP actually stores — and computes the predictive
+    moments of its own slab of test points.  Zero per-point collectives;
+    one program, one packed pull."""
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    pfns = _predict_fns(spec, pallas)
+    one = pfns[("chol" if flag else "inv") + "_one_raw"]
+
+    def local(hyp, alpha, L, sW, X, n_real, xs_local):
+        mu, s2 = one(hyp, alpha, L, sW, X, n_real, xs_local)
+        return jnp.stack([mu, s2])
+
+    repl = P()
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(repl,) * 6 + (P("batch", None),),
+        out_specs=P(None, "batch"),
+    )
+    return jax.jit(sharded)
 
 
 # ----------------------------------------------------------------------
@@ -581,6 +614,7 @@ class GP:
         fast_predict: bool = False,
         pad_bucket: int = 64,
         pallas_predict: bool = False,
+        mesh=None,
     ):
         self.D = D
         self.covariance = covariance
@@ -615,6 +649,18 @@ class GP:
         # large-N serving path into one VMEM-resident Pallas kernel
         # (ops/pallas_kernels.py); float32 only, XLA fallback otherwise.
         self.pallas_predict = bool(pallas_predict)
+        # mesh: a 1-D jax.sharding.Mesh over axis 'batch' (or an int
+        # device count; see parallel.mesh.make_mesh) scales the GP over
+        # multiple chips: the fit's 1024-wide design evaluation and the
+        # multistart L-BFGS lanes shard across devices (the workload's
+        # primary data-parallel axis, SURVEY.md section 2.3), MCMC runs
+        # chain-parallel via fit(options={"n_chains": ...}), and
+        # prediction shards the test-point axis.  None = single device.
+        if isinstance(mesh, int):
+            from .parallel.mesh import make_mesh
+
+            mesh = make_mesh(mesh)
+        self.mesh = mesh
         # Device computation dtype.  float64 (default) gives reference
         # parity at 1e-8 rtol; float32 is the TPU fast path (f64 matmul /
         # Cholesky are emulated on TPU).  Host-side state stays float64.
@@ -1962,6 +2008,7 @@ class GP:
                 low_noise_idx=low_idx,
                 chunk=chunk,
                 obj_design_raw=fns["obj_design_raw"],
+                mesh=self.mesh,
             )
             opts_N = k
             hyp = np.array(xs)
@@ -2148,6 +2195,63 @@ class GP:
                 ),
                 diagnostics=options.get("sampler_diagnostics", True),
             )
+        elif (
+            backend == "device"
+            and int(options.get("n_chains", 1)) > 1
+        ):
+            # Chain-parallel slice sampling (SURVEY.md section 2.3): B
+            # independent chains from the MAP point, batched into one
+            # program — and sharded across the mesh when one is set.
+            # Cross-chain Gelman-Rubin replaces the single-chain
+            # split-R-hat (more chains = a stronger diagnostic).
+            fns, obj_args = self._obj_args()
+            key = jax.random.key(int(np.random.randint(0, 2**31 - 1)))
+            B = int(options.get("n_chains"))
+            n_per = -(-eff_s_N // B)
+            burn_per = max(1, -(-burn_in // B))
+            chain_x, chain_f = _device_slice.sample_chains(
+                fns["log_post_raw"],
+                np.tile(np.reshape(hyp_start, (1, -1)), (B, 1)),
+                key,
+                widths=widths,
+                LB=LB,
+                UB=UB,
+                n_samples=n_per,
+                thin=1,
+                burn=burn_per,
+                f_args=obj_args,
+                mesh=self.mesh,
+            )
+            chain_x = np.asarray(chain_x)  # (B, n_per, D)
+            chain_f = np.asarray(chain_f)
+            # Interleave iteration-major so thinning strides across all
+            # chains evenly.
+            samples = chain_x.transpose(1, 0, 2).reshape(
+                -1, chain_x.shape[2]
+            )[:eff_s_N]
+            f_vals = chain_f.T.reshape(-1)[:eff_s_N]
+            if options.get("sampler_diagnostics", True) and B >= 2:
+                R = gelman_rubin(chain_x)
+                eff_N = effective_n(chain_x)
+                if np.any(R > 1.5):
+                    exit_flag = -3
+                elif np.any(R > 1.1):
+                    exit_flag = -2
+                elif np.any(eff_N < eff_s_N / 10.0):
+                    exit_flag = -1
+                else:
+                    exit_flag = 1
+            else:
+                exit_flag, R, eff_N = 0, None, None
+            sampling_result = {
+                "samples": samples,
+                "f_vals": f_vals.reshape(-1, 1),
+                "log_priors": np.zeros((samples.shape[0],)),
+                "exit_flag": exit_flag,
+                "R": R,
+                "eff_N": eff_N,
+                "n_chains": B,
+            }
         elif backend == "device":
             # Fully-jitted chain: zero host round-trips per NLML eval.
             fns, obj_args = self._obj_args()
@@ -2368,6 +2472,38 @@ class GP:
             from .ops import pallas_kernels as _pk
 
             pallas = _pk.INTERPRET
+
+        if self.mesh is not None and not full:
+            # Multi-chip serving: shard the test points over the mesh
+            # (factors replicated — they are the smaller operand at
+            # large M).  One dispatch + one packed pull per sample.
+            ndev = int(self.mesh.devices.size)
+            Mp = -(-M // ndev) * ndev
+            xs_p = (
+                np.concatenate(
+                    [xsh, np.repeat(xsh[-1:], Mp - M, axis=0)]
+                )
+                if Mp > M
+                else xsh
+            )
+            for idx, p in enumerate(self.posteriors):
+                fn = _predict_sharded_fn(
+                    spec, bool(p.L_chol), self.mesh, pallas
+                )
+                packed = np.asarray(
+                    fn(
+                        np.asarray(p.hyp, dtype=self.dtype),
+                        get_one("alpha", idx),
+                        get_one("L", idx),
+                        get_one("sW", idx),
+                        Xj,
+                        n_real,
+                        xs_p,
+                    )
+                )
+                mu[:, idx] = packed[0][:M]
+                s2[:, idx] = packed[1][:M]
+            return mu, s2
 
         if no_stack:
             if full:

@@ -567,6 +567,7 @@ def sample_chains(
     adaptive: bool = True,
     max_shrink: int = 256,
     f_args=(),
+    mesh=None,
 ):
     """Run B independent chains in parallel (vmapped), one per row of
     ``x0s`` (B, D).  Returns (samples (B, n, D), f_vals (B, n)).
@@ -574,6 +575,11 @@ def sample_chains(
     This is the TPU answer to the reference's single sequential chain:
     the NLML evaluations of all chains batch into one XLA Cholesky per
     step (SURVEY.md section 2.3, "MCMC-chain parallelism").
+
+    ``mesh`` (a 1-D jax.sharding.Mesh over axis 'batch') shards the
+    chain axis across devices — chains are embarrassingly parallel, so
+    each chip runs its slab of chains with data replicated and zero
+    per-step collectives; B must be divisible by the mesh size.
     """
     # Host-side setup (numpy): uploads fold into the vmapped chain
     # dispatch — see sample() above for the per-eager-op latency
@@ -606,10 +612,30 @@ def sample_chains(
         burn = round(n_samples / 3)
 
     keys = jax.random.split(key, B)
+    x_arr = x0s
+    logp_arr = np.zeros((B,), dtype=np.float64)
+    w_arr = np.broadcast_to(w, (B, D)).copy()
+    if mesh is not None:
+        # Shard the chain axis; jit follows the input sharding, so each
+        # device advances only its own chains (computation-follows-data;
+        # the vmapped sweep has no cross-chain dependence).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if B % mesh.devices.size:
+            raise ValueError(
+                f"n_chains ({B}) must be divisible by the mesh size "
+                f"({mesh.devices.size})."
+            )
+        row = NamedSharding(mesh, P("batch"))
+        row2 = NamedSharding(mesh, P("batch", None))
+        x_arr = jax.device_put(jnp.asarray(x_arr), row2)
+        logp_arr = jax.device_put(jnp.asarray(logp_arr), row)
+        w_arr = jax.device_put(jnp.asarray(w_arr), row2)
+        keys = jax.device_put(keys, row)
     states = SliceState(
-        x=x0s,
-        log_Px=np.zeros((B,), dtype=np.float64),
-        widths=np.broadcast_to(w, (B, D)).copy(),
+        x=x_arr,
+        log_Px=logp_arr,
+        widths=w_arr,
         key=keys,
     )
 

@@ -25,7 +25,35 @@ import jax.numpy as jnp
 import optax
 from jax import lax
 
+try:
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+from jax.sharding import PartitionSpec as _P
+
 _BIG = 1e4  # |z| cap keeping sigmoid/exp transforms non-degenerate
+
+
+def _repl_specs(tree):
+    """Replicated PartitionSpecs matching an argument pytree."""
+    return jax.tree.map(lambda _: _P(), tree)
+
+
+def _smap(f, mesh, in_specs, out_specs):
+    """shard_map with the varying-manual-axes check disabled: optax's
+    value_and_grad_from_state carries a lax.cond whose branches mix
+    replicated and device-varying outputs, which the check rejects even
+    though the per-device computation is independent and correct."""
+    try:
+        return _shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except TypeError:  # pragma: no cover - older jax kwarg name
+        return _shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
 
 
 def _make_transform(LB, UB):
@@ -211,6 +239,7 @@ def _run_multistart(
         "chunk",
         "max_iter",
         "memory_size",
+        "mesh",
     ),
 )
 def _run_design_optimize(
@@ -227,11 +256,20 @@ def _run_design_optimize(
     max_iter: int,
     memory_size: int,
     f_args,
+    mesh=None,
 ):
     """Design evaluation + start selection + multistart L-BFGS fused
     into ONE program (one dispatch, one packed pull): the space-filling
     phase and the optimization phase otherwise each pay a full remote
     round trip per fit (reference flow gaussian_process.py:1097-1188).
+
+    With ``mesh`` (a 1-D ``jax.sharding.Mesh`` over axis 'batch'), the
+    two hot loops shard over chips: the design's candidate axis — the
+    primary data-parallel axis of the workload (SURVEY.md section 2.3) —
+    splits across devices with data replicated, and the multistart
+    L-BFGS lanes run one-per-device (each device executes its local
+    ``lax.map`` chain; no cross-device communication until the final
+    gather).  Still one program, one packed pull.
 
     Returns ``(packed, X_sorted, y_sorted)``; only ``packed`` (rows
     0..k-1 = [x | f | iters], row k = [widths_default | 0 | 0]) is meant
@@ -239,19 +277,37 @@ def _run_design_optimize(
     the rare non-finite-start fallback.
     """
     B0, n = design.shape
-    n_chunks = -(-B0 // chunk)
-    pad = n_chunks * chunk - B0
+    ndev = 1 if mesh is None else int(mesh.devices.size)
+
+    def eval_chunked(d_local, f_args_t):
+        n_chunks = d_local.shape[0] // chunk
+        return lax.map(
+            lambda c: jax.vmap(lambda h: obj_design_raw(h, *f_args_t))(c),
+            d_local.reshape(n_chunks, chunk, n),
+        ).reshape(-1)
+
+    # Pad the candidate count so every device gets a whole number of
+    # chunks (padding repeats row 0; extra evaluations are discarded).
+    per_dev = -(-B0 // (ndev * chunk)) * chunk
+    total = per_dev * ndev
     dpad = (
         jnp.concatenate(
-            [design, jnp.broadcast_to(design[:1], (pad, n))]
+            [design, jnp.broadcast_to(design[:1], (total - B0, n))]
         )
-        if pad
+        if total > B0
         else design
     )
-    ys = lax.map(
-        lambda c: jax.vmap(lambda h: obj_design_raw(h, *f_args))(c),
-        dpad.reshape(n_chunks, chunk, n),
-    ).reshape(-1)[:B0]
+    if mesh is None:
+        ys = eval_chunked(dpad, f_args)[:B0]
+    else:
+        # f_args replicate across devices (shard_map bodies must not
+        # close over traced values, so they ride as explicit args).
+        ys = _smap(
+            eval_chunked,
+            mesh,
+            (_P("batch", None), _repl_specs(f_args)),
+            _P("batch"),
+        )(dpad, f_args)[:B0]
     # Failed evaluations (NaN kernel factorization) sort last.
     ys = jnp.where(jnp.isfinite(ys), ys, jnp.inf)
     order = jnp.argsort(ys)
@@ -275,9 +331,41 @@ def _run_design_optimize(
         widths = jnp.zeros((n,), design.dtype)
 
     z0 = jax.vmap(to_z, in_axes=(0, None))(starts, bp)
-    xs, fs, its = _multistart_core(
-        obj_raw, to_x, bp, tol, max_iter, memory_size, f_args, z0
-    )
+    if mesh is None:
+        xs, fs, its = _multistart_core(
+            obj_raw, to_x, bp, tol, max_iter, memory_size, f_args, z0
+        )
+    else:
+        # One restart lane per device (lanes stay independent: each
+        # device runs its own sequential lax.map — the v5e-safe shape).
+        k = z0.shape[0]
+        k_pad = -(-k // ndev) * ndev
+        z0p = (
+            jnp.concatenate(
+                [z0, jnp.broadcast_to(z0[:1], (k_pad - k, n))]
+            )
+            if k_pad > k
+            else z0
+        )
+
+        def opt_local(z0_local, bp_t, tol_t, f_args_t):
+            return _multistart_core(
+                obj_raw, to_x, bp_t, tol_t, max_iter, memory_size,
+                f_args_t, z0_local,
+            )
+
+        xs, fs, its = _smap(
+            opt_local,
+            mesh,
+            (
+                _P("batch", None),
+                _P(),
+                _P(),
+                _repl_specs(f_args),
+            ),
+            (_P("batch", None), _P("batch"), _P("batch")),
+        )(z0p, bp, tol, f_args)
+        xs, fs, its = xs[:k], fs[:k], its[:k]
     packed = jnp.concatenate(
         [xs, fs[:, None], its[:, None].astype(xs.dtype)], axis=1
     )
@@ -300,6 +388,7 @@ def design_optimize(
     max_iter=500,
     memory_size=10,
     obj_design_raw=None,
+    mesh=None,
 ):
     """Fused design-eval + top-k selection + multistart MAP.
 
@@ -329,6 +418,7 @@ def design_optimize(
         int(max_iter),
         int(memory_size),
         tuple(f_args),
+        mesh,
     )
     packed = np.asarray(packed_dev)  # the phase's single pull
     xs, fs, its = packed[:-1, :-2], packed[:-1, -2], packed[:-1, -1]

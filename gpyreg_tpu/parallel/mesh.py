@@ -236,14 +236,10 @@ def sharded_sample_chains(
     Xj = jnp.asarray(X)
     yj = jnp.asarray(y)
 
-    x0s = jnp.asarray(x0s, dtype=jnp.float64)
-    shard = NamedSharding(mesh, P("batch", None))
-    x0s = jax.device_put(x0s, shard)
-
     log_f = fns["log_post_raw"]
     return device_slice.sample_chains(
         log_f,
-        x0s,
+        np.asarray(x0s, dtype=np.float64),
         key,
         widths=widths,
         LB=LB,
@@ -252,4 +248,5 @@ def sharded_sample_chains(
         thin=thin,
         burn=burn,
         f_args=(Xj, yj),
+        mesh=mesh,
     )

@@ -110,3 +110,121 @@ def test_sharded_chains_match_unsharded(setup):
     assert s_sharded.shape == (8, 20, spec.hyp_N)
     assert np.allclose(s_sharded, s_local, atol=1e-12)
     assert np.allclose(f_sharded, f_local, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# GP-level multi-chip capability (VERDICT r2 item 4): the mesh reachable
+# from the public API — GP(mesh=...) shards the fused design+multistart
+# fit, chain-parallel MCMC via fit(options={"n_chains": ...}), and the
+# test-point axis of predict, all on the padded-bucket factors the GP
+# actually stores.
+# ---------------------------------------------------------------------------
+
+
+def _make_gp(mesh=None):
+    return gpr.GP(
+        D=2,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+        mesh=mesh,
+    )
+
+
+@pytest.fixture(scope="module")
+def gp_data():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(3)
+    X = rng.uniform(-3, 3, (70, 2))
+    y = np.sin(np.sum(X, 1))[:, None] + 0.1 * rng.normal(size=(70, 1))
+    return X, y, rng
+
+
+def test_gp_fit_on_mesh_matches_single_device(gp_data):
+    """gp.fit on the 8-device virtual mesh == single-device results
+    (same seed, same design, deterministic MAP path; MAP-only so the
+    comparison is exact up to reduction order)."""
+    X, y, rng = gp_data
+    opts = {"n_samples": 0, "opts_N": 2, "init_N": 32}
+
+    np.random.seed(7)
+    gp_1 = _make_gp(mesh=None)
+    hyp_1, res_1, _ = gp_1.fit(X=X, y=y, options=dict(opts))
+
+    np.random.seed(7)
+    gp_8 = _make_gp(mesh=pmesh.make_mesh(8))
+    hyp_8, res_8, _ = gp_8.fit(X=X, y=y, options=dict(opts))
+
+    assert np.allclose(hyp_8, hyp_1, atol=1e-6)
+    assert np.isclose(res_8.fun, res_1.fun, rtol=1e-9, atol=1e-8)
+
+    xs = rng.uniform(-3, 3, (33, 2))  # deliberately not divisible by 8
+    mu_1, s2_1 = gp_1.predict(xs)
+    mu_8, s2_8 = gp_8.predict(xs)
+    assert np.allclose(mu_8, mu_1, atol=1e-8)
+    assert np.allclose(s2_8, s2_1, atol=1e-8)
+
+
+def test_gp_mesh_predict_padded_buckets_and_mixed(gp_data):
+    """Sharded predict runs on the GP's real padded-bucket factors,
+    including MIXED parametrizations (posterior rows straddling the
+    sn2 = 1e-6 L_chol split)."""
+    X, y, rng = gp_data
+    gp = _make_gp(mesh=pmesh.make_mesh(8))
+    # Two hyp rows: high noise (L_chol=True) and tiny noise (inverse
+    # parametrization), exercising both sharded branches at once.
+    hyp = np.array(
+        [
+            [0.0, 0.0, 0.3, -2.0, 0.0],
+            [0.0, 0.0, 0.3, -9.0, 0.0],
+        ]
+    )
+    gp.update(X_new=X, y_new=y, hyp=hyp)
+    assert gp.posteriors[0].L_chol != gp.posteriors[1].L_chol
+    assert gp.posteriors[0]._L.shape[0] > X.shape[0]  # padded bucket
+
+    gp_ref = _make_gp(mesh=None)
+    gp_ref.update(X_new=X, y_new=y, hyp=hyp)
+
+    xs = rng.uniform(-3, 3, (41, 2))
+    mu_m, s2_m = gp.predict(xs, separate_samples=True)
+    mu_r, s2_r = gp_ref.predict(xs, separate_samples=True)
+    assert np.allclose(mu_m, mu_r, atol=1e-8)
+    # The sn2 ~ 1e-8 explicit-inverse sample's variance is conditioning
+    # -limited: sharded vs chunked matmul reduction order shifts it at
+    # the ~1e-3 relative level (both are equally valid f64 answers).
+    assert np.allclose(s2_m, s2_r, rtol=5e-3, atol=1e-8)
+
+
+def test_gp_fit_chain_parallel_mcmc(gp_data):
+    """fit(options={"n_chains": 8}) shards 8 chains over the mesh and
+    returns cross-chain Gelman-Rubin diagnostics."""
+    X, y, rng = gp_data
+    gp = _make_gp(mesh=pmesh.make_mesh(8))
+    np.random.seed(11)
+    hyp, _, sr = gp.fit(
+        X=X,
+        y=y,
+        options={
+            "n_samples": 8,
+            "opts_N": 1,
+            "init_N": 16,
+            "thin": 2,
+            "n_chains": 8,
+        },
+    )
+    assert hyp.shape[0] == 8
+    assert sr["n_chains"] == 8
+    assert sr["exit_flag"] in (1, 0, -1, -2, -3)
+    assert sr["R"] is not None and sr["R"].shape == (hyp.shape[1],)
+    assert np.all(np.isfinite(sr["f_vals"]))
+    mu, s2 = gp.predict(rng.uniform(-3, 3, (10, 2)))
+    assert np.all(np.isfinite(mu)) and np.all(s2 >= 0)
+
+
+def test_gp_mesh_int_shorthand(gp_data):
+    """GP(mesh=<int>) builds the mesh internally."""
+    X, y, rng = gp_data
+    gp = _make_gp(mesh=8)
+    assert gp.mesh is not None and gp.mesh.devices.size == 8
