@@ -35,6 +35,24 @@ def _best_of(fn, n=3):
     return best
 
 
+def _latency_stats(fn, n=10):
+    """Single-shot latency distribution across n calls (VERDICT r2 item
+    9: best-of timings alone hide the tunnel's 2-5x single-shot swings;
+    a first caller sees the percentiles, steady-state serving the min).
+    Returns {best, p50, p95} in seconds."""
+    ts = []
+    for _ in range(n):
+        t0 = _timer()
+        fn()
+        ts.append(_timer() - t0)
+    ts = np.asarray(ts)
+    return {
+        "best": float(np.min(ts)),
+        "p50": float(np.percentile(ts, 50)),
+        "p95": float(np.percentile(ts, 95)),
+    }
+
+
 def _make(gpr, D, cov, mean):
     return gpr.GP(
         D=D,
@@ -89,8 +107,14 @@ def config2_matern_fit_predict(gpr, seed=1):
     t0 = _timer()
     gp.fit(X=X, y=y, options=opts)
     fit_s = _timer() - t0
-    predict_s = _best_of(lambda: gp.predict(xs))
-    return {"fit_s": fit_s, "predict_s": predict_s, "grid_pts": xs.shape[0]}
+    stats = _latency_stats(lambda: gp.predict(xs))
+    return {
+        "fit_s": fit_s,
+        "predict_s": stats["best"],
+        "predict_p50_s": stats["p50"],
+        "predict_p95_s": stats["p95"],
+        "grid_pts": xs.shape[0],
+    }
 
 
 def config3_mcmc_hyperposterior(gpr, seed=2):
@@ -115,8 +139,13 @@ def config3_mcmc_hyperposterior(gpr, seed=2):
     t0 = _timer()
     gp.fit(X=X, y=y, options=opts)
     fit_s = _timer() - t0
-    predict_s = _best_of(lambda: gp.predict(xs))
-    return {"fit_s": fit_s, "predict_s": predict_s}
+    stats = _latency_stats(lambda: gp.predict(xs))
+    return {
+        "fit_s": fit_s,
+        "predict_s": stats["best"],
+        "predict_p50_s": stats["p50"],
+        "predict_p95_s": stats["p95"],
+    }
 
 
 def config4_pyvbmc_warm_refits(gpr, seed=3, n_refits=5):

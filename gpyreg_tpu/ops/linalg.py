@@ -77,6 +77,53 @@ def blocked_cholesky(G, block: int = 1024, rhs_chunk: int = 4096):
     return jnp.concatenate(out, axis=-1)
 
 
+def recursive_cholesky(G, base: int = 1024, precision=None):
+    """Recursive Cholesky with ALL panel solves as MXU matmuls.
+
+    The right-looking :func:`blocked_cholesky` still pays one wide XLA
+    triangular solve per panel — the slowest primitive on this chip.
+    Here the 2x2 recursion
+
+        chol([[A, B^T], [B, C]]) = [[L11, 0], [L21, L22]]
+        L11 = chol(A);  L21 = B @ tri_inv(L11)^T
+        L22 = chol(C - L21 @ L21^T)
+
+    replaces every solve with an explicit half-size triangular inversion
+    (:func:`tri_inv`, itself divide-and-conquer matmuls) and two dense
+    matmuls, so the only sequential work left is the ``base``-sized
+    native Cholesky leaves.  Extra flops vs the textbook algorithm are
+    ~N^3/6 for the inversions — cheap at MXU speed vs trsm speed.
+
+    NaN propagation matches ``jnp.linalg.cholesky``: an indefinite leaf
+    poisons every later block, so the jitter-escalation NaN detection
+    keeps working.  Supports leading batch dims; static shapes.
+    """
+    N = G.shape[-1]
+    if N <= base:
+        return lax.linalg.cholesky(G, symmetrize_input=False)
+    hi = precision if precision is not None else lax.Precision.HIGHEST
+    # Lane-aligned split (multiples of 128 keep every matmul on full
+    # MXU tiles; N is a power-of-two bucket in practice).
+    h = max(128, ((N // 2) + 127) // 128 * 128)
+    L11 = recursive_cholesky(G[..., :h, :h], base, precision)
+    W = tri_inv(L11, block=min(base, 256), precision=precision)
+    L21 = jnp.matmul(
+        G[..., h:, :h], jnp.swapaxes(W, -1, -2), precision=hi
+    )
+    S = G[..., h:, h:] - jnp.matmul(
+        L21, jnp.swapaxes(L21, -1, -2), precision=hi
+    )
+    L22 = recursive_cholesky(S, base, precision)
+    z = jnp.zeros(G.shape[:-2] + (h, N - h), dtype=G.dtype)
+    return jnp.concatenate(
+        [
+            jnp.concatenate([L11, z], axis=-1),
+            jnp.concatenate([L21, L22], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
 def _chol_of(K, sn2_vec, mult):
     """Lower Cholesky factor of G(mult) = K + mult * diag(sn2).
 
