@@ -1,23 +1,26 @@
 """Forward-Cholesky wall study (VERDICT r2 item 2).
 
-The NLML+grad headline is forward-factorization-bound: XLA's native TPU
-Cholesky runs a sequential panel algorithm far below the MXU roofline.
-This script measures, on the real chip, the three forward candidates at
-the headline shape (B=8, N=4096, f32) and the north-star shape
-(N=8192/16384):
+The NLML+grad headline is forward-factorization-bound.  Measures the
+forward candidates on the real chip:
 
   native    — lax.linalg.cholesky (batched)
-  blocked   — ops.linalg.blocked_cholesky (right-looking, native trsm)
   recursive — ops.linalg.recursive_cholesky (all-matmul panel solves)
+  blocked   — ops.linalg.blocked_cholesky (right-looking, native trsm)
 
-plus the end-to-end NLML+grad eval rate with the winner wired in.
-Prints one JSON line per config.  Run: python benchmarks/cholesky_wall.py
+Tunnel-aware measurement: each candidate is timed as ONE device program
+that lax.scans over R diagonal-jitter variants and reduces each factor
+to a scalar (sum log diag) — per-dispatch latency, async-dispatch
+artifacts and identical-dispatch memoization (CLAUDE.md) all cancel;
+reported time = program_time / R.
+
+Run: python benchmarks/cholesky_wall.py [B N]
 """
 
 import json
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -26,92 +29,103 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import gpyreg_tpu  # noqa: F401
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from gpyreg_tpu.ops import linalg as L
 
-
-def make_spd(B, N, seed=0, dtype=np.float32):
-    rng = np.random.default_rng(seed)
-    X = rng.normal(size=(N, 8)).astype(np.float64)
-    d2 = np.sum((X[:, None, :] - X[None, :, :]) ** 2, axis=-1)
-    K = np.exp(-0.5 * d2 / 1.5**2) + 1e-3 * np.eye(N)
-    K = np.broadcast_to(K, (B, N, N)).astype(dtype)
-    return jnp.asarray(K)
+R = 8  # scan repetitions per timing program
 
 
-def bench(fn, arg, n_iter=10, n_warm=2):
-    for _ in range(n_warm):
-        out = fn(arg)
-        jax.block_until_ready(out)
-    ts = []
-    for _ in range(n_iter):
-        t0 = time.perf_counter()
-        out = fn(arg)
-        jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts)), out
+@partial(jax.jit, static_argnames=("B", "N"))
+def make_spd_device(B, N):
+    key = jax.random.key(0)
+    X = jax.random.normal(key, (N, 8), dtype=jnp.float32)
+    d2 = (
+        jnp.sum(X**2, 1)[:, None]
+        + jnp.sum(X**2, 1)[None, :]
+        - 2.0 * (X @ X.T)
+    )
+    K = jnp.exp(-0.5 * d2 / 2.25) + 1e-3 * jnp.eye(N, dtype=jnp.float32)
+    return jnp.broadcast_to(K, (B, N, N))
+
+
+def make_timed(chol_fn):
+    @jax.jit
+    def run(G, epss):
+        eye = jnp.eye(G.shape[-1], dtype=G.dtype)
+
+        def body(c, e):
+            Lc = chol_fn(G + e * eye)
+            s = jnp.sum(
+                jnp.log(jnp.diagonal(Lc, axis1=-2, axis2=-1))
+            )
+            return c + s, s
+
+        tot, outs = lax.scan(body, jnp.float32(0), epss)
+        return tot, outs
+
+    return run
 
 
 def main():
-    results = []
-    for (B, N, iters) in [(8, 4096, 10), (8, 8192, 5), (1, 16384, 5)]:
-        G = make_spd(B, N)
+    shapes = [(8, 4096), (2, 8192), (1, 16384)]
+    if len(sys.argv) == 3:
+        shapes = [(int(sys.argv[1]), int(sys.argv[2]))]
+    for (B, N) in shapes:
+        G = jax.block_until_ready(make_spd_device(B, N))
+        print(json.dumps({"setup": f"B={B} N={N}"}), flush=True)
         cands = {
-            "native": jax.jit(
-                lambda g: jax.lax.linalg.cholesky(
-                    g, symmetrize_input=False
-                )
+            "native": lambda g: jax.lax.linalg.cholesky(
+                g, symmetrize_input=False
             ),
-            "blocked_1024": jax.jit(
-                lambda g: L.blocked_cholesky(g, block=1024)
+            "recursive_1024": lambda g: L.recursive_cholesky(
+                g, base=1024
             ),
-            "blocked_2048": jax.jit(
-                lambda g: L.blocked_cholesky(g, block=2048)
+            "recursive_1024_hi3": lambda g: L.recursive_cholesky(
+                g, base=1024, precision=jax.lax.Precision.HIGH
             ),
-            "recursive_512": jax.jit(
-                lambda g: L.recursive_cholesky(g, base=512)
-            ),
-            "recursive_1024": jax.jit(
-                lambda g: L.recursive_cholesky(g, base=1024)
-            ),
-            "recursive_2048": jax.jit(
-                lambda g: L.recursive_cholesky(g, base=2048)
-            ),
-            "recursive_1024_high": jax.jit(
-                lambda g: L.recursive_cholesky(
-                    g, base=1024, precision=jax.lax.Precision.HIGH
-                )
-            ),
+            "blocked_2048": lambda g: L.blocked_cholesky(g, block=2048),
         }
-        row = {"B": B, "N": N}
+        epss = jnp.asarray(
+            1e-6 * np.arange(2, 2 + R), dtype=jnp.float32
+        )
         ref = None
+        flops = B * N**3 / 3
         for name, fn in cands.items():
             try:
-                t, out = bench(fn, G, n_iter=iters)
-            except Exception as e:  # OOM etc.
-                row[name] = f"ERR {type(e).__name__}"
+                timed = make_timed(fn)
+                jax.block_until_ready(timed(G, epss))  # compile
+                t0 = time.perf_counter()
+                tot, outs = timed(G, epss)
+                jax.block_until_ready(tot)
+                t = (time.perf_counter() - t0) / R
+                outs = np.asarray(outs)
+            except Exception as e:
+                print(
+                    json.dumps({"B": B, "N": N, "cand": name,
+                                "err": type(e).__name__}),
+                    flush=True,
+                )
                 continue
-            out = np.asarray(out[0])
             if ref is None:
-                ref = out
+                ref = outs
                 err = 0.0
             else:
-                err = float(
-                    np.max(np.abs(np.tril(out) - np.tril(ref)))
-                    / max(1e-30, float(np.max(np.abs(ref))))
-                )
-            flops = B * N**3 / 3
-            row[name] = {
-                "ms": round(t * 1e3, 2),
-                "tflops": round(flops / t / 1e12, 1),
-                "rel_err_vs_native": float(f"{err:.2e}"),
-            }
-        results.append(row)
-        print(json.dumps(row), flush=True)
-
-
-def lax_chol(g):
-    return jax.lax.linalg.cholesky(g, symmetrize_input=False)
+                err = float(np.max(np.abs(outs - ref) / np.abs(ref)))
+            print(
+                json.dumps(
+                    {
+                        "B": B,
+                        "N": N,
+                        "cand": name,
+                        "ms": round(t * 1e3, 2),
+                        "tflops": round(flops / t / 1e12, 1),
+                        "logdet_rel_err": float(f"{err:.2e}"),
+                    }
+                ),
+                flush=True,
+            )
+        del G
 
 
 if __name__ == "__main__":

@@ -15,8 +15,28 @@ isotropic_covariance_functions.py):
 - ``se_iso``, ``m{1,3,5}_iso`` isotropic variants (2 hyp)
 """
 
+import os
+
+import jax
 import jax.numpy as jnp
 from jax import lax
+
+
+def _fused_se_enabled(X, iso, Z, diag):
+    """Dispatch gate for the fused Pallas SE self-covariance build with
+    its one-pass custom VJP (ops/pallas_kernels.se_kernel_fused): the
+    f32 TPU training path at large N, unless disabled by env."""
+    if iso or Z is not None or diag:
+        return False
+    if X.dtype != jnp.float32:
+        return False
+    if os.environ.get("GPYREG_TPU_NO_FUSED_KERNEL"):
+        return False
+    from .pallas_kernels import FUSED_MIN_N, INTERPRET
+
+    if X.shape[0] < FUSED_MIN_N:
+        return False
+    return INTERPRET or jax.default_backend() == "tpu"
 
 
 def sq_dist(a, b=None):
@@ -97,6 +117,10 @@ def kernel_matrix(cov: str, hyp_cov, X, Z=None, diag=False):
     Zs = None if Z is None else Z / ell
 
     if base == "se":
+        if _fused_se_enabled(X, iso, Z, diag):
+            from .pallas_kernels import se_kernel_fused
+
+            return se_kernel_fused(hyp_cov[: D + 1], X)
         return sf2 * jnp.exp(-0.5 * sq_dist(Xs, Zs))
     if base in ("m1", "m3", "m5"):
         deg = int(base[1])
