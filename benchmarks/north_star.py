@@ -10,8 +10,12 @@ Usage:
       N=16384 on the single-threaded reference and extrapolates the full
       fit from the reference's own evaluation counts (running the real
       thing would take days; the extrapolation formula is printed).
+  python benchmarks/north_star.py --f64check # CPU side: recompute the
+      f64 NLML at the TPU-fitted hyperparameters (written by the TPU
+      side to /tmp/north_star_tpu.json) — f64 is emulated (very slow)
+      on TPU, so the agreement figure runs on the CPU backend.
 
-Each side prints one JSON line; BASELINE.md records both.
+Each side prints one JSON line; BASELINE.md records all.
 """
 
 import json
@@ -80,15 +84,9 @@ def tpu_side():
     predict_warm_s = time.perf_counter() - t0
     assert np.all(np.isfinite(mu)) and np.all(np.isfinite(s2))
 
-    # f32 vs f64 NLML agreement at the sampled hyperparameters.
-    gp64 = make_gp(np.float64)
-    gp64.X, gp64.y = X, y
-    rel = []
-    for i in range(hyp.shape[0]):
-        ll32 = gp.log_likelihood(hyp[i])
-        ll64 = gp64.log_likelihood(hyp[i])
-        rel.append(abs(ll32 - ll64) / max(1.0, abs(ll64)))
-    nlml_f32_vs_f64_rel = float(np.max(rel))
+    # f32 NLML at the sampled hyperparameters (the f64 twin runs on the
+    # CPU backend via --f64check: f64 linalg is emulated on TPU).
+    ll32 = [float(gp.log_likelihood(hyp[i])) for i in range(2)]
 
     out = {
         "side": "tpu",
@@ -109,10 +107,46 @@ def tpu_side():
         "predict_first_s": round(predict_first_s, 1),
         "predict_warm_s": round(predict_warm_s, 1),
         "predict_pts_per_s_warm": round(M / predict_warm_s, 0),
-        "nlml_f32_vs_f64_rel": float(f"{nlml_f32_vs_f64_rel:.2e}"),
+        "nlml_f32": ll32,
         "hyp_mean": [round(float(v), 3) for v in np.mean(hyp, 0)],
     }
+    with open("/tmp/north_star_tpu.json", "w") as f:
+        json.dump({**out, "hyp": hyp.tolist()}, f)
     print(json.dumps(out), flush=True)
+
+
+def f64check_side():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import gpyreg_tpu as gpr
+
+    with open("/tmp/north_star_tpu.json") as f:
+        tpu = json.load(f)
+    hyp = np.asarray(tpu["hyp"])
+    X, y, _ = make_data()
+    gp64 = gpr.GP(
+        D=D,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+    )
+    gp64.X, gp64.y = X, y
+    rel = []
+    for i, ll32 in enumerate(tpu["nlml_f32"]):
+        ll64 = gp64.log_likelihood(hyp[i])
+        rel.append(abs(ll32 - ll64) / max(1.0, abs(ll64)))
+    print(
+        json.dumps(
+            {
+                "side": "f64check_cpu",
+                "N": N,
+                "nlml_f32_vs_f64_rel": float(f"{max(rel):.2e}"),
+                "n_checked": len(rel),
+            }
+        ),
+        flush=True,
+    )
 
 
 def ref_side():
@@ -187,5 +221,7 @@ def ref_side():
 if __name__ == "__main__":
     if "--ref" in sys.argv:
         ref_side()
+    elif "--f64check" in sys.argv:
+        f64check_side()
     else:
         tpu_side()

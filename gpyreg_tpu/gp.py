@@ -1990,6 +1990,12 @@ class GP:
                 ),
             )
             chunk = 1 << (int(raw).bit_length() - 1)
+            # Above SEG_MIN_N padded rows the one-dispatch fused program
+            # exceeds the TPU runtime's ~6-minute per-dispatch execution
+            # watchdog; switch to bounded dispatches (map_optimize.py).
+            segments = _map_optimize.segment_plan(
+                obj_args_nr, design.shape[0], k, 500
+            )
             (
                 xs,
                 fs,
@@ -2009,6 +2015,7 @@ class GP:
                 chunk=chunk,
                 obj_design_raw=fns["obj_design_raw"],
                 mesh=self.mesh,
+                segments=segments,
             )
             opts_N = k
             hyp = np.array(xs)
@@ -2221,6 +2228,9 @@ class GP:
                 burn=burn_per,
                 f_args=obj_args,
                 mesh=self.mesh,
+                seg_sweeps=_map_optimize.sweep_segment_plan(
+                    obj_args[0].shape[0], int(np.size(hyp_start))
+                ),
             )
             chain_x = np.asarray(chain_x)  # (B, n_per, D)
             chain_f = np.asarray(chain_f)
@@ -2272,6 +2282,9 @@ class GP:
                 step_out=options.get("step_out", False),
                 diagnostics=options.get("sampler_diagnostics", True),
                 display=options.get("display", "off"),
+                seg_sweeps=_map_optimize.sweep_segment_plan(
+                    obj_args[0].shape[0], int(np.size(hyp_start))
+                ),
             )
         else:
             sample_f = lambda hyp_: self._objective(hyp_, swap_sign=True)

@@ -389,6 +389,239 @@ def _run_chain(
     return state, jnp.concatenate([head, body], axis=0)
 
 
+# --- Segmented (bounded-dispatch) chain -----------------------------
+#
+# The TPU runtime kills any single dispatch whose device execution runs
+# longer than roughly six minutes (see map_optimize.py SEG_MIN_N notes).
+# At N=16384 one monolithic chain program executes (burn + eff_N) *
+# D_hyp * ~8 NLML evaluations — far past the watchdog.  The segmented
+# path below advances the chain a bounded number of sweeps per dispatch,
+# carrying the SliceState (position, density, widths, PRNG key) and the
+# burn-in moment accumulators on device between dispatches; sample
+# blocks stay device-resident and are packed by one final program, so
+# the host still pays exactly one pull.  The random stream is carried in
+# the state, so segmented and monolithic chains are bit-identical.
+
+
+@partial(jax.jit, static_argnames=("log_f", "log_prior"))
+def _chain_init(log_f, state, LB, UB, f_args, log_prior):
+    logpdf = _masked_log_f(log_f, LB, UB, f_args, log_prior)
+    lp = logpdf(state.x)
+    return state._replace(log_Px=lp)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "log_f",
+        "seg",
+        "adapt",
+        "max_shrink",
+        "step_out",
+        "log_prior",
+        "collect",
+    ),
+)
+def _chain_seg(
+    log_f,
+    state,
+    s_sum,
+    s_sq,
+    i0,
+    half,
+    LB,
+    UB,
+    LB_out,
+    UB_out,
+    seg: int,
+    adapt: bool,
+    max_shrink: int,
+    f_args,
+    step_out: bool,
+    log_prior,
+    collect: bool,
+):
+    """Advance the chain ``seg`` sweeps in one dispatch.
+
+    ``adapt``/``collect`` select the phase: burn-in segments adapt
+    widths and accumulate the second-half moments (``i0``/``half``
+    carry the global sweep index so the window test matches the
+    monolithic scan); sampling segments collect (x, log_Px) blocks.
+    """
+    fixed = LB == UB
+    logpdf = _masked_log_f(log_f, LB, UB, f_args, log_prior)
+    sweep = _sweep(
+        logpdf,
+        LB,
+        UB,
+        LB_out,
+        UB_out,
+        fixed,
+        max_shrink,
+        adapt=adapt,
+        step_out=step_out,
+    )
+
+    def body(carry, i):
+        state, s_sum, s_sq = carry
+        state, _ = sweep(state)
+        in_window = i >= half
+        s_sum = jnp.where(in_window, s_sum + state.x, s_sum)
+        s_sq = jnp.where(in_window, s_sq + state.x**2, s_sq)
+        out = (state.x, state.log_Px) if collect else None
+        return (state, s_sum, s_sq), out
+
+    (state, s_sum, s_sq), out = lax.scan(
+        body, (state, s_sum, s_sq), i0 + jnp.arange(seg)
+    )
+    if collect:
+        return state, s_sum, s_sq, out[0], out[1]
+    return state, s_sum, s_sq
+
+
+@partial(jax.jit, static_argnames=("has_base",))
+def _adapt_widths(
+    state, s_sum, s_sq, n_st, LB_out, UB_out, base_widths, has_base: bool
+):
+    """End-of-burn-in 5*std width rule (reference slice_sample.py:513-543)
+    — the segmented twin of the in-program update in _run_chain."""
+    var = jnp.maximum(s_sq / n_st - (s_sum / n_st) ** 2, 0.0)
+    new_widths = jnp.minimum(5.0 * jnp.sqrt(var), UB_out - LB_out)
+    if has_base:
+        new_widths = jnp.maximum(
+            new_widths, jnp.sqrt(new_widths * base_widths)
+        )
+    new_widths = jnp.where(new_widths > 0, new_widths, state.widths)
+    return state._replace(widths=new_widths)
+
+
+@partial(jax.jit, static_argnames=("thin", "n_samples", "log_prior"))
+def _pack_chain(
+    init_log_Px, xs_blocks, lp_blocks, thin: int, n_samples: int, log_prior
+):
+    xs = jnp.concatenate(xs_blocks, axis=0)
+    log_Pxs = jnp.concatenate(lp_blocks, axis=0)
+    samples = xs[::thin][:n_samples]
+    f_vals = log_Pxs[::thin][:n_samples]
+    if log_prior is not None:
+        lp = jax.vmap(log_prior)(samples)
+    else:
+        lp = jnp.zeros_like(f_vals)
+    D = samples.shape[1]
+    head = jnp.concatenate(
+        [init_log_Px[None], jnp.zeros((D + 1,), dtype=samples.dtype)]
+    )[None, :]
+    body = jnp.concatenate(
+        [f_vals[:, None], lp[:, None], samples], axis=1
+    )
+    return jnp.concatenate([head, body], axis=0)
+
+
+def _run_chain_segmented(
+    log_f,
+    state,
+    LB,
+    UB,
+    LB_out,
+    UB_out,
+    base_widths,
+    n_samples,
+    thin,
+    burn,
+    adaptive,
+    max_shrink,
+    f_args,
+    step_out,
+    log_prior,
+    seg,
+):
+    """Bounded-dispatch twin of :func:`_run_chain`: same chain, same
+    random stream, same packed output — but no dispatch executes more
+    than ``seg`` sweeps.  All dispatches are issued asynchronously; the
+    single blocking pull happens in the caller."""
+    D = int(np.asarray(state.x).shape[-1])
+    state = _chain_init(log_f, state, LB, UB, f_args, log_prior)
+    init_log_Px = state.log_Px
+    z = np.zeros((D,), dtype=np.float64)
+    s_sum, s_sq = z, z
+    half = np.int64(burn // 2)
+    i = 0
+    while i < burn:
+        s = int(min(seg, burn - i))
+        state, s_sum, s_sq = _chain_seg(
+            log_f,
+            state,
+            s_sum,
+            s_sq,
+            np.int64(i),
+            half,
+            LB,
+            UB,
+            LB_out,
+            UB_out,
+            s,
+            bool(adaptive),
+            int(max_shrink),
+            f_args,
+            bool(step_out),
+            log_prior,
+            False,
+        )
+        i += s
+    if burn > 0 and adaptive:
+        n_st = np.float64(burn - burn // 2)
+        state = _adapt_widths(
+            state,
+            s_sum,
+            s_sq,
+            n_st,
+            LB_out,
+            UB_out,
+            base_widths if base_widths is not None else z,
+            base_widths is not None,
+        )
+    eff_N = n_samples + (n_samples - 1) * (thin - 1)
+    xs_blocks, lp_blocks = [], []
+    done = 0
+    # Sampling phase: i0=0 with half > seg makes the window test always
+    # False (the moment accumulators are dead weight but keep the
+    # segment program shared between phases' shapes).
+    no_win = np.int64(eff_N + 1)
+    while done < eff_N:
+        s = int(min(seg, eff_N - done))
+        state, _, _, xs, lps = _chain_seg(
+            log_f,
+            state,
+            z,
+            z,
+            np.int64(0),
+            no_win,
+            LB,
+            UB,
+            LB_out,
+            UB_out,
+            s,
+            False,
+            int(max_shrink),
+            f_args,
+            bool(step_out),
+            log_prior,
+            True,
+        )
+        xs_blocks.append(xs)
+        lp_blocks.append(lps)
+        done += s
+    packed = _pack_chain(
+        init_log_Px,
+        tuple(xs_blocks),
+        tuple(lp_blocks),
+        int(thin),
+        int(n_samples),
+        log_prior,
+    )
+    return state, packed
+
+
 def sample(
     log_f,
     x0,
@@ -407,6 +640,7 @@ def sample(
     log_prior=None,
     diagnostics: bool = True,
     display: str = "off",
+    seg_sweeps: int = None,
 ):
     """Draw ``n_samples`` (thinned) samples from ``log_f`` on device.
 
@@ -426,6 +660,11 @@ def sample(
     Returns ``(result_dict, final_state)``; pass ``state=final_state`` to
     continue the chain (same-key chaining gives the determinism property
     of reference testing/test_slice_sample.py:18-36).
+
+    ``seg_sweeps`` bounds the number of sweeps per device dispatch
+    (bit-identical chain; see :func:`_run_chain_segmented`) — required
+    at large N, where the monolithic chain program exceeds the TPU
+    runtime's per-dispatch execution watchdog.
     """
     if display == "full":
         _logger.setLevel(logging.DEBUG)
@@ -489,23 +728,43 @@ def sample(
 
     LB_out = np.nextafter(LB, -np.inf)
     UB_out = np.nextafter(UB, np.inf)
-    state, packed = _run_chain(
-        log_f,
-        state,
-        LB,
-        UB,
-        LB_out,
-        UB_out,
-        base_widths,
-        int(n_samples),
-        int(thin),
-        int(burn),
-        bool(adaptive),
-        int(max_shrink),
-        f_args,
-        bool(step_out),
-        log_prior,
-    )
+    if seg_sweeps is not None:
+        state, packed = _run_chain_segmented(
+            log_f,
+            state,
+            LB,
+            UB,
+            LB_out,
+            UB_out,
+            base_widths,
+            int(n_samples),
+            int(thin),
+            int(burn),
+            bool(adaptive),
+            int(max_shrink),
+            f_args,
+            bool(step_out),
+            log_prior,
+            int(seg_sweeps),
+        )
+    else:
+        state, packed = _run_chain(
+            log_f,
+            state,
+            LB,
+            UB,
+            LB_out,
+            UB_out,
+            base_widths,
+            int(n_samples),
+            int(thin),
+            int(burn),
+            bool(adaptive),
+            int(max_shrink),
+            f_args,
+            bool(step_out),
+            log_prior,
+        )
     packed = np.asarray(packed)  # the chain's single device->host pull
     init_log_Px = packed[0, 0]
     f_vals = packed[1:, 0:1]
@@ -568,6 +827,7 @@ def sample_chains(
     max_shrink: int = 256,
     f_args=(),
     mesh=None,
+    seg_sweeps: int = None,
 ):
     """Run B independent chains in parallel (vmapped), one per row of
     ``x0s`` (B, D).  Returns (samples (B, n, D), f_vals (B, n)).
@@ -580,6 +840,10 @@ def sample_chains(
     chain axis across devices — chains are embarrassingly parallel, so
     each chip runs its slab of chains with data replicated and zero
     per-step collectives; B must be divisible by the mesh size.
+
+    ``seg_sweeps`` (large N, watchdog: see :func:`sample`) runs the
+    chains sequentially through the bounded-dispatch path instead of
+    vmapped — same chains per key, but wall-clock scales with B.
     """
     # Host-side setup (numpy): uploads fold into the vmapped chain
     # dispatch — see sample() above for the per-eager-op latency
@@ -641,6 +905,37 @@ def sample_chains(
 
     LB_out = np.nextafter(LB, -np.inf)
     UB_out = np.nextafter(UB, np.inf)
+
+    if seg_sweeps is not None:
+        packs = []
+        for b in range(B):
+            st = SliceState(
+                x=x0s[b],
+                log_Px=np.float64(0.0),
+                widths=np.asarray(w, dtype=np.float64),
+                key=keys[b],
+            )
+            _, p = _run_chain_segmented(
+                log_f,
+                st,
+                LB,
+                UB,
+                LB_out,
+                UB_out,
+                base_widths,
+                int(n_samples),
+                int(thin),
+                int(burn),
+                bool(adaptive),
+                int(max_shrink),
+                f_args,
+                False,
+                None,
+                int(seg_sweeps),
+            )
+            packs.append(p)
+        packed = np.stack([np.asarray(p) for p in packs])
+        return packed[:, 1:, 2:], packed[:, 1:, 0]
 
     def one(state):
         _, packed = _run_chain(

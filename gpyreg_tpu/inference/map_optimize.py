@@ -133,9 +133,16 @@ def _make_transform_cached(fin_l, fin_u, fixed):
     return to_x, to_z
 
 
-def _multistart_core(
-    obj_raw, to_x, bp, tol, max_iter, memory_size, f_args, z0
-):
+def _lbfgs_machinery(obj_raw, to_x, memory_size, bp, tol, f_args):
+    """Shared L-BFGS step for the one-dispatch and segmented paths.
+
+    Returns ``(opt, step)`` where ``step(z, state, it, prev_f)`` advances
+    one iteration and reports the convergence flag: gradient-inf-norm
+    below ``tol``, step below 1e-12, or relative objective decrease below
+    ``tol`` (the same semantics scipy L-BFGS-B's ftol/gtol pair gives
+    ``minimize(tol=...)`` — without the f-drop stop, flat valleys in the
+    transformed space keep the gradient above tol for hundreds of wasted
+    iterations)."""
     opt = optax.lbfgs(memory_size=memory_size)
 
     def fun(z, *args):
@@ -144,6 +151,37 @@ def _multistart_core(
         return obj_raw(to_x(z, bp), *args).astype(z.dtype)
 
     value_and_grad = optax.value_and_grad_from_state(fun)
+
+    def step(z, state, it, prev_f):
+        value, grad = value_and_grad(z, *f_args, state=state)
+        updates, state = opt.update(
+            grad,
+            state,
+            z,
+            value=value,
+            grad=grad,
+            value_fn=lambda zz: fun(zz, *f_args),
+        )
+        z_new = optax.apply_updates(z, updates)
+        gnorm = jnp.max(jnp.abs(grad))
+        stepsz = jnp.max(jnp.abs(z_new - z))
+        fdrop = (prev_f - value) / jnp.maximum(
+            jnp.maximum(jnp.abs(prev_f), jnp.abs(value)), 1.0
+        )
+        done = jnp.logical_or(gnorm < tol, stepsz < 1e-12)
+        done = jnp.logical_or(done, fdrop < tol)
+        done = jnp.logical_or(done, ~jnp.isfinite(value))
+        return z_new, state, it + 1, value, done
+
+    return opt, step
+
+
+def _multistart_core(
+    obj_raw, to_x, bp, tol, max_iter, memory_size, f_args, z0
+):
+    opt, step = _lbfgs_machinery(
+        obj_raw, to_x, memory_size, bp, tol, f_args
+    )
 
     def one_start(z_init):
         state0 = opt.init(z_init)
@@ -154,29 +192,7 @@ def _multistart_core(
 
         def body(carry):
             z, state, it, prev_f, _ = carry
-            value, grad = value_and_grad(z, *f_args, state=state)
-            updates, state = opt.update(
-                grad,
-                state,
-                z,
-                value=value,
-                grad=grad,
-                value_fn=lambda zz: fun(zz, *f_args),
-            )
-            z_new = optax.apply_updates(z, updates)
-            gnorm = jnp.max(jnp.abs(grad))
-            step = jnp.max(jnp.abs(z_new - z))
-            # Relative objective-decrease stop with the same semantics as
-            # scipy L-BFGS-B's ftol (which minimize(tol=...) sets alongside
-            # gtol): without it, flat valleys in the transformed space keep
-            # the gradient above tol for hundreds of wasted iterations.
-            fdrop = (prev_f - value) / jnp.maximum(
-                jnp.maximum(jnp.abs(prev_f), jnp.abs(value)), 1.0
-            )
-            done = jnp.logical_or(gnorm < tol, step < 1e-12)
-            done = jnp.logical_or(done, fdrop < tol)
-            done = jnp.logical_or(done, ~jnp.isfinite(value))
-            return z_new, state, it + 1, value, done
+            return step(z, state, it, prev_f)
 
         z, state, it, _, _ = lax.while_loop(
             cond,
@@ -375,6 +391,237 @@ def _run_design_optimize(
     return jnp.concatenate([packed, w_row], axis=0), X_sorted, y_sorted
 
 
+# --- Segmented (bounded-dispatch) path ------------------------------
+#
+# The axon TPU runtime kills any single dispatch whose device execution
+# runs longer than roughly six minutes ("TPU worker process crashed or
+# restarted"; measured empirically: a 338 s dispatch survives, a ~450 s
+# one dies).  At N=16384 the fused design+multistart program executes
+# 10+ minutes, so above SEG_MIN_N padded rows the fit switches to
+# bounded dispatches with device-carried state: the design evaluates in
+# fixed-size row segments, and the multistart L-BFGS advances all lanes
+# a fixed number of iterations per dispatch, carrying (z, optimizer
+# state, iteration count, last value, done flag) between dispatches.
+# Dispatches are issued asynchronously (no host sync until the final
+# pull), so the overhead per segment is the fixed ~30 ms tunnel dispatch
+# cost; converged lanes exit their while_loop immediately, making
+# leftover iteration segments ~free.
+
+SEG_MIN_N = 8192  # padded rows above which fit programs are segmented
+
+# Measured forward NLML cost at N=16384 on one v5e (K build + jittered
+# Cholesky + solves, f32): ~0.45 s; scales as N^3.  Budgets target
+# ≤ ~90 s nominal per dispatch — 4x under the watchdog so the known
+# transient 2-6x tunnel/device slowdowns cannot push a dispatch over.
+_EVAL_S_16K = 0.45
+_DISPATCH_BUDGET_S = 90.0
+
+
+def _per_eval_s(nr):
+    return _EVAL_S_16K * (nr / 16384.0) ** 3
+
+
+def segment_plan(nr, B0, opts_N, max_iter):
+    """Bounded-dispatch budgets for padded row count ``nr``; None if the
+    one-dispatch fused program is safe."""
+    if nr < SEG_MIN_N:
+        return None
+    per = _per_eval_s(nr)
+    design_seg = int(np.clip(_DISPATCH_BUDGET_S / per, 1, max(1, B0)))
+    # One L-BFGS iteration steps every lane (sequential lax.map) and the
+    # zoom linesearch costs ~4 NLML+grad evaluations per update.
+    iter_seg = int(
+        np.clip(
+            _DISPATCH_BUDGET_S / (per * 4.0 * max(1, opts_N)),
+            1,
+            max(1, max_iter),
+        )
+    )
+    return design_seg, iter_seg
+
+
+def sweep_segment_plan(nr, n_dims):
+    """Sweeps-per-dispatch budget for the device slice/MALA chains at
+    padded row count ``nr``; None below SEG_MIN_N (monolithic chain is
+    safe).  A slice sweep evaluates the NLML ~8 times per non-fixed
+    hyperparameter dimension (bracket + shrinkage, empirical mean)."""
+    if nr < SEG_MIN_N:
+        return None
+    per_sweep = _per_eval_s(nr) * 8.0 * max(1, n_dims)
+    return int(np.clip(_DISPATCH_BUDGET_S / per_sweep, 1, 512))
+
+
+@partial(jax.jit, static_argnames=("obj_design_raw", "chunk"))
+def _eval_design_seg(obj_design_raw, d_seg, f_args, chunk: int):
+    n_chunks = d_seg.shape[0] // chunk
+    return lax.map(
+        lambda c: jax.vmap(lambda h: obj_design_raw(h, *f_args))(c),
+        d_seg.reshape(n_chunks, chunk, d_seg.shape[1]),
+    ).reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("to_z", "memory_size"))
+def _ms_init(to_z, starts, bp, memory_size: int):
+    opt = optax.lbfgs(memory_size=memory_size)
+    z0 = jax.vmap(to_z, in_axes=(0, None))(starts, bp)
+
+    def one(z):
+        return (
+            z,
+            opt.init(z),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(jnp.inf, z.dtype),
+            jnp.asarray(False),
+        )
+
+    return lax.map(one, z0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("obj_raw", "to_x", "seg", "max_iter", "memory_size"),
+)
+def _ms_seg(
+    obj_raw,
+    to_x,
+    carry,
+    bp,
+    tol,
+    seg: int,
+    max_iter: int,
+    memory_size: int,
+    f_args,
+):
+    opt, step = _lbfgs_machinery(
+        obj_raw, to_x, memory_size, bp, tol, f_args
+    )
+
+    def one(lane):
+        z, state, it, prev_f, done = lane
+
+        def cond(c):
+            _, _, it, _, done, k = c
+            return jnp.logical_and(
+                ~done, jnp.logical_and(k < seg, it < max_iter)
+            )
+
+        def body(c):
+            z, state, it, prev_f, _, k = c
+            z, state, it, prev_f, done = step(z, state, it, prev_f)
+            return z, state, it, prev_f, done, k + 1
+
+        z, state, it, prev_f, done, _ = lax.while_loop(
+            cond, body, (z, state, it, prev_f, done, 0)
+        )
+        return z, state, it, prev_f, done
+
+    return lax.map(one, carry)
+
+
+@partial(jax.jit, static_argnames=("obj_raw", "to_x"))
+def _ms_finalize(obj_raw, to_x, carry, bp, f_args):
+    z, _, it, _, _ = carry
+
+    def one(args):
+        z_i, it_i = args
+        x = to_x(z_i, bp)
+        f = obj_raw(x, *f_args)
+        return jnp.concatenate(
+            [x, f[None].astype(x.dtype), it_i[None].astype(x.dtype)]
+        )
+
+    return lax.map(one, (z, it))
+
+
+def _design_optimize_segmented(
+    obj_raw,
+    obj_design_raw,
+    design,
+    LB,
+    UB,
+    f_args,
+    tol,
+    opts_N,
+    low_noise_idx,
+    chunk,
+    design_seg,
+    iter_seg,
+    max_iter,
+    memory_size,
+):
+    """Bounded-dispatch twin of :func:`_run_design_optimize` (mesh-less):
+    same selection logic, same optimizer, same results — but no single
+    dispatch executes more than ~``_DISPATCH_BUDGET_S`` of device time.
+    Returns ``(xs, fs, its, widths_default, X_sorted, y_sorted)`` with
+    the candidate pool host-resident."""
+    design = np.atleast_2d(np.asarray(design, dtype=np.float64))
+    B0, n = design.shape
+    to_x, to_z, bp = _make_transform(LB, UB)
+
+    # Phase 1 — design evaluation in fixed-size row segments.  The
+    # segment size is rounded to a chunk multiple so one compiled
+    # program serves every segment; the tail pads by repeating row 0.
+    chunk = int(max(1, min(chunk, B0)))
+    design_seg = int(max(chunk, (design_seg // chunk) * chunk))
+    ys_parts = []
+    for i0 in range(0, B0, design_seg):
+        seg_rows = design[i0 : i0 + design_seg]
+        pad = design_seg - seg_rows.shape[0]
+        if pad > 0:
+            seg_rows = np.concatenate(
+                [seg_rows, np.broadcast_to(design[:1], (pad, n))]
+            )
+        ys_parts.append(
+            _eval_design_seg(obj_design_raw, seg_rows, tuple(f_args), chunk)
+        )
+    ys = np.concatenate([np.asarray(p) for p in ys_parts])[:B0]
+    ys = np.where(np.isfinite(ys), ys, np.inf)
+    order = np.argsort(ys, kind="stable")  # match jnp.argsort (stable)
+    X_sorted = design[order]
+    y_sorted = ys[order]
+    k = int(min(opts_N, B0))
+    starts = X_sorted[:k].copy()
+
+    if low_noise_idx is not None and 1 < k < B0:
+        # Low-noise second restart (reference gaussian_process.py:
+        # 1112-1125), mirroring _run_design_optimize host-side.
+        rest = X_sorted[k:]
+        y_rest = y_sorted[k:]
+        noise_order = np.argsort(rest[:, low_noise_idx], kind="stable")
+        m = max(1, math.ceil(0.2 * rest.shape[0]))
+        cand = noise_order[:m]
+        starts[1] = rest[cand[np.argmin(y_rest[cand])]]
+
+    if B0 > 1:
+        widths_default = np.std(design, axis=0, ddof=1)
+    else:
+        widths_default = np.zeros((n,), design.dtype)
+
+    # Phase 2 — multistart L-BFGS in bounded iteration segments.  All
+    # segments dispatch asynchronously; lanes that converge early make
+    # their remaining segments no-ops (the while_loop condition fails on
+    # entry), so no host-side convergence polling is needed.
+    carry = _ms_init(to_z, starts, bp, int(memory_size))
+    tol64 = np.float64(tol)
+    for _ in range(-(-int(max_iter) // int(iter_seg))):
+        carry = _ms_seg(
+            obj_raw,
+            to_x,
+            carry,
+            bp,
+            tol64,
+            int(iter_seg),
+            int(max_iter),
+            int(memory_size),
+            tuple(f_args),
+        )
+    packed = np.asarray(
+        _ms_finalize(obj_raw, to_x, carry, bp, tuple(f_args))
+    )
+    xs, fs, its = packed[:, :-2], packed[:, -2], packed[:, -1]
+    return xs, fs, its, widths_default, X_sorted, y_sorted
+
+
 def design_optimize(
     obj_raw,
     design,
@@ -389,6 +636,7 @@ def design_optimize(
     memory_size=10,
     obj_design_raw=None,
     mesh=None,
+    segments=None,
 ):
     """Fused design-eval + top-k selection + multistart MAP.
 
@@ -396,6 +644,11 @@ def design_optimize(
     see f_min_fill.build_design).  Returns ``(xs, fs, results,
     widths_default, X_sorted_dev, y_sorted_dev)`` — the last two are
     device-resident (pull only if needed).
+
+    ``segments=(design_seg, iter_seg)`` (see :func:`segment_plan`)
+    switches to the bounded-dispatch path — required above
+    ``SEG_MIN_N`` padded rows, where the one-dispatch fused program
+    exceeds the TPU runtime's per-dispatch execution watchdog.
     """
     design = np.atleast_2d(np.asarray(design, dtype=np.float64))
     B0 = design.shape[0]
@@ -403,6 +656,36 @@ def design_optimize(
     if chunk is None:
         chunk = B0
     chunk = int(max(1, min(chunk, B0)))
+    if segments is not None and mesh is None:
+        xs, fs, its, widths_default, X_sorted, y_sorted = (
+            _design_optimize_segmented(
+                obj_raw,
+                obj_design_raw if obj_design_raw is not None else obj_raw,
+                design,
+                LB,
+                UB,
+                f_args,
+                tol,
+                opts_N,
+                low_noise_idx,
+                chunk,
+                segments[0],
+                segments[1],
+                max_iter,
+                memory_size,
+            )
+        )
+        LBc = np.nextafter(np.asarray(LB, dtype=np.float64), np.inf)
+        UBc = np.nextafter(np.asarray(UB, dtype=np.float64), -np.inf)
+        fixed = np.asarray(LB) == np.asarray(UB)
+        xs = np.clip(
+            xs, np.where(fixed, LB, LBc), np.where(fixed, UB, UBc)
+        )
+        results = [
+            MapResult(xs[i], float(fs[i]), int(its[i]))
+            for i in range(xs.shape[0])
+        ]
+        return xs, fs, results, widths_default, X_sorted, y_sorted
     to_x, to_z, bp = _make_transform(LB, UB)
     packed_dev, X_sorted, y_sorted = _run_design_optimize(
         obj_raw,

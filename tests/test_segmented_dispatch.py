@@ -1,0 +1,243 @@
+"""Segmented (bounded-dispatch) fit/sampler paths match the monolithic
+one-dispatch programs.
+
+The TPU runtime kills any single dispatch whose device execution runs
+longer than ~6 minutes, so above ``map_optimize.SEG_MIN_N`` padded rows
+the fused design+multistart program and the device slice chain split
+into bounded dispatches with device-carried state (map_optimize.py
+`_design_optimize_segmented`, device_slice.py `_run_chain_segmented`).
+These tests force the segmented paths at small N on CPU and check they
+reproduce the monolithic results (exactly for the optimizer; to ULP
+tolerance for the chain, where XLA may reassociate the density across
+the different program boundaries).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import gpyreg_tpu as gpr
+from gpyreg_tpu.inference import device_slice as ds
+from gpyreg_tpu.inference import map_optimize as mo
+
+
+def _make_gp():
+    return gpr.GP(
+        D=2,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+    )
+
+
+def _problem():
+    rng = np.random.default_rng(7)
+    X = rng.uniform(-3, 3, (40, 2))
+    y = np.sin(X).sum(1, keepdims=True) + 0.1 * rng.standard_normal(
+        (40, 1)
+    )
+    return X, y
+
+
+def _captured_design_optimize_args():
+    """Run one fit capturing design_optimize's exact inputs, so both
+    paths can be compared on identical data (the design RNG is
+    stateful across fits)."""
+    X, y = _problem()
+    gp = _make_gp()
+    captured = {}
+    orig = mo.design_optimize
+
+    def capture(obj_raw, design, LB, UB, f_args, **kw):
+        captured.update(
+            obj_raw=obj_raw,
+            design=np.array(design),
+            LB=np.array(LB),
+            UB=np.array(UB),
+            f_args=f_args,
+            kw=kw,
+        )
+        return orig(obj_raw, design, LB, UB, f_args, **kw)
+
+    mo.design_optimize = capture
+    try:
+        gp.fit(
+            X=X, y=y, options={"n_samples": 0, "opts_N": 2, "init_N": 32}
+        )
+    finally:
+        mo.design_optimize = orig
+    return captured
+
+
+class TestSegmentedDesignOptimize:
+    def test_matches_fused_path(self):
+        cap = _captured_design_optimize_args()
+        kw = dict(cap["kw"])
+        kw.pop("segments", None)
+        fused = mo.design_optimize(
+            cap["obj_raw"],
+            cap["design"],
+            cap["LB"],
+            cap["UB"],
+            cap["f_args"],
+            **kw,
+        )
+        for segments in [(8, 7), (1, 1), (1000, 1000)]:
+            seg = mo.design_optimize(
+                cap["obj_raw"],
+                cap["design"],
+                cap["LB"],
+                cap["UB"],
+                cap["f_args"],
+                **kw,
+                segments=segments,
+            )
+            # Optimized points, objective values, sorted candidate pool.
+            np.testing.assert_array_equal(
+                np.asarray(fused[0]), np.asarray(seg[0])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(fused[1]), np.asarray(seg[1])
+            )
+            # widths_default: jnp.std vs np.std differ at ULP level.
+            np.testing.assert_allclose(
+                np.asarray(fused[3]), np.asarray(seg[3]), atol=1e-12
+            )
+            np.testing.assert_array_equal(
+                np.asarray(fused[4]), np.asarray(seg[4])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(fused[5]), np.asarray(seg[5])
+            )
+
+    def test_segment_plan_gates_on_n(self):
+        assert mo.segment_plan(mo.SEG_MIN_N - 1, 1024, 3, 500) is None
+        plan = mo.segment_plan(16384, 1024, 3, 500)
+        assert plan is not None
+        design_seg, iter_seg = plan
+        assert 1 <= design_seg <= 1024
+        assert 1 <= iter_seg <= 500
+        # Budgets shrink as N grows.
+        d2, i2 = mo.segment_plan(32768, 1024, 3, 500)
+        assert d2 <= design_seg and i2 <= iter_seg
+        assert mo.sweep_segment_plan(mo.SEG_MIN_N - 1, 13) is None
+        assert 1 <= mo.sweep_segment_plan(16384, 13) <= 512
+
+
+def _logf():
+    def log_f(x):
+        return -0.5 * jnp.sum(x**2) - 0.1 * jnp.sum(x**4)
+
+    return log_f
+
+
+class TestSegmentedChain:
+    def test_matches_monolithic(self):
+        log_f = _logf()
+        key = jax.random.key(42)
+        x0 = np.array([0.5, -0.3, 1.2])
+        kw = dict(
+            widths=np.array([1.0, 2.0, 0.5]),
+            LB=np.full(3, -5.0),
+            UB=np.full(3, 5.0),
+            n_samples=20,
+            thin=2,
+            burn=7,
+            diagnostics=False,
+        )
+        r1, st1 = ds.sample(log_f, x0, key, **kw)
+        for seg in (1, 3, 100):
+            r2, st2 = ds.sample(log_f, x0, key, **kw, seg_sweeps=seg)
+            np.testing.assert_allclose(
+                r1["samples"], r2["samples"], rtol=0, atol=1e-12
+            )
+            np.testing.assert_allclose(
+                r1["f_vals"], r2["f_vals"], rtol=0, atol=1e-12
+            )
+            np.testing.assert_allclose(
+                np.asarray(st1.x), np.asarray(st2.x), atol=1e-12
+            )
+            np.testing.assert_allclose(
+                np.asarray(st1.widths), np.asarray(st2.widths), atol=1e-12
+            )
+            # The PRNG stream advanced identically (exact: key splits
+            # are integer ops).
+            np.testing.assert_array_equal(
+                np.asarray(jax.random.key_data(st1.key)),
+                np.asarray(jax.random.key_data(st2.key)),
+            )
+
+    def test_with_prior_and_step_out(self):
+        log_f = _logf()
+
+        def log_prior(x):
+            return -0.05 * jnp.sum(jnp.abs(x))
+
+        key = jax.random.key(3)
+        x0 = np.zeros(2)
+        kw = dict(
+            widths=np.array([1.0, 1.5]),
+            LB=np.full(2, -4.0),
+            UB=np.full(2, 4.0),
+            n_samples=12,
+            thin=1,
+            burn=4,
+            diagnostics=False,
+            log_prior=log_prior,
+            step_out=True,
+        )
+        r1, _ = ds.sample(log_f, x0, key, **kw)
+        r2, _ = ds.sample(log_f, x0, key, **kw, seg_sweeps=5)
+        np.testing.assert_allclose(
+            r1["samples"], r2["samples"], atol=1e-12
+        )
+        np.testing.assert_allclose(
+            r1["log_priors"], r2["log_priors"], atol=1e-12
+        )
+
+    def test_sample_chains_segmented(self):
+        log_f = _logf()
+        key = jax.random.key(11)
+        x0s = np.tile(np.array([0.5, -0.3, 1.2]), (4, 1))
+        kw = dict(
+            widths=np.array([1.0, 2.0, 0.5]),
+            LB=np.full(3, -5.0),
+            UB=np.full(3, 5.0),
+            n_samples=10,
+            burn=4,
+        )
+        xa, fa = ds.sample_chains(log_f, x0s, key, **kw)
+        xb, fb = ds.sample_chains(log_f, x0s, key, **kw, seg_sweeps=3)
+        np.testing.assert_allclose(np.asarray(xa), xb, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(fa), fb, atol=1e-12)
+
+
+class TestSegmentedFitEndToEnd:
+    def test_gp_fit_forced_segmentation(self):
+        """Full GP.fit (MAP + MCMC) with segmentation forced matches
+        the monolithic fit when all RNG streams are pinned."""
+        X, y = _problem()
+
+        def fit_once():
+            np.random.seed(1234)
+            gp = _make_gp()
+            gp.fit(
+                X=X,
+                y=y,
+                options={"n_samples": 6, "opts_N": 2, "init_N": 32},
+            )
+            return np.asarray(gp.get_hyperparameters(as_array=True))
+
+        h_mono = fit_once()
+        orig_plan = mo.segment_plan
+        orig_sweep = mo.sweep_segment_plan
+        mo.segment_plan = lambda nr, B0, opts_N, max_iter: (8, 7)
+        mo.sweep_segment_plan = lambda nr, n_dims: 2
+        try:
+            h_seg = fit_once()
+        finally:
+            mo.segment_plan = orig_plan
+            mo.sweep_segment_plan = orig_sweep
+        np.testing.assert_allclose(h_mono, h_seg, atol=1e-8)
