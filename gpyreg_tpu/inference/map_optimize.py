@@ -558,11 +558,16 @@ def _design_optimize_segmented(
     B0, n = design.shape
     to_x, to_z, bp = _make_transform(LB, UB)
 
-    # Phase 1 — design evaluation in fixed-size row segments.  The
-    # segment size is rounded to a chunk multiple so one compiled
-    # program serves every segment; the tail pads by repeating row 0.
+    # Phase 1 — design evaluation in fixed-size row segments.  All
+    # segments share ONE static shape (remote-compiling a second
+    # program for a ragged tail costs minutes at 16k): the segment size
+    # is the equal split of B0 rounded up to a chunk multiple, and the
+    # tail pads by repeating row 0 (a few wasted evaluations).
     chunk = int(max(1, min(chunk, B0)))
     design_seg = int(max(chunk, (design_seg // chunk) * chunk))
+    n_segs = -(-B0 // design_seg)
+    per_seg = -(-B0 // n_segs)
+    design_seg = -(-per_seg // chunk) * chunk
     ys_parts = []
     for i0 in range(0, B0, design_seg):
         seg_rows = design[i0 : i0 + design_seg]
