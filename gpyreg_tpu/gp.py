@@ -2180,6 +2180,9 @@ class GP:
                     None if self.no_prior else fns["log_prior_raw"]
                 ),
                 diagnostics=options.get("sampler_diagnostics", True),
+                seg_iters=_map_optimize.chain_segment_plan(
+                    obj_args[0].shape[0]
+                ),
             )
         elif sampler_name == "eissample":
             # Ensemble slice sampling (MATLAB gplite_train.m sampler;
@@ -2201,6 +2204,12 @@ class GP:
                     None if self.no_prior else fns["log_prior_raw"]
                 ),
                 diagnostics=options.get("sampler_diagnostics", True),
+                seg_iters=_map_optimize.chain_segment_plan(
+                    obj_args[0].shape[0],
+                    # one ensemble iteration moves every walker
+                    # (~2.5 evaluations each)
+                    2.5 * 2 * (int(np.size(hyp_start)) + 1),
+                ),
             )
         elif (
             backend == "device"

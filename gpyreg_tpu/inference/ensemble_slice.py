@@ -111,29 +111,9 @@ def _masked_log_f(log_f, LB, UB, f_args):
     return f
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "log_f",
-        "n_iters",
-        "max_shrink",
-        "sigma_factor",
-    ),
-)
-def _run(
-    log_f,
-    x0s,  # (K, D), K even
-    key,
-    LB,
-    UB,
-    n_iters: int,
-    max_shrink: int,
-    sigma_factor: float,
-    f_args,
-):
-    K, D = x0s.shape
-    H = K // 2
-    logpdf = _masked_log_f(log_f, LB, UB, f_args)
+def _eis_step(logpdf, H, max_shrink, sigma_factor):
+    """One ensemble iteration (both half-ensemble moves), shared by the
+    monolithic and the segmented (bounded-dispatch) chains."""
 
     def slice_1d(x, logP, w, key):
         """One slice-sampling move along direction w from x."""
@@ -206,10 +186,108 @@ def _run(
         logPs = jnp.concatenate([lA, lB])
         return (xs, logPs, key), (xs, logPs)
 
+    return step
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "log_f",
+        "n_iters",
+        "max_shrink",
+        "sigma_factor",
+    ),
+)
+def _run(
+    log_f,
+    x0s,  # (K, D), K even
+    key,
+    LB,
+    UB,
+    n_iters: int,
+    max_shrink: int,
+    sigma_factor: float,
+    f_args,
+):
+    K, D = x0s.shape
+    logpdf = _masked_log_f(log_f, LB, UB, f_args)
+    step = _eis_step(logpdf, K // 2, max_shrink, sigma_factor)
     logP0 = jax.vmap(logpdf)(x0s)
     (xs, logPs, _), (chain_x, chain_logP) = lax.scan(
         step, (x0s, logP0, key), None, length=n_iters
     )
+    return chain_x, chain_logP, logP0
+
+
+@partial(jax.jit, static_argnames=("log_f",))
+def _eis_init(log_f, x0s, LB, UB, f_args):
+    return jax.vmap(_masked_log_f(log_f, LB, UB, f_args))(x0s)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("log_f", "seg", "max_shrink", "sigma_factor"),
+)
+def _eis_seg(
+    log_f,
+    xs,
+    logPs,
+    key,
+    LB,
+    UB,
+    seg: int,
+    max_shrink: int,
+    sigma_factor: float,
+    f_args,
+):
+    logpdf = _masked_log_f(log_f, LB, UB, f_args)
+    step = _eis_step(logpdf, xs.shape[0] // 2, max_shrink, sigma_factor)
+    (xs, logPs, key), (chain_x, chain_logP) = lax.scan(
+        step, (xs, logPs, key), None, length=seg
+    )
+    return xs, logPs, key, chain_x, chain_logP
+
+
+def _run_segmented(
+    log_f,
+    x0s,
+    key,
+    LB,
+    UB,
+    n_iters: int,
+    max_shrink: int,
+    sigma_factor: float,
+    f_args,
+    seg: int,
+):
+    """Bounded-dispatch twin of :func:`_run` (TPU watchdog: see
+    device_slice.py).  Segments are equal-sized (one compiled program);
+    blocks concatenate host-side — the caller pulls the full chain
+    history either way."""
+    n_segs = -(-int(n_iters) // int(seg))
+    seg_eq = -(-int(n_iters) // n_segs)
+    logP0 = _eis_init(log_f, x0s, LB, UB, f_args)
+    xs, logPs = x0s, logP0
+    bx, bl = [], []
+    done = 0
+    while done < n_iters:
+        xs, logPs, key, cx, cl = _eis_seg(
+            log_f,
+            xs,
+            logPs,
+            key,
+            LB,
+            UB,
+            seg_eq,
+            max_shrink,
+            sigma_factor,
+            f_args,
+        )
+        bx.append(cx)
+        bl.append(cl)
+        done += seg_eq
+    chain_x = np.concatenate([np.asarray(b) for b in bx])[:n_iters]
+    chain_logP = np.concatenate([np.asarray(b) for b in bl])[:n_iters]
     return chain_x, chain_logP, logP0
 
 
@@ -229,6 +307,7 @@ def sample(
     f_args=(),
     log_prior=None,
     diagnostics: bool = True,
+    seg_iters: int = None,
 ):
     """Draw ``n_samples`` from ``log_f`` with ensemble slice sampling.
 
@@ -292,7 +371,10 @@ def sample(
     n_keep_iters = -(-eff // n_walkers)
     n_iters = burn + n_keep_iters
 
-    chain_x, chain_logP, logP0 = _run(
+    runner = _run if seg_iters is None else partial(
+        _run_segmented, seg=int(seg_iters)
+    )
+    chain_x, chain_logP, logP0 = runner(
         log_f,
         jnp.asarray(ens),
         key,

@@ -73,23 +73,11 @@ def _masked_value_and_grad(log_f, LB, UB, f_args):
     return f
 
 
-@partial(
-    jax.jit,
-    static_argnames=("log_f", "n_iters", "burn", "log_prior"),
-)
-def _run_chain(
-    log_f,
-    x0,  # (D,)
-    key,
-    LB,
-    UB,
-    M_sqrt,  # (D,) preconditioner sqrt diagonal (widths)
-    log_eps0,  # scalar, log initial step size
-    n_iters: int,
-    burn: int,
-    f_args,
-    log_prior=None,
-):
+def _mala_step(log_f, LB, UB, M_sqrt, burn, f_args):
+    """Per-iteration truncated-drift MALA kernel, shared by the
+    monolithic chain and the segmented (bounded-dispatch) chain —
+    ``burn`` may be a traced scalar in the latter.  Returns
+    ``(vg, step)``."""
     vg = _masked_value_and_grad(log_f, LB, UB, f_args)
     free = M_sqrt > 0.0  # fixed dims (LB == UB) carry zero scale
     _MAX_DRIFT = 4.0  # truncated-MALA drift cap, preconditioner units
@@ -101,8 +89,6 @@ def _run_chain(
         # the caller divides by e^2.
         z = (x_to - mu) * M_inv_sqrt
         return -0.5 * jnp.sum(z * z)
-
-    v0, g0 = vg(x0)
 
     def step(carry, it):
         x, v, g, log_eps, m_sqrt, w_mean, w_m2, key = carry
@@ -183,6 +169,29 @@ def _run_chain(
             key,
         ), (x, v, accept)
 
+    return vg, step
+
+
+@partial(
+    jax.jit,
+    static_argnames=("log_f", "n_iters", "burn", "log_prior"),
+)
+def _run_chain(
+    log_f,
+    x0,  # (D,)
+    key,
+    LB,
+    UB,
+    M_sqrt,  # (D,) preconditioner sqrt diagonal (widths)
+    log_eps0,  # scalar, log initial step size
+    n_iters: int,
+    burn: int,
+    f_args,
+    log_prior=None,
+):
+    vg, step = _mala_step(log_f, LB, UB, M_sqrt, burn, f_args)
+    v0, g0 = vg(x0)
+
     (x, v, g, log_eps, m_sqrt, _, _, key), (xs, vs, accepts) = lax.scan(
         step,
         (
@@ -221,6 +230,124 @@ def _run_chain(
     return jnp.concatenate([head, body], axis=0)
 
 
+# --- Segmented (bounded-dispatch) chain: same kernel, same stream, but
+# no single dispatch runs more than ``seg`` iterations (the TPU runtime
+# kills dispatches executing >~6 min; see device_slice.py).  The carry
+# (position, value, gradient, step size, preconditioner, Welford
+# moments, key) stays device-resident between dispatches; sample blocks
+# are packed by one final program (one pull).
+
+
+@partial(jax.jit, static_argnames=("log_f",))
+def _mala_init(log_f, x0, key, LB, UB, M_sqrt, log_eps0, f_args):
+    vg = _masked_value_and_grad(log_f, LB, UB, f_args)
+    v0, g0 = vg(x0)
+    z = jnp.zeros_like(x0)
+    return (x0, v0, g0, log_eps0, M_sqrt, z, z, key), v0
+
+
+@partial(jax.jit, static_argnames=("log_f", "seg"))
+def _mala_seg(log_f, carry, i0, LB, UB, M_sqrt, burn, seg: int, f_args):
+    _, step = _mala_step(log_f, LB, UB, M_sqrt, burn, f_args)
+    carry, (xs, vs, accepts) = lax.scan(
+        step, carry, i0 + jnp.arange(seg, dtype=carry[0].dtype)
+    )
+    return carry, xs, vs, accepts
+
+
+@partial(
+    jax.jit, static_argnames=("n_iters", "burn", "log_prior")
+)
+def _mala_pack(
+    v0,
+    log_eps,
+    xs_blocks,
+    vs_blocks,
+    acc_blocks,
+    n_iters: int,
+    burn: int,
+    f_args,
+    log_prior,
+):
+    # Trailing padding iterations (equal-size segments) are discarded
+    # here; they never reach the host.
+    xs = jnp.concatenate(xs_blocks, axis=0)[:n_iters]
+    vs = jnp.concatenate(vs_blocks, axis=0)[:n_iters]
+    accepts = jnp.concatenate(acc_blocks, axis=0)[:n_iters]
+    kept_x = xs[burn:]
+    kept_v = vs[burn:]
+    if log_prior is not None:
+        lp = jax.vmap(lambda h: log_prior(h, *f_args))(kept_x)
+    else:
+        lp = jnp.zeros_like(kept_v)
+    D = xs.shape[1]
+    acc_rate = jnp.mean(accepts[burn:].astype(xs.dtype))
+    head = jnp.concatenate(
+        [
+            jnp.stack([v0, acc_rate, log_eps]),
+            jnp.zeros((D - 1,), dtype=xs.dtype),
+        ]
+    )[None, :]
+    body = jnp.concatenate(
+        [kept_v[:, None], lp[:, None], kept_x], axis=1
+    )
+    return jnp.concatenate([head, body], axis=0)
+
+
+def _run_chain_segmented(
+    log_f,
+    x0,
+    key,
+    LB,
+    UB,
+    M_sqrt,
+    log_eps0,
+    n_iters,
+    burn,
+    f_args,
+    log_prior,
+    seg,
+):
+    """Bounded-dispatch twin of :func:`_run_chain` (same packed output).
+
+    Segments are equal-sized (ONE compiled program — a ragged tail
+    would remote-compile a second multi-minute program at 16k); the
+    final segment may overshoot ``n_iters``, and the pack program
+    discards the overshoot before anything reaches the host."""
+    n_segs = -(-int(n_iters) // int(seg))
+    seg_eq = -(-int(n_iters) // n_segs)
+    carry, v0 = _mala_init(
+        log_f, x0, key, LB, UB, M_sqrt, log_eps0, f_args
+    )
+    xs_blocks, vs_blocks, acc_blocks = [], [], []
+    for k in range(n_segs):
+        carry, xs, vs, acc = _mala_seg(
+            log_f,
+            carry,
+            np.float64(k * seg_eq),
+            LB,
+            UB,
+            M_sqrt,
+            np.float64(burn),
+            seg_eq,
+            f_args,
+        )
+        xs_blocks.append(xs)
+        vs_blocks.append(vs)
+        acc_blocks.append(acc)
+    return _mala_pack(
+        v0,
+        carry[3],
+        tuple(xs_blocks),
+        tuple(vs_blocks),
+        tuple(acc_blocks),
+        int(n_iters),
+        int(burn),
+        f_args,
+        log_prior,
+    )
+
+
 def sample(
     log_f,
     x0,
@@ -235,6 +362,7 @@ def sample(
     f_args=(),
     log_prior=None,
     diagnostics: bool = True,
+    seg_iters: int = None,
 ):
     """Draw ``n_samples`` (thinned) samples from ``log_f`` with MALA.
 
@@ -281,8 +409,11 @@ def sample(
     eff = n_samples * thin
     n_iters = int(burn + eff)
 
+    chain = (
+        _run_chain_segmented if seg_iters is not None else _run_chain
+    )
     packed = np.asarray(
-        _run_chain(
+        chain(
             log_f,
             x0,
             key,
@@ -294,6 +425,7 @@ def sample(
             int(burn),
             tuple(f_args),
             log_prior,
+            *(() if seg_iters is None else (int(seg_iters),)),
         )
     )  # the chain's single device->host pull
     init_log_Px = packed[0, 0]

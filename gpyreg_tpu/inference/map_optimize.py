@@ -451,6 +451,17 @@ def sweep_segment_plan(nr, n_dims):
     return int(np.clip(_DISPATCH_BUDGET_S / per_sweep, 1, 512))
 
 
+def chain_segment_plan(nr, evals_per_iter=2.5):
+    """Iterations-per-dispatch budget for single-move-per-iteration
+    chains (MALA: one value_and_grad ≈ 2.5 forward NLMLs; ensemble
+    slice: ~2 forwards per walker move) at padded row count ``nr``;
+    None below SEG_MIN_N."""
+    if nr < SEG_MIN_N:
+        return None
+    per_iter = _per_eval_s(nr) * evals_per_iter
+    return int(np.clip(_DISPATCH_BUDGET_S / per_iter, 1, 4096))
+
+
 @partial(jax.jit, static_argnames=("obj_design_raw", "chunk"))
 def _eval_design_seg(obj_design_raw, d_seg, f_args, chunk: int):
     n_chunks = d_seg.shape[0] // chunk

@@ -214,6 +214,90 @@ class TestSegmentedChain:
         np.testing.assert_allclose(np.asarray(fa), fb, atol=1e-12)
 
 
+class TestSegmentedMala:
+    def test_matches_monolithic(self):
+        from gpyreg_tpu.inference import mala
+
+        log_f = _logf()
+        key = jax.random.key(7)
+        x0 = np.array([0.5, -0.3, 1.2])
+        kw = dict(
+            widths=np.array([1.0, 2.0, 0.5]),
+            LB=np.full(3, -5.0),
+            UB=np.full(3, 5.0),
+            n_samples=20,
+            thin=2,
+            burn=11,
+            diagnostics=False,
+        )
+        r1, p1 = mala.sample(log_f, x0, key, **kw)
+        for seg in (1, 7, 13, 1000):
+            r2, p2 = mala.sample(log_f, x0, key, **kw, seg_iters=seg)
+            np.testing.assert_allclose(
+                r1["samples"], r2["samples"], atol=1e-12
+            )
+            np.testing.assert_allclose(
+                r1["f_vals"], r2["f_vals"], atol=1e-12
+            )
+            assert r1["accept_rate"] == r2["accept_rate"]
+            np.testing.assert_allclose(p1, p2, atol=1e-12)
+
+    def test_with_prior(self):
+        from gpyreg_tpu.inference import mala
+
+        log_f = _logf()
+
+        def lp(x):
+            return -0.05 * jnp.sum(jnp.abs(x))
+
+        key = jax.random.key(8)
+        x0 = np.zeros(2)
+        kw = dict(
+            LB=np.full(2, -4.0),
+            UB=np.full(2, 4.0),
+            n_samples=15,
+            burn=6,
+            diagnostics=False,
+            log_prior=lambda h: lp(h),
+        )
+        r1, _ = mala.sample(log_f, x0, key, **kw)
+        r2, _ = mala.sample(log_f, x0, key, **kw, seg_iters=9)
+        np.testing.assert_allclose(
+            r1["samples"], r2["samples"], atol=1e-12
+        )
+        np.testing.assert_allclose(
+            r1["log_priors"], r2["log_priors"], atol=1e-12
+        )
+
+
+class TestSegmentedEnsembleSlice:
+    def test_matches_monolithic(self):
+        from gpyreg_tpu.inference import ensemble_slice as eis
+
+        log_f = _logf()
+        key = jax.random.key(9)
+        x0 = np.array([0.5, -0.3, 1.2])
+        kw = dict(
+            widths=np.ones(3),
+            LB=np.full(3, -5.0),
+            UB=np.full(3, 5.0),
+            n_samples=24,
+            thin=2,
+            burn=5,
+            diagnostics=False,
+        )
+        r1, w1 = eis.sample(log_f, x0, key, **kw)
+        for seg in (1, 3, 1000):
+            r2, w2 = eis.sample(log_f, x0, key, **kw, seg_iters=seg)
+            np.testing.assert_allclose(
+                r1["samples"], r2["samples"], atol=1e-12
+            )
+            np.testing.assert_allclose(
+                r1["f_vals"], r2["f_vals"], atol=1e-12
+            )
+            np.testing.assert_allclose(w1, w2, atol=1e-12)
+
+
 class TestSegmentedFitEndToEnd:
     def test_gp_fit_forced_segmentation(self):
         """Full GP.fit (MAP + MCMC) with segmentation forced matches
