@@ -1762,6 +1762,50 @@ class GP:
             s2[:, idx] = var_s.ravel()
         return mu, s2
 
+    # f32 fits only: below sn2 ~ C*N*eps32*var(y) the kernel's condition
+    # number exceeds 1/eps32, the f32 Cholesky cannot factorize K and the
+    # in-jit jitter escalation silently acts as an unreported extra noise
+    # term — the fitted noise hyperparameter then no longer means what it
+    # says (its f64 NLML can be off by O(1) nats/point; measured at the
+    # north-star N=16384 workload, see BASELINE.md round 3).  The floor
+    # makes the fitted hyperparameters dtype-honest.  The reference has
+    # no analog (f64-only, LB=log(1e-6): noise_functions.py:107).
+    _F32_NOISE_FLOOR_C = 4.0
+    _F32_NOISE_FLOOR_MIN_N = 4096
+
+    def _f32_noise_floor(self, LB, UB, cov_N, options):
+        """Return ``LB`` with the constant-noise lower bound raised to the
+        f32 conditioning floor (no-op for f64, small N, noise functions
+        without a constant term, or ``options={'f32_noise_floor': False}``).
+        Only the fit-local bounds change; ``self.lower_bounds`` and the
+        reference bounds ABI are untouched."""
+        mode = options.get("f32_noise_floor", "auto")
+        if mode is False or mode is None:
+            return LB
+        if self.dtype != np.float32 or self.noise.parameters[0] != 1:
+            return LB
+        N = 0 if self.X is None else self.X.shape[0]
+        if mode == "auto" and N < self._F32_NOISE_FLOOR_MIN_N:
+            return LB
+        var_y = float(np.var(self.y)) if self.y is not None else 0.0
+        if not np.isfinite(var_y) or var_y <= 0 or N == 0:
+            return LB
+        if isinstance(mode, (int, float)) and not isinstance(mode, bool):
+            floor = float(mode)  # explicit log-sigma floor
+        else:
+            floor = 0.5 * np.log(
+                self._F32_NOISE_FLOOR_C
+                * N
+                * float(np.finfo(np.float32).eps)
+                * var_y
+            )
+        i_sn = cov_N
+        if floor <= LB[i_sn]:
+            return LB
+        LB = np.array(LB, copy=True)
+        LB[i_sn] = min(floor, UB[i_sn])
+        return LB
+
     def fit(
         self,
         X: np.ndarray = None,
@@ -1782,6 +1826,13 @@ class GP:
         - ``sampler_backend``: 'device' (default; the whole MCMC chain is
           one XLA program) or 'host' (the parity SliceSampler driven by
           the global NumPy RNG, bit-matching the reference's algorithm).
+        - ``f32_noise_floor``: 'auto' (default) raises the fit-local
+          lower bound of the constant-noise hyperparameter to the f32
+          conditioning floor ``0.5*log(C*N*eps32*var(y))`` for float32
+          fits at N >= 4096 — below it the f32 Cholesky cannot resolve
+          the kernel and jitter escalation silently acts as unreported
+          noise.  ``True`` forces it at any N, ``False`` disables, a
+          number pins an explicit log-sigma floor.
 
         Returns (hyp array, optimize_result, sampling_result).
         """
@@ -1851,6 +1902,7 @@ class GP:
 
         LB = self.lower_bounds
         UB = self.upper_bounds
+        LB = self._f32_noise_floor(LB, UB, cov_N, options)
 
         plb_parts = [cov_info["PLB"], noise_info["PLB"], mean_info["PLB"]]
         pub_parts = [cov_info["PUB"], noise_info["PUB"], mean_info["PUB"]]

@@ -19,6 +19,21 @@ import jax
 import jax.numpy as jnp
 
 import gpyreg_tpu as gpr
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_state():
+    """Drop every compiled executable before this module's compiles.
+
+    The segmented-chain programs are the largest XLA CPU compiles in the
+    suite; run late (alphabetical order) after ~300 tests' executables
+    have accumulated, LLVM's in-process JIT has intermittently
+    segfaulted inside backend_compile (observed twice, different tests,
+    never reproducible standalone).  Clearing JAX's executable caches
+    first gives the compiler a clean arena; everything recompiles on
+    demand."""
+    jax.clear_caches()
+    yield
 from gpyreg_tpu.inference import device_slice as ds
 from gpyreg_tpu.inference import map_optimize as mo
 
