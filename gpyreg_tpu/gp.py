@@ -2276,7 +2276,12 @@ class GP:
             key = jax.random.key(int(np.random.randint(0, 2**31 - 1)))
             B = int(options.get("n_chains"))
             n_per = -(-eff_s_N // B)
-            burn_per = max(1, -(-burn_in // B))
+            # Burn-in is per-chain work: every chain must adapt its
+            # widths and forget the start over the FULL burn window
+            # (only the collection phase is divisible across chains).
+            # The chains are vmapped, so the full burn costs roughly
+            # one chain's burn in wall-clock.
+            burn_per = burn_in
             chain_x, chain_f = _device_slice.sample_chains(
                 fns["log_post_raw"],
                 np.tile(np.reshape(hyp_start, (1, -1)), (B, 1)),

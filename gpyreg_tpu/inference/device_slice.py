@@ -429,6 +429,7 @@ def _chain_seg(
     s_sq,
     i0,
     half,
+    limit,
     LB,
     UB,
     LB_out,
@@ -447,6 +448,12 @@ def _chain_seg(
     widths and accumulate the second-half moments (``i0``/``half``
     carry the global sweep index so the window test matches the
     monolithic scan); sampling segments collect (x, log_Px) blocks.
+
+    ``limit`` (traced) is the phase's TOTAL sweep count: sweeps with
+    global index >= limit are dead no-ops (lax.cond skips the sweep, so
+    the PRNG stream is untouched).  This keeps every segment — ragged
+    tail included — ONE static shape: a second shape costs a
+    minutes-long remote compile at 16k (CLAUDE.md).
     """
     fixed = LB == UB
     logpdf = _masked_log_f(log_f, LB, UB, f_args, log_prior)
@@ -464,8 +471,9 @@ def _chain_seg(
 
     def body(carry, i):
         state, s_sum, s_sq = carry
-        state, _ = sweep(state)
-        in_window = i >= half
+        live = i < limit
+        state = lax.cond(live, lambda s: sweep(s)[0], lambda s: s, state)
+        in_window = jnp.logical_and(i >= half, live)
         s_sum = jnp.where(in_window, s_sum + state.x, s_sum)
         s_sq = jnp.where(in_window, s_sq + state.x**2, s_sq)
         out = (state.x, state.log_Px) if collect else None
@@ -545,9 +553,10 @@ def _run_chain_segmented(
     z = np.zeros((D,), dtype=np.float64)
     s_sum, s_sq = z, z
     half = np.int64(burn // 2)
-    i = 0
-    while i < burn:
-        s = int(min(seg, burn - i))
+    # Every dispatch runs the full static ``seg`` sweeps; the traced
+    # ``limit`` masks the tail overshoot as PRNG-preserving no-ops, so
+    # each phase compiles exactly ONE program shape.
+    for i in range(0, burn, seg):
         state, s_sum, s_sq = _chain_seg(
             log_f,
             state,
@@ -555,11 +564,12 @@ def _run_chain_segmented(
             s_sq,
             np.int64(i),
             half,
+            np.int64(burn),
             LB,
             UB,
             LB_out,
             UB_out,
-            s,
+            int(seg),
             bool(adaptive),
             int(max_shrink),
             f_args,
@@ -567,7 +577,6 @@ def _run_chain_segmented(
             log_prior,
             False,
         )
-        i += s
     if burn > 0 and adaptive:
         n_st = np.float64(burn - burn // 2)
         state = _adapt_widths(
@@ -582,25 +591,26 @@ def _run_chain_segmented(
         )
     eff_N = n_samples + (n_samples - 1) * (thin - 1)
     xs_blocks, lp_blocks = [], []
-    done = 0
-    # Sampling phase: i0=0 with half > seg makes the window test always
-    # False (the moment accumulators are dead weight but keep the
-    # segment program shared between phases' shapes).
-    no_win = np.int64(eff_N + 1)
-    while done < eff_N:
-        s = int(min(seg, eff_N - done))
+    # Sampling phase: half > eff_N makes the window test always False
+    # (the moment accumulators are dead weight but keep the segment
+    # program shared between phases' shapes).  Tail overshoot rows
+    # repeat the last live state; the pack program's [::thin]
+    # [:n_samples] slice never reaches them.
+    no_win = np.int64(eff_N + seg + 1)
+    for i in range(0, eff_N, seg):
         state, _, _, xs, lps = _chain_seg(
             log_f,
             state,
             z,
             z,
-            np.int64(0),
+            np.int64(i),
             no_win,
+            np.int64(eff_N),
             LB,
             UB,
             LB_out,
             UB_out,
-            s,
+            int(seg),
             False,
             int(max_shrink),
             f_args,
@@ -610,7 +620,6 @@ def _run_chain_segmented(
         )
         xs_blocks.append(xs)
         lp_blocks.append(lps)
-        done += s
     packed = _pack_chain(
         init_log_Px,
         tuple(xs_blocks),

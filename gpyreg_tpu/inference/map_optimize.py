@@ -471,6 +471,26 @@ def _eval_design_seg(obj_design_raw, d_seg, f_args, chunk: int):
     ).reshape(-1)
 
 
+@partial(jax.jit, static_argnames=("obj_design_raw", "chunk", "mesh"))
+def _eval_design_seg_mesh(obj_design_raw, d_seg, f_args, chunk: int, mesh):
+    """Mesh twin of :func:`_eval_design_seg`: candidate rows sharded
+    over the 'batch' axis (the SURVEY §2.3 primary DP axis), data
+    replicated, no collectives.  Row count must divide mesh*chunk
+    (callers pad)."""
+    n = d_seg.shape[1]
+
+    def local(d_local, f_args_t):
+        n_chunks = d_local.shape[0] // chunk
+        return lax.map(
+            lambda c: jax.vmap(lambda h: obj_design_raw(h, *f_args_t))(c),
+            d_local.reshape(n_chunks, chunk, n),
+        ).reshape(-1)
+
+    return _smap(
+        local, mesh, (_P("batch", None), _repl_specs(f_args)), _P("batch")
+    )(d_seg, f_args)
+
+
 @partial(jax.jit, static_argnames=("to_z", "memory_size"))
 def _ms_init(to_z, starts, bp, memory_size: int):
     opt = optax.lbfgs(memory_size=memory_size)
@@ -503,6 +523,16 @@ def _ms_seg(
     memory_size: int,
     f_args,
 ):
+    return _ms_lane_loop(
+        obj_raw, to_x, carry, bp, tol, seg, max_iter, memory_size, f_args
+    )
+
+
+def _ms_lane_loop(
+    obj_raw, to_x, carry, bp, tol, seg, max_iter, memory_size, f_args
+):
+    """Advance every lane up to ``seg`` L-BFGS iterations (shared body
+    of the single-device and mesh-sharded segment programs)."""
     opt, step = _lbfgs_machinery(
         obj_raw, to_x, memory_size, bp, tol, f_args
     )
@@ -527,6 +557,49 @@ def _ms_seg(
         return z, state, it, prev_f, done
 
     return lax.map(one, carry)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "obj_raw",
+        "to_x",
+        "seg",
+        "max_iter",
+        "memory_size",
+        "mesh",
+    ),
+)
+def _ms_seg_mesh(
+    obj_raw,
+    to_x,
+    carry,
+    bp,
+    tol,
+    seg: int,
+    max_iter: int,
+    memory_size: int,
+    f_args,
+    mesh,
+):
+    """Mesh twin of :func:`_ms_seg`: restart lanes sharded over the
+    'batch' axis (each device advances its own lanes; no collectives —
+    lanes are independent).  Lane count must divide the mesh size
+    (callers pad)."""
+    specs = jax.tree.map(
+        lambda leaf: _P(*(("batch",) + (None,) * (leaf.ndim - 1))),
+        carry,
+    )
+
+    def local(carry_l, bp_t, tol_t, f_args_t):
+        return _ms_lane_loop(
+            obj_raw, to_x, carry_l, bp_t, tol_t, seg, max_iter,
+            memory_size, f_args_t,
+        )
+
+    return _smap(
+        local, mesh, (specs, _P(), _P(), _repl_specs(f_args)), specs
+    )(carry, bp, tol, f_args)
 
 
 @partial(jax.jit, static_argnames=("obj_raw", "to_x"))
@@ -559,26 +632,37 @@ def _design_optimize_segmented(
     iter_seg,
     max_iter,
     memory_size,
+    mesh=None,
 ):
-    """Bounded-dispatch twin of :func:`_run_design_optimize` (mesh-less):
+    """Bounded-dispatch twin of :func:`_run_design_optimize`:
     same selection logic, same optimizer, same results — but no single
     dispatch executes more than ~``_DISPATCH_BUDGET_S`` of device time.
-    Returns ``(xs, fs, its, widths_default, X_sorted, y_sorted)`` with
-    the candidate pool host-resident."""
+    With ``mesh``, each segment shards its candidate rows / restart
+    lanes over the 'batch' axis (same layout as the monolithic mesh
+    path); per-device dispatch time only shrinks, so the watchdog
+    budget stays safe.  Returns ``(xs, fs, its, widths_default,
+    X_sorted, y_sorted)`` with the candidate pool host-resident."""
     design = np.atleast_2d(np.asarray(design, dtype=np.float64))
     B0, n = design.shape
     to_x, to_z, bp = _make_transform(LB, UB)
+    ndev = 1 if mesh is None else int(mesh.devices.size)
 
     # Phase 1 — design evaluation in fixed-size row segments.  All
     # segments share ONE static shape (remote-compiling a second
     # program for a ragged tail costs minutes at 16k): the segment size
-    # is the equal split of B0 rounded up to a chunk multiple, and the
-    # tail pads by repeating row 0 (a few wasted evaluations).
+    # is the equal split of B0 rounded up to a (devices x chunk)
+    # multiple, and the tail pads by repeating row 0 (a few wasted
+    # evaluations).
     chunk = int(max(1, min(chunk, B0)))
-    design_seg = int(max(chunk, (design_seg // chunk) * chunk))
+    if ndev > 1:
+        # Keep the (devices x chunk) segment unit near B0: an oversized
+        # unit pads with wasted candidate evaluations.
+        chunk = int(max(1, min(chunk, -(-B0 // ndev))))
+    unit = chunk * ndev
+    design_seg = int(max(unit, (design_seg // unit) * unit))
     n_segs = -(-B0 // design_seg)
     per_seg = -(-B0 // n_segs)
-    design_seg = -(-per_seg // chunk) * chunk
+    design_seg = -(-per_seg // unit) * unit
     ys_parts = []
     for i0 in range(0, B0, design_seg):
         seg_rows = design[i0 : i0 + design_seg]
@@ -587,9 +671,18 @@ def _design_optimize_segmented(
             seg_rows = np.concatenate(
                 [seg_rows, np.broadcast_to(design[:1], (pad, n))]
             )
-        ys_parts.append(
-            _eval_design_seg(obj_design_raw, seg_rows, tuple(f_args), chunk)
-        )
+        if mesh is None:
+            ys_parts.append(
+                _eval_design_seg(
+                    obj_design_raw, seg_rows, tuple(f_args), chunk
+                )
+            )
+        else:
+            ys_parts.append(
+                _eval_design_seg_mesh(
+                    obj_design_raw, seg_rows, tuple(f_args), chunk, mesh
+                )
+            )
     ys = np.concatenate([np.asarray(p) for p in ys_parts])[:B0]
     ys = np.where(np.isfinite(ys), ys, np.inf)
     order = np.argsort(ys, kind="stable")  # match jnp.argsort (stable)
@@ -616,24 +709,47 @@ def _design_optimize_segmented(
     # Phase 2 — multistart L-BFGS in bounded iteration segments.  All
     # segments dispatch asynchronously; lanes that converge early make
     # their remaining segments no-ops (the while_loop condition fails on
-    # entry), so no host-side convergence polling is needed.
-    carry = _ms_init(to_z, starts, bp, int(memory_size))
+    # entry), so no host-side convergence polling is needed.  With a
+    # mesh, lanes pad to a whole number per device and shard.
+    k_pad = -(-k // ndev) * ndev
+    starts_p = (
+        np.concatenate(
+            [starts, np.broadcast_to(starts[:1], (k_pad - k, n))]
+        )
+        if k_pad > k
+        else starts
+    )
+    carry = _ms_init(to_z, starts_p, bp, int(memory_size))
     tol64 = np.float64(tol)
     for _ in range(-(-int(max_iter) // int(iter_seg))):
-        carry = _ms_seg(
-            obj_raw,
-            to_x,
-            carry,
-            bp,
-            tol64,
-            int(iter_seg),
-            int(max_iter),
-            int(memory_size),
-            tuple(f_args),
-        )
+        if mesh is None:
+            carry = _ms_seg(
+                obj_raw,
+                to_x,
+                carry,
+                bp,
+                tol64,
+                int(iter_seg),
+                int(max_iter),
+                int(memory_size),
+                tuple(f_args),
+            )
+        else:
+            carry = _ms_seg_mesh(
+                obj_raw,
+                to_x,
+                carry,
+                bp,
+                tol64,
+                int(iter_seg),
+                int(max_iter),
+                int(memory_size),
+                tuple(f_args),
+                mesh,
+            )
     packed = np.asarray(
         _ms_finalize(obj_raw, to_x, carry, bp, tuple(f_args))
-    )
+    )[:k]
     xs, fs, its = packed[:, :-2], packed[:, -2], packed[:, -1]
     return xs, fs, its, widths_default, X_sorted, y_sorted
 
@@ -672,7 +788,12 @@ def design_optimize(
     if chunk is None:
         chunk = B0
     chunk = int(max(1, min(chunk, B0)))
-    if segments is not None and mesh is None:
+    if segments is not None:
+        # The watchdog bound applies with or without a mesh (sharding
+        # shortens a dispatch, never lengthens it — but a monolithic
+        # 16k fused program is hours past the ~6-min kill either way),
+        # so the segmented path must never be skipped just because a
+        # mesh is set.
         xs, fs, its, widths_default, X_sorted, y_sorted = (
             _design_optimize_segmented(
                 obj_raw,
@@ -689,6 +810,7 @@ def design_optimize(
                 segments[1],
                 max_iter,
                 memory_size,
+                mesh=mesh,
             )
         )
         LBc = np.nextafter(np.asarray(LB, dtype=np.float64), np.inf)

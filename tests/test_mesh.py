@@ -223,6 +223,38 @@ def test_gp_fit_chain_parallel_mcmc(gp_data):
     assert np.all(np.isfinite(mu)) and np.all(s2 >= 0)
 
 
+def test_chain_parallel_burns_full_window_per_chain(gp_data, monkeypatch):
+    """Burn-in is per-chain work: every chain must receive the FULL
+    burn window (splitting it across chains starts all chains nearly
+    unadapted at the shared MAP point)."""
+    from gpyreg_tpu.inference import device_slice as ds
+
+    X, y, _ = gp_data
+    seen = {}
+    orig = ds.sample_chains
+
+    def spy(log_f, x0s, key, **kw):
+        seen["burn"] = kw.get("burn")
+        return orig(log_f, x0s, key, **kw)
+
+    monkeypatch.setattr(ds, "sample_chains", spy)
+    gp = _make_gp(mesh=pmesh.make_mesh(8))
+    np.random.seed(11)
+    gp.fit(
+        X=X,
+        y=y,
+        options={
+            "n_samples": 8,
+            "opts_N": 1,
+            "init_N": 16,
+            "thin": 2,
+            "burn": 24,
+            "n_chains": 8,
+        },
+    )
+    assert seen["burn"] == 24
+
+
 def test_gp_mesh_int_shorthand(gp_data):
     """GP(mesh=<int>) builds the mesh internally."""
     X, y, rng = gp_data

@@ -12,6 +12,8 @@ tolerance for the chain, where XLA may reassociate the density across
 the different program boundaries).
 """
 
+import logging
+
 import numpy as np
 import pytest
 
@@ -212,6 +214,53 @@ class TestSegmentedChain:
             r1["log_priors"], r2["log_priors"], atol=1e-12
         )
 
+    def test_ragged_totals_share_one_program_per_phase(self):
+        """Totals that don't divide the segment size must NOT compile
+        extra _chain_seg shapes: the tail overshoot is masked by the
+        traced ``limit`` (PRNG-preserving no-op sweeps), never re-shaped
+        — each extra shape is a minutes-long remote compile at 16k."""
+        jax.clear_caches()
+        log_f = _logf()
+        key = jax.random.key(5)
+        kw = dict(
+            widths=np.ones(2),
+            LB=np.full(2, -4.0),
+            UB=np.full(2, 4.0),
+            n_samples=7,
+            thin=3,
+            burn=7,  # ragged: 7 % 5 != 0, eff_N=19 % 5 != 0
+            diagnostics=False,
+        )
+        r1, _ = ds.sample(log_f, np.zeros(2), key, **kw)
+
+        class _CompileCounter(logging.Handler):
+            def __init__(self):
+                super().__init__()
+                self.n = 0
+
+            def emit(self, record):
+                msg = record.getMessage()
+                if "Compiling" in msg and "_chain_seg" in msg:
+                    self.n += 1
+
+        counter = _CompileCounter()
+        logger = logging.getLogger("jax._src.interpreters.pxla")
+        logger.addHandler(counter)
+        old_level = logger.level
+        logger.setLevel(logging.WARNING)
+        jax.config.update("jax_log_compiles", True)
+        try:
+            r2, _ = ds.sample(
+                log_f, np.zeros(2), key, **kw, seg_sweeps=5
+            )
+        finally:
+            jax.config.update("jax_log_compiles", False)
+            logger.removeHandler(counter)
+            logger.setLevel(old_level)
+        np.testing.assert_allclose(r1["samples"], r2["samples"], atol=1e-12)
+        # one burn program + one collect program, nothing for the tails
+        assert counter.n == 2, f"expected 2 _chain_seg compiles, got {counter.n}"
+
     def test_sample_chains_segmented(self):
         log_f = _logf()
         key = jax.random.key(11)
@@ -340,3 +389,38 @@ class TestSegmentedFitEndToEnd:
             mo.segment_plan = orig_plan
             mo.sweep_segment_plan = orig_sweep
         np.testing.assert_allclose(h_mono, h_seg, atol=1e-8)
+
+    def test_gp_fit_forced_segmentation_with_mesh(self):
+        """GP(mesh=...) must STILL segment above SEG_MIN_N (the
+        watchdog applies regardless of sharding): the sharded
+        segmented fit's MAP phase matches the mesh-less segmented fit.
+        Only the MAP phase is compared — the mesh-less and mesh MCMC
+        paths draw different streams by construction."""
+        from gpyreg_tpu.parallel import mesh as pmesh
+
+        X, y = _problem()
+
+        def fit_once(mesh):
+            np.random.seed(1234)
+            gp = gpr.GP(
+                D=2,
+                covariance=gpr.covariance_functions.SquaredExponential(),
+                mean=gpr.mean_functions.ConstantMean(),
+                noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+                mesh=mesh,
+            )
+            gp.fit(
+                X=X,
+                y=y,
+                options={"n_samples": 0, "opts_N": 2, "init_N": 32},
+            )
+            return np.asarray(gp.get_hyperparameters(as_array=True))
+
+        orig_plan = mo.segment_plan
+        mo.segment_plan = lambda nr, B0, opts_N, max_iter: (8, 7)
+        try:
+            h_seg = fit_once(None)
+            h_seg_mesh = fit_once(pmesh.make_mesh(8))
+        finally:
+            mo.segment_plan = orig_plan
+        np.testing.assert_allclose(h_seg, h_seg_mesh, rtol=1e-7)
