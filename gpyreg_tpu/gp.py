@@ -1620,6 +1620,16 @@ class GP:
                 "hyperposterior sampling is unsupported on the "
                 "matrix-free path (set n_samples=0)."
             )
+        if s_N > 0:
+            # The reference contract defaults to n_samples=10; never
+            # downgrade it silently just because the caller didn't
+            # spell out a sampling option.
+            warnings.warn(
+                'fit(options={"method": "cg"}) is MAP-only: skipping '
+                f"the default n_samples={s_N} hyperposterior sampling "
+                "(set n_samples=0 to acknowledge).",
+                stacklevel=3,
+            )
         cg_opts = {
             "row_chunk": int(options.get("cg_row_chunk", 1024)),
             "max_iter": int(options.get("cg_max_iter", 500)),
@@ -3147,9 +3157,17 @@ class GP:
             # never run the O(N^3) factorization on a large-N CG fit.
             gp._infer_method = "cg"
         if "hyp" in z:
+            # Matrix-free (CG) fits must rebuild matrix-free posteriors
+            # regardless of has_factors: their alpha cache is lazy, so
+            # a GP saved before its first predict reports "no factors"
+            # — but update(compute_posterior=True) on the cg method
+            # only builds O(N)-cheap matrix-free tags, never the O(N^3)
+            # factorization.
             gp.update(
                 hyp=z["hyp"],
-                compute_posterior=bool(z["has_factors"])
+                compute_posterior=(
+                    bool(z["has_factors"]) or gp._infer_method == "cg"
+                )
                 and gp.X is not None
                 and gp.y is not None,
             )

@@ -525,6 +525,34 @@ def cg_posterior_weights(
     return alpha, res, iters
 
 
+@lru_cache(maxsize=None)
+def _cg_solve_fn(spec: ModelSpec, row_chunk: int, max_iter: int,
+                 use_precond: bool):
+    """Compiled masked-CG solve against (K + sn2 I), identity-stable
+    across calls (one program per (spec, row_chunk, rhs-shape)); the
+    serving path dispatches it on every predict."""
+
+    @jax.jit
+    def solve(hyp_cov, Xp, b, sn2_vec, mask, tol, Lk):
+        def mv(V):
+            out = _panel_matvec(
+                spec,
+                hyp_cov,
+                Xp,
+                V * mask[:, None],
+                jnp.zeros_like(sn2_vec),
+                row_chunk,
+            )
+            return out * mask[:, None] + sn2_vec[:, None] * V
+
+        precond = (
+            woodbury_preconditioner(Lk, sn2_vec) if use_precond else None
+        )
+        return _cg(mv, b, tol, max_iter, precond)
+
+    return solve
+
+
 def cg_predict(
     spec: ModelSpec,
     hyp,
@@ -595,25 +623,24 @@ def cg_predict(
     m_train = mean_value(spec, hyp_mean, Xp)[:, None]
     r = (yj - m_train) * mask[:, None]
 
-    def mv(V):
-        out = _panel_matvec(
-            spec,
-            hyp_cov,
-            Xp,
-            V * mask[:, None],
-            jnp.zeros_like(sn2_vec),
-            row_chunk,
-        )
-        return out * mask[:, None] + sn2_vec[:, None] * V
-
-    precond = None
     if precond_rank > 0:
         # BBMM-style pivoted-Cholesky preconditioner: a rank-k kernel
         # sketch + Woodbury inverse collapses the spectrum's top modes.
         Lk = pivoted_cholesky(spec, hyp_cov, Xp, precond_rank, mask)
-        precond = woodbury_preconditioner(Lk, sn2_vec)
+    else:
+        Lk = jnp.zeros((1, 1), dtype)  # unused traced arg (DCE'd)
 
-    solve = jax.jit(lambda b: _cg(mv, b, tol, max_iter, precond))
+    # Identity-stable compiled solve (lru-cached per spec/shape): a
+    # fresh `jax.jit(lambda ...)` here would retrace the N-scale CG
+    # while_loop on EVERY predict call — the warm serving path must
+    # reuse the compiled program (CLAUDE.md: no fresh jit lambdas).
+    solve_fn = _cg_solve_fn(
+        spec, int(row_chunk), int(max_iter), precond_rank > 0
+    )
+    tol_t = jnp.asarray(tol, dtype)
+
+    def solve(b):
+        return solve_fn(hyp_cov, Xp, b, sn2_vec, mask, tol_t, Lk)
     if alpha0 is not None:
         alpha = jnp.asarray(alpha0, dtype=dtype)
         info = {"alpha_reused": True}

@@ -26,6 +26,7 @@ def _data(N=400, D=2, seed=0):
 
 CG_OPTS = {
     "method": "cg",
+    "n_samples": 0,  # cg is MAP-only; 0 acknowledges it (no warning)
     "cg_row_chunk": 128,
     "cg_tol": 1e-6,
     "cg_n_probes": 16,
@@ -163,3 +164,33 @@ def test_cg_save_load_roundtrip(tmp_path):
     # vector from scratch (factors are never serialized).
     assert np.max(np.abs(mu0 - mu1)) < 1e-4
     assert np.max(np.abs(s20 - s21)) < 1e-4
+
+
+def test_cg_save_load_before_first_predict(tmp_path):
+    """A CG fit saved BEFORE any predict must load as a matrix-free GP
+    whose predict serves via CG.  (The .npz has_factors flag is False
+    in this state — the lazy CG weight vector was never solved — and a
+    load keyed on it alone would rebuild factor-less exact posteriors
+    that crash in predict.)"""
+    X, y = _data(N=200)
+    gp = _make_gp()
+    gp.fit(X=X, y=y, options=dict(CG_OPTS))
+    gp.save(tmp_path / "gp_cg_fresh.npz")
+    rng = np.random.default_rng(5)
+    xs = rng.uniform(-3, 3, (20, 2))
+    mu0, s20 = gp.predict(xs)
+    gp2 = gpr.GP.load(tmp_path / "gp_cg_fresh.npz")
+    assert gp2.posteriors[0].matrix_free
+    mu1, s21 = gp2.predict(xs)
+    assert np.max(np.abs(mu0 - mu1)) < 1e-4
+    assert np.max(np.abs(s20 - s21)) < 1e-4
+
+
+def test_cg_default_n_samples_downgrade_warns():
+    """method='cg' with the DEFAULT n_samples (10) must not silently
+    return a single MAP sample: the downgrade is warned about."""
+    X, y = _data(N=200)
+    gp = _make_gp()
+    opts = {k: v for k, v in CG_OPTS.items() if k != "n_samples"}
+    with pytest.warns(UserWarning, match="MAP-only"):
+        gp.fit(X=X, y=y, options=opts)
