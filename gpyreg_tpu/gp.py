@@ -42,6 +42,7 @@ from .f_min_fill import (
 from .formatting import full_repr
 from .inference import device_slice as _device_slice
 from .inference import ensemble_slice as _ensemble_slice
+from .inference import hmc as _hmc
 from .inference import mala as _mala
 from .inference import map_optimize as _map_optimize
 from .ops.linalg import neg_inverse_from_chol, robust_cholesky
@@ -2172,7 +2173,7 @@ class GP:
 
         ## Slice sampling of the hyperposterior.
         eff_s_N = s_N * thin
-        if sampler_name not in ("slicesample", "eissample", "mala"):
+        if sampler_name not in ("slicesample", "eissample", "mala", "hmc"):
             raise ValueError("Unknown sampler!")
         if sampler_name == "mala":
             # MALA moves all dimensions at once: the gplite driver
@@ -2244,6 +2245,36 @@ class GP:
                 diagnostics=options.get("sampler_diagnostics", True),
                 seg_iters=_map_optimize.chain_segment_plan(
                     obj_args[0].shape[0]
+                ),
+            )
+        elif sampler_name == "hmc":
+            # Leapfrog HMC: full-trajectory gradient proposals via the
+            # autodiff bundle (gplite_train.m:433-447; no Nhyp count
+            # scaling — one proposal already traverses every dimension).
+            fns, obj_args = self._obj_args()
+            key = jax.random.key(int(np.random.randint(0, 2**31 - 1)))
+            n_leap = int(options.get("hmc_steps", 10))
+            sampling_result, _ = _hmc.sample(
+                fns["log_post_raw"],
+                hyp_start,
+                key,
+                n_samples=eff_s_N,
+                widths=widths,
+                LB=LB,
+                UB=UB,
+                burn=burn_in,
+                step_size=options.get("step_size", None),
+                n_leapfrog=n_leap,
+                f_args=obj_args,
+                log_prior=(
+                    None if self.no_prior else fns["log_prior_raw"]
+                ),
+                diagnostics=options.get("sampler_diagnostics", True),
+                seg_iters=_map_optimize.chain_segment_plan(
+                    obj_args[0].shape[0],
+                    # one HMC iteration costs n_leap value_and_grad
+                    # evaluations (~2.5 forward NLMLs each)
+                    2.5 * n_leap,
                 ),
             )
         elif sampler_name == "eissample":
