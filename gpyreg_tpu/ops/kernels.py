@@ -30,6 +30,11 @@ def _fused_se_enabled(X, iso, Z, diag):
         return False
     if X.dtype != jnp.float32:
         return False
+    if X.shape[1] >= 128:
+        # The VJP kernel packs the (D+1) gradient into one 128-lane
+        # row (pallas_kernels._make_se_vjp_kernel); wider D falls back
+        # to the XLA composition.
+        return False
     if os.environ.get("GPYREG_TPU_NO_FUSED_KERNEL"):
         return False
     from .pallas_kernels import FUSED_MIN_N, INTERPRET

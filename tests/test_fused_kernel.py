@@ -111,3 +111,19 @@ def test_nlml_grad_through_fused_kernel(interpret_small_gate):
     assert np.isclose(float(v_f), float(v_x), rtol=1e-5)
     scale = np.maximum(np.abs(np.asarray(g_x)), 1.0)
     assert np.max(np.abs(np.asarray(g_f - g_x)) / scale) < 1e-4
+
+
+def test_wide_d_falls_back_to_xla(interpret_small_gate):
+    """D >= 128 exceeds the VJP kernel's single-row gradient packing
+    (pallas_kernels._make_se_vjp_kernel pads g_ell to one 128-lane
+    row); the dispatch gate must fall back to XLA instead of tracing a
+    negative-size pad deep inside the fit's autodiff."""
+    X, hyp_cov = _data(N=96, D=130)
+    assert not K._fused_se_enabled(X, False, None, False)
+
+    def loss(h):
+        return jnp.sum(K.kernel_matrix("se", h, X))
+
+    v, g = jax.value_and_grad(loss)(hyp_cov)
+    assert np.isfinite(float(v))
+    assert np.all(np.isfinite(np.asarray(g)))
