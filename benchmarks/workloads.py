@@ -35,15 +35,20 @@ def _best_of(fn, n=3):
     return best
 
 
-def _latency_stats(fn, n=10):
-    """Single-shot latency distribution across n calls (VERDICT r2 item
-    9: best-of timings alone hide the tunnel's 2-5x single-shot swings;
-    a first caller sees the percentiles, steady-state serving the min).
-    Returns {best, p50, p95} in seconds."""
+def _latency_stats(fn, inputs):
+    """Single-shot latency distribution across len(inputs) calls
+    (VERDICT r2 item 9: best-of timings alone hide the tunnel's 2-5x
+    single-shot swings; a first caller sees the percentiles,
+    steady-state serving the min).  ``inputs`` must be DISTINCT
+    same-shape arguments, one per call: re-dispatching a compiled
+    program with args identical to a previous call can return a
+    memoized-transfer artifact instead of a real execution (see
+    CLAUDE.md timing-artifact notes).  Returns {best, p50, p95} in
+    seconds."""
     ts = []
-    for _ in range(n):
+    for x in inputs:
         t0 = _timer()
-        fn()
+        fn(x)
         ts.append(_timer() - t0)
     ts = np.asarray(ts)
     return {
@@ -107,7 +112,11 @@ def config2_matern_fit_predict(gpr, seed=1):
     t0 = _timer()
     gp.fit(X=X, y=y, options=opts)
     fit_s = _timer() - t0
-    stats = _latency_stats(lambda: gp.predict(xs))
+    rng = np.random.default_rng(seed + 1)
+    variants = [
+        xs + rng.uniform(-0.05, 0.05, xs.shape) for _ in range(10)
+    ]
+    stats = _latency_stats(lambda x: gp.predict(x), variants)
     return {
         "fit_s": fit_s,
         "predict_s": stats["best"],
@@ -139,7 +148,11 @@ def config3_mcmc_hyperposterior(gpr, seed=2):
     t0 = _timer()
     gp.fit(X=X, y=y, options=opts)
     fit_s = _timer() - t0
-    stats = _latency_stats(lambda: gp.predict(xs))
+    variants = [
+        np.random.default_rng(seed + 1 + i).uniform(-3, 3, xs.shape)
+        for i in range(10)
+    ]
+    stats = _latency_stats(lambda x: gp.predict(x), variants)
     return {
         "fit_s": fit_s,
         "predict_s": stats["best"],
