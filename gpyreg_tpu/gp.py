@@ -156,16 +156,48 @@ class Posterior:
         self._set("L", v)
 
 
+# MXU serving-path auto-gate (see GP.mxu_predict): below these the
+# one-time ~N^3/3 triangular inversion doesn't amortize over the test
+# points (estimated breakeven ~400 points at N=16k), and small-N trsm
+# is latency-floor-bound anyway.
+_MXU_PREDICT_MIN_N = 8192
+_MXU_PREDICT_MIN_M = 1024
+
+
 @lru_cache(maxsize=None)
-def _predict_chunked_fn(spec: ModelSpec, flag: bool, chunk: int, pallas=False):
+def _predict_chunked_fn(
+    spec: ModelSpec, flag: bool, chunk: int, pallas=False, mxu=False
+):
     """Single-sample prediction over MANY test points with the chunk
     loop on DEVICE (lax.map): one dispatch per posterior sample instead
     of one per (sample, chunk) — the per-call latency of a remote-TPU
-    tunnel (~0.1 s) otherwise dominates large-M prediction."""
+    tunnel (~0.1 s) otherwise dominates large-M prediction.
+
+    ``mxu`` (Cholesky parametrization only): invert the triangular
+    factor ONCE per dispatch (``ops.linalg.tri_inv`` — divide-and-
+    conquer MXU matmuls) and serve every chunk's whitened
+    cross-covariance as a dense matmul instead of a triangular solve.
+    XLA's trsm is the chip's slowest primitive (~4.7 effective TFLOP/s,
+    sequential row-block substitution — the round-2 serving-study
+    roofline), while the MXU runs dense matmuls an order of magnitude
+    faster; the one-time ~N^3/3 inversion amortizes over the M test
+    points.  The padded factor's pad block is exact identity (zero
+    masked K rows + unit sn2, core/nlml.assemble), so the inverse's
+    real block equals the unpadded inverse and padded V rows stay
+    harmless in the variance sum."""
     pfns = _predict_fns(spec, pallas)
-    one = pfns[("chol" if flag else "inv") + "_one_raw"]
+    one = pfns[
+        ("chol_mxu" if flag and mxu else "chol" if flag else "inv")
+        + "_one_raw"
+    ]
 
     def chunked(hyp, alpha, L, sW, X, n_real, xs_padded):
+        if flag and mxu:
+            from .ops.linalg import tri_inv
+
+            # (L_upper^T)^{-1}, lower triangular: V = Wl @ (sW * Ks)
+            # replaces solve_triangular(L, ., trans=1) exactly.
+            L = tri_inv(jnp.swapaxes(L, -1, -2))
         n_chunks = xs_padded.shape[0] // chunk
         xs_r = xs_padded.reshape(n_chunks, chunk, xs_padded.shape[1])
 
@@ -182,7 +214,7 @@ def _predict_chunked_fn(spec: ModelSpec, flag: bool, chunk: int, pallas=False):
 
 @lru_cache(maxsize=None)
 def _predict_sharded_fn(
-    spec: ModelSpec, flag: bool, mesh, pallas: bool = False
+    spec: ModelSpec, flag: bool, mesh, pallas: bool = False, mxu=False
 ):
     """Single-sample prediction with the TEST-POINT axis sharded over a
     device mesh (the sequence-parallel analog for GP serving, SURVEY.md
@@ -197,9 +229,18 @@ def _predict_sharded_fn(
     from jax.sharding import PartitionSpec as P
 
     pfns = _predict_fns(spec, pallas)
-    one = pfns[("chol" if flag else "inv") + "_one_raw"]
+    one = pfns[
+        ("chol_mxu" if flag and mxu else "chol" if flag else "inv")
+        + "_one_raw"
+    ]
 
     def local(hyp, alpha, L, sW, X, n_real, xs_local):
+        if flag and mxu:
+            from .ops.linalg import tri_inv
+
+            # Each device inverts the replicated factor itself (same
+            # wall-clock as one device + a broadcast; no collective).
+            L = tri_inv(jnp.swapaxes(L, -1, -2))
         mu, s2 = one(hyp, alpha, L, sW, X, n_real, xs_local)
         return jnp.stack([mu, s2])
 
@@ -305,6 +346,28 @@ def _predict_fns(spec: ModelSpec, pallas: bool = False):
         s2 = kss - jnp.sum(V * V, axis=0)
         return mu, s2
 
+    def chol_mxu_branch(hyp, alpha, Wl, sW, X, n_real, xs):
+        """Cholesky-parametrization serving with a PRE-INVERTED factor:
+        ``Wl = (L_upper^T)^{-1}`` (lower), so the whitened cross-
+        covariance is a triangular-aware MXU matmul
+        (ops.linalg.tri_lower_matmul, bf16x3 accumulation — the same
+        precision the training adjoint's tri_inv products use) instead
+        of XLA's slow trsm.  Mathematically identical to chol_branch;
+        f32 rounding differs by ~cond(L)*eps (measured max |delta s2|
+        vs the trsm path at N=16k: 2e-6 at HIGHEST, 2.5e-5 at bf16x3 —
+        the 2.55x large-M throughput trade, benchmarks/mxu_serving.py)."""
+        from .ops.linalg import tri_lower_matmul
+
+        hyp = hyp.astype(X.dtype)
+        hyp_cov, _, hyp_mean = spec.split_hyp(hyp)
+        m_star = mean_value(spec, hyp_mean, xs)
+        kss = cov_matrix(spec, hyp_cov, xs, diag=True)
+        Ks = _masked_ks(hyp_cov, X, n_real, xs)
+        mu = m_star + jnp.matmul(Ks.T, alpha)[:, 0]
+        V = tri_lower_matmul(Wl, sW * Ks)
+        s2 = kss - jnp.sum(V * V, axis=0)
+        return mu, s2
+
     def inv_branch(hyp, alpha, L_neg_inv, sW, X, n_real, xs):
         hyp = hyp.astype(X.dtype)
         hyp_cov, _, hyp_mean = spec.split_hyp(hyp)
@@ -399,6 +462,7 @@ def _predict_fns(spec: ModelSpec, pallas: bool = False):
         # Raw (unjitted) versions for composition into the device-side
         # chunk loop (_predict_chunked_fn).
         "chol_one_raw": chol_branch,
+        "chol_mxu_one_raw": chol_mxu_branch,
         "inv_one_raw": inv_branch,
     }
 
@@ -615,6 +679,7 @@ class GP:
         fast_predict: bool = False,
         pad_bucket: int = 64,
         pallas_predict: bool = False,
+        mxu_predict: bool = None,
         mesh=None,
     ):
         self.D = D
@@ -650,6 +715,17 @@ class GP:
         # large-N serving path into one VMEM-resident Pallas kernel
         # (ops/pallas_kernels.py); float32 only, XLA fallback otherwise.
         self.pallas_predict = bool(pallas_predict)
+        # mxu_predict serves large-M/large-N f32 Cholesky-path
+        # predictions by inverting the triangular factor once per
+        # dispatch (ops.linalg.tri_inv, MXU matmuls) instead of a trsm
+        # per chunk — XLA's trsm is the serving roofline (~4.7 TFLOP/s
+        # effective).  None (default) auto-enables at f32 with
+        # N_padded >= _MXU_PREDICT_MIN_N and M >= _MXU_PREDICT_MIN_M;
+        # True/False force it on/off.  Accuracy trade: ~cond(L)*eps32
+        # on the variance (measured 2.5e-5 abs at N=16k vs the trsm
+        # path's ~3e-6; benchmarks/mxu_serving.py); f64 and small fits
+        # keep the trsm path either way under the auto rule.
+        self.mxu_predict = mxu_predict
         # mesh: a 1-D jax.sharding.Mesh over axis 'batch' (or an int
         # device count; see parallel.mesh.make_mesh) scales the GP over
         # multiple chips: the fit's 1024-wide design evaluation and the
@@ -835,6 +911,19 @@ class GP:
         return (
             s_N * n_rows * n_rows * self.dtype.itemsize
             <= getattr(self, "_posterior_mem_budget", 8 * 2**30) // 4
+        )
+
+    def _mxu_predict_on(self, M, n_padded):
+        """Gate for the MXU serving path (see ``mxu_predict`` in
+        ``__init__`` and :func:`_predict_chunked_fn`): f32 only;
+        ``None`` auto-enables above the size thresholds where the
+        one-time triangular inversion amortizes, True/False force."""
+        if self.mxu_predict is False or self.dtype != np.float32:
+            return False
+        if self.mxu_predict:
+            return True
+        return (
+            n_padded >= _MXU_PREDICT_MIN_N and M >= _MXU_PREDICT_MIN_M
         )
 
     def _maybe_release_posteriors(self):
@@ -2570,7 +2659,14 @@ class GP:
             # v5e at N=16k/s=8: chol chunk 1024 -> 5685 pts/s (best),
             # 512 -> 4823; inv chunk 2048 -> 3097.
             all_inv = all(not p.L_chol for p in self.posteriors)
-            default_budget = 2**28 if all_inv else 2**27
+            mxu_serve = self._mxu_predict_on(M, Xj.shape[0])
+            # MXU path: chunk 4096 measured best at N=16k/S=8 (2048:
+            # 9.4k pts/s, 4096: 14.1k, 8192: 9.5k — mxu_serving.py
+            # sweep); the trsm temps that forced small chunks are gone.
+            if mxu_serve:
+                default_budget = 2**29
+            else:
+                default_budget = 2**28 if all_inv else 2**27
             budget_elems = getattr(
                 self, "_predict_chunk_budget", default_budget
             )
@@ -2606,9 +2702,10 @@ class GP:
                 if Mp > M
                 else xsh
             )
+            mxu_mesh = self._mxu_predict_on(M, Xj.shape[0])
             for idx, p in enumerate(self.posteriors):
                 fn = _predict_sharded_fn(
-                    spec, bool(p.L_chol), self.mesh, pallas
+                    spec, bool(p.L_chol), self.mesh, pallas, mxu_mesh
                 )
                 packed = np.asarray(
                     fn(
@@ -2655,7 +2752,7 @@ class GP:
             )
             for idx, p in enumerate(self.posteriors):
                 fn = _predict_chunked_fn(
-                    spec, bool(p.L_chol), chunk, pallas
+                    spec, bool(p.L_chol), chunk, pallas, mxu_serve
                 )
                 packed = np.asarray(
                     fn(

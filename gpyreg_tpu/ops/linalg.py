@@ -237,6 +237,36 @@ def sym_tri_product(W, block: int = 1024, precision=None):
     )
 
 
+def tri_lower_matmul(Wl, B, block: int = 2048, precision=None):
+    """``Wl @ B`` for a LOWER-triangular ``Wl``, exploiting the zeros.
+
+    Row-block strip i of the result only reads the first (i+1) column
+    blocks of ``Wl``: one matmul per block row, ~N^2·M flops instead of
+    the dense 2·N^2·M.  Unrolled (N/block static matmuls of distinct
+    shapes — cheap to compile at the serving sizes this targets).
+    Used by the MXU serving path (gp._predict_chunked_fn) where this
+    product replaces XLA's trsm.
+    """
+    if precision is None:
+        precision = lax.Precision.HIGH  # bf16x3: near-f32, ~2x HIGHEST
+    N = Wl.shape[-1]
+    if N <= block:
+        return jnp.matmul(Wl, B, precision=precision)
+    strips = []
+    off = 0
+    while off < N:
+        b = min(block, N - off)
+        strips.append(
+            jnp.matmul(
+                Wl[..., off : off + b, : off + b],
+                B[..., : off + b, :],
+                precision=precision,
+            )
+        )
+        off += b
+    return jnp.concatenate(strips, axis=-2)
+
+
 # Past this size the matmul-path VJP is worth its extra f32 rounding on
 # TPU; below it (and always in f64, the parity dtype) the two-trsm
 # adjoint is used.
