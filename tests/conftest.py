@@ -27,3 +27,30 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+# LLVM's in-process JIT has intermittently segfaulted inside
+# backend_compile late in the suite, after several hundred tests'
+# executables accumulate in the process (observed in different modules,
+# never reproducible standalone).  Bound the arena: at each module
+# boundary, if >=100 tests ran since the last clear, drop every
+# compiled executable and let the module recompile on demand.  (The
+# same mitigation previously lived only in test_segmented_dispatch.py,
+# which still clears unconditionally — its programs are the largest
+# compiles in the suite.)
+_tests_since_clear = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _count_tests_for_arena_bound():
+    _tests_since_clear["n"] += 1
+    yield
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _bounded_compile_arena():
+    if _tests_since_clear["n"] >= 100:
+        jax.clear_caches()
+        _tests_since_clear["n"] = 0
+    yield
