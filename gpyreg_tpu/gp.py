@@ -1926,6 +1926,11 @@ class GP:
         - ``sampler_backend``: 'device' (default; the whole MCMC chain is
           one XLA program) or 'host' (the parity SliceSampler driven by
           the global NumPy RNG, bit-matching the reference's algorithm).
+        - ``sampler``: 'slicesample' (default, coordinate-wise slice),
+          'covsample' (random-direction slice, gplite_train.m:392-407),
+          'eissample' (ensemble slice), 'mala', 'hmc', or 'laplace'
+          (MAP only) — the MATLAB oracle's sampler menu
+          (gplite_train.m:41,318-447).
         - ``f32_noise_floor``: 'auto' (default) raises the fit-local
           lower bound of the constant-noise hyperparameter to the f32
           conditioning floor ``0.5*log(C*N*eps32*var(y))`` for float32
@@ -2262,8 +2267,19 @@ class GP:
 
         ## Slice sampling of the hyperposterior.
         eff_s_N = s_N * thin
-        if sampler_name not in ("slicesample", "eissample", "mala", "hmc"):
+        if sampler_name not in (
+            "slicesample",
+            "covsample",
+            "eissample",
+            "mala",
+            "hmc",
+        ):
             raise ValueError("Unknown sampler!")
+        # 'covsample' (gplite_train.m:392-407) is eissample_lite with a
+        # single walker: one random-direction slice move per iteration
+        # instead of a full coordinate sweep.  It runs through the
+        # device slice chain with move='rd' (device-backend only).
+        slice_move = "rd" if sampler_name == "covsample" else "cw"
         if sampler_name == "mala":
             # MALA moves all dimensions at once: the gplite driver
             # scales the effective sample count, burn-in and thinning
@@ -2425,8 +2441,10 @@ class GP:
                 f_args=obj_args,
                 mesh=self.mesh,
                 seg_sweeps=_map_optimize.sweep_segment_plan(
-                    obj_args[0].shape[0], int(np.size(hyp_start))
+                    obj_args[0].shape[0],
+                    1 if slice_move == "rd" else int(np.size(hyp_start)),
                 ),
+                move=slice_move,
             )
             chain_x = np.asarray(chain_x)  # (B, n_per, D)
             chain_f = np.asarray(chain_f)
@@ -2479,10 +2497,17 @@ class GP:
                 diagnostics=options.get("sampler_diagnostics", True),
                 display=options.get("display", "off"),
                 seg_sweeps=_map_optimize.sweep_segment_plan(
-                    obj_args[0].shape[0], int(np.size(hyp_start))
+                    obj_args[0].shape[0],
+                    1 if slice_move == "rd" else int(np.size(hyp_start)),
                 ),
+                move=slice_move,
             )
         else:
+            if sampler_name == "covsample":
+                raise ValueError(
+                    "sampler='covsample' requires the device sampler "
+                    "backend (sampler_backend='device')."
+                )
             sample_f = lambda hyp_: self._objective(hyp_, swap_sign=True)
             sampler_opts = {"display": "off", "diagnostics": False}
             slicer = SliceSampler(

@@ -267,6 +267,143 @@ def _sweep(
     return sweep
 
 
+def _rd_sweep(logpdf, LB, UB, fixed, max_shrink):
+    """One random-direction slice move (the MATLAB oracle's 'covsample'
+    operator: gplite_train.m:392-407 runs eissample_lite with W=1
+    walker, whose default transition is transSliceSampleRD,
+    eissample_lite.m:938-980 -> slicesample1 :997-1230).
+
+    Direction: ``u ~ N(0, I)`` normalized, scaled per-dimension by the
+    current widths (``wvec = u .* widths``, :971-977).  Bracket: length
+    1 in wvec units placed uniformly around x (:1100-1103), clipped to
+    the bounds along the direction (:1105-1120; the upstream x_r branch
+    drops the direction factor — here both ends take the direction
+    shift its commented-out line intends).  Shrinkage only (StepOut
+    errors upstream, :1126); with TolX=1e-80 the collapse tolerance is
+    exact equality (:392-407 sets TolX=1e-80).  Rejection at the
+    shrink cap keeps the current point.
+
+    Returns a function (state) -> (state, shrinks) with the same
+    contract as :func:`_sweep` (shrink count in slot 0); widths are
+    never adapted inside the move — the oracle adapts them only at
+    warm-up stage ends (eissample_lite.m:510-521), which maps onto the
+    end-of-burn rule in the chain drivers.
+    """
+    D = LB.shape[0]
+
+    def sweep(state: SliceState):
+        x = state.x
+        key, k_dir, k_level, k_pos, k_prop = jax.random.split(state.key, 5)
+        u = jax.random.normal(k_dir, (D,), dtype=x.dtype)
+        u = jnp.where(fixed, 0.0, u)
+        nrm = jnp.sqrt(jnp.sum(u * u))
+        u = u / jnp.where(nrm > 0, nrm, 1.0)
+        wvec = u * state.widths
+
+        log_uprime = state.log_Px + jnp.log(
+            jax.random.uniform(k_level, minval=jnp.finfo(x.dtype).tiny)
+        )
+
+        # Bracket [x_l, x_l + wsize*wvec] with x at offset rr (in wvec
+        # units); clip both ends to the bounds along the direction.
+        rr = jax.random.uniform(k_pos, dtype=x.dtype)
+        wsize = jnp.asarray(1.0, dtype=x.dtype)
+        x_l = x - rr * wvec
+        x_r = x + (wsize - rr) * wvec
+        absw = jnp.abs(wvec)
+        safe = jnp.where(absw > 0, absw, 1.0)
+        viol_l = jnp.maximum(LB - x_l, 0.0) + jnp.maximum(x_l - UB, 0.0)
+        shift_l = jnp.max(
+            jnp.where(absw > 0, viol_l / safe, 0.0), initial=0.0
+        )
+        viol_r = jnp.maximum(LB - x_r, 0.0) + jnp.maximum(x_r - UB, 0.0)
+        shift_r = jnp.max(
+            jnp.where(absw > 0, viol_r / safe, 0.0), initial=0.0
+        )
+        x_l = x_l + wvec * shift_l
+        rr = rr - shift_l
+        wsize = wsize - shift_l - shift_r
+
+        def cond(c):
+            _, _, _, _, _, _, shrink, done = c
+            return jnp.logical_and(~done, shrink < max_shrink)
+
+        def body(c):
+            key, x_l, rr, wsize, _, _, shrink, _ = c
+            key, ku = jax.random.split(key)
+            rr2 = jax.random.uniform(ku, dtype=x.dtype) * wsize
+            xnew = x_l + rr2 * wvec
+            log_Pnew = logpdf(xnew)
+            accept = log_Pnew > log_uprime
+            # Bracket collapsed onto the current point (oracle
+            # eissample_lite.m:1210-1216 with tolr ~ 0).
+            stuck = jnp.logical_or(rr2 == rr, jnp.all(xnew == x))
+            s_r = (~accept) & (rr2 > rr) & ~stuck
+            s_l = (~accept) & (rr2 < rr) & ~stuck
+            wsize_n = jnp.where(s_r, rr2, jnp.where(s_l, wsize - rr2, wsize))
+            x_l_n = jnp.where(s_l, xnew, x_l)
+            rr_n = jnp.where(s_l, rr - rr2, rr)
+            return (
+                key,
+                x_l_n,
+                rr_n,
+                wsize_n,
+                jnp.where(accept, xnew, x),
+                jnp.where(accept, log_Pnew, state.log_Px),
+                shrink + 1,
+                accept | stuck,
+            )
+
+        init = (
+            k_prop,
+            x_l,
+            rr,
+            wsize,
+            x,
+            state.log_Px,
+            jnp.asarray(0, dtype=jnp.int32),
+            jnp.asarray(False),
+        )
+        _, _, _, _, x_fin, log_fin, shrink, _ = lax.while_loop(
+            cond, body, init
+        )
+        shrinks = jnp.zeros((D,), dtype=jnp.int32).at[0].set(shrink)
+        return SliceState(x_fin, log_fin, state.widths, key), shrinks
+
+    return sweep
+
+
+def _make_sweeps(
+    move, logpdf, LB, UB, LB_out, UB_out, fixed, max_shrink, step_out
+):
+    """(sweep_adapt, sweep_fixed, burn_window_half_fn) for a move kind.
+
+    ``move`` is 'cw' (coordinate-wise, reference slice_sample.py) or
+    'rd' (random-direction, oracle covsample).  The RD move has no
+    in-sweep width adaptation, and its end-of-burn 5*std rule uses the
+    FULL burn window (eissample_lite.m:512 std(warmup) with
+    WarmUpStages=1) where the CW sampler uses the second half
+    (reference slice_sample.py:513-543).
+    """
+    if move == "rd":
+        sweep = _rd_sweep(logpdf, LB, UB, fixed, max_shrink)
+        return sweep, sweep
+    sweep_adapt = _sweep(
+        logpdf, LB, UB, LB_out, UB_out, fixed, max_shrink,
+        adapt=True, step_out=step_out,
+    )
+    sweep_fixed = _sweep(
+        logpdf, LB, UB, LB_out, UB_out, fixed, max_shrink,
+        adapt=False, step_out=step_out,
+    )
+    return sweep_adapt, sweep_fixed
+
+
+def _burn_half(move, burn):
+    """First sweep index of the width-adaptation moment window."""
+    return 0 if move == "rd" else burn // 2
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -278,6 +415,7 @@ def _sweep(
         "max_shrink",
         "step_out",
         "log_prior",
+        "move",
     ),
 )
 def _run_chain(
@@ -296,6 +434,7 @@ def _run_chain(
     f_args=(),
     step_out: bool = False,
     log_prior=None,
+    move: str = "cw",
 ):
     # LB_out/UB_out computed on the host: jnp.nextafter lowers to an
     # s64 bitcast that TPU's X64 rewriting rejects.
@@ -305,32 +444,13 @@ def _run_chain(
     state = state._replace(log_Px=logpdf(state.x))
     init_log_Px = state.log_Px
 
-    sweep_adapt = _sweep(
-        logpdf,
-        LB,
-        UB,
-        LB_out,
-        UB_out,
-        fixed,
-        max_shrink,
-        adapt=True,
-        step_out=step_out,
-    )
-    sweep_fixed = _sweep(
-        logpdf,
-        LB,
-        UB,
-        LB_out,
-        UB_out,
-        fixed,
-        max_shrink,
-        adapt=False,
-        step_out=step_out,
+    sweep_adapt, sweep_fixed = _make_sweeps(
+        move, logpdf, LB, UB, LB_out, UB_out, fixed, max_shrink, step_out
     )
 
     # --- burn-in phase (optional width adaptation) ---
     if burn > 0:
-        half = burn // 2
+        half = _burn_half(move, burn)
 
         def burn_body(carry, i):
             state, s_sum, s_sq = carry
@@ -420,6 +540,7 @@ def _chain_init(log_f, state, LB, UB, f_args, log_prior):
         "step_out",
         "log_prior",
         "collect",
+        "move",
     ),
 )
 def _chain_seg(
@@ -441,6 +562,7 @@ def _chain_seg(
     step_out: bool,
     log_prior,
     collect: bool,
+    move: str = "cw",
 ):
     """Advance the chain ``seg`` sweeps in one dispatch.
 
@@ -457,17 +579,10 @@ def _chain_seg(
     """
     fixed = LB == UB
     logpdf = _masked_log_f(log_f, LB, UB, f_args, log_prior)
-    sweep = _sweep(
-        logpdf,
-        LB,
-        UB,
-        LB_out,
-        UB_out,
-        fixed,
-        max_shrink,
-        adapt=adapt,
-        step_out=step_out,
+    sweep_adapt, sweep_fixed = _make_sweeps(
+        move, logpdf, LB, UB, LB_out, UB_out, fixed, max_shrink, step_out
     )
+    sweep = sweep_adapt if adapt else sweep_fixed
 
     def body(carry, i):
         state, s_sum, s_sq = carry
@@ -542,6 +657,7 @@ def _run_chain_segmented(
     step_out,
     log_prior,
     seg,
+    move="cw",
 ):
     """Bounded-dispatch twin of :func:`_run_chain`: same chain, same
     random stream, same packed output — but no dispatch executes more
@@ -552,7 +668,7 @@ def _run_chain_segmented(
     init_log_Px = state.log_Px
     z = np.zeros((D,), dtype=np.float64)
     s_sum, s_sq = z, z
-    half = np.int64(burn // 2)
+    half = np.int64(_burn_half(move, burn))
     # Every dispatch runs the full static ``seg`` sweeps; the traced
     # ``limit`` masks the tail overshoot as PRNG-preserving no-ops, so
     # each phase compiles exactly ONE program shape.
@@ -576,9 +692,10 @@ def _run_chain_segmented(
             bool(step_out),
             log_prior,
             False,
+            str(move),
         )
     if burn > 0 and adaptive:
-        n_st = np.float64(burn - burn // 2)
+        n_st = np.float64(burn - _burn_half(move, burn))
         state = _adapt_widths(
             state,
             s_sum,
@@ -617,6 +734,7 @@ def _run_chain_segmented(
             bool(step_out),
             log_prior,
             True,
+            str(move),
         )
         xs_blocks.append(xs)
         lp_blocks.append(lps)
@@ -650,6 +768,7 @@ def sample(
     diagnostics: bool = True,
     display: str = "off",
     seg_sweeps: int = None,
+    move: str = "cw",
 ):
     """Draw ``n_samples`` (thinned) samples from ``log_f`` on device.
 
@@ -674,7 +793,20 @@ def sample(
     (bit-identical chain; see :func:`_run_chain_segmented`) — required
     at large N, where the monolithic chain program exceeds the TPU
     runtime's per-dispatch execution watchdog.
+
+    ``move`` selects the transition operator: 'cw' (default) is the
+    reference's coordinate-wise sweep; 'rd' is one random-direction
+    slice move per sweep (the MATLAB oracle's 'covsample' sampler —
+    gplite_train.m:392-407 / eissample_lite.m:938-980; see
+    :func:`_rd_sweep`).  'rd' does not support ``step_out`` (the
+    oracle's StepOut branch errors, eissample_lite.m:1126).
     """
+    if move not in ("cw", "rd"):
+        raise ValueError("move must be 'cw' or 'rd'.")
+    if move == "rd" and step_out:
+        raise ValueError(
+            "step_out is not supported by the random-direction move."
+        )
     if display == "full":
         _logger.setLevel(logging.DEBUG)
     elif display in ("summary", "on"):
@@ -755,6 +887,7 @@ def sample(
             bool(step_out),
             log_prior,
             int(seg_sweeps),
+            str(move),
         )
     else:
         state, packed = _run_chain(
@@ -773,6 +906,7 @@ def sample(
             f_args,
             bool(step_out),
             log_prior,
+            str(move),
         )
     packed = np.asarray(packed)  # the chain's single device->host pull
     init_log_Px = packed[0, 0]
@@ -837,6 +971,7 @@ def sample_chains(
     f_args=(),
     mesh=None,
     seg_sweeps: int = None,
+    move: str = "cw",
 ):
     """Run B independent chains in parallel (vmapped), one per row of
     ``x0s`` (B, D).  Returns (samples (B, n, D), f_vals (B, n)).
@@ -941,6 +1076,7 @@ def sample_chains(
                 False,
                 None,
                 int(seg_sweeps),
+                str(move),
             )
             packs.append(p)
         packed = np.stack([np.asarray(p) for p in packs])
@@ -961,6 +1097,9 @@ def sample_chains(
             bool(adaptive),
             int(max_shrink),
             f_args,
+            False,
+            None,
+            str(move),
         )
         return packed
 
