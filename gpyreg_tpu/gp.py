@@ -1927,10 +1927,16 @@ class GP:
           one XLA program) or 'host' (the parity SliceSampler driven by
           the global NumPy RNG, bit-matching the reference's algorithm).
         - ``sampler``: 'slicesample' (default, coordinate-wise slice),
-          'covsample' (random-direction slice, gplite_train.m:392-407),
-          'eissample' (ensemble slice), 'mala', 'hmc', or 'laplace'
-          (MAP only) — the MATLAB oracle's sampler menu
-          (gplite_train.m:41,318-447).
+          'slicelite' (same chain, plus the warm-refit ESS shortcut:
+          when the previous samples' importance-weight ESS fraction
+          under the new data exceeds ``ess_thresh`` (0.5), design+MAP
+          are skipped and each previous sample is refreshed with a few
+          no-adapt sweeps — gplite_train.m:178-197,359-390; previous
+          log posteriors via ``hyp0_logp`` or auto-carried between
+          fits of this object), 'covsample' (random-direction slice,
+          gplite_train.m:392-407), 'eissample' (ensemble slice),
+          'mala', 'hmc', or 'laplace' (MAP only) — the MATLAB
+          oracle's sampler menu (gplite_train.m:41,318-447).
         - ``f32_noise_floor``: 'auto' (default) raises the fit-local
           lower bound of the constant-noise hyperparameter to the f32
           conditioning floor ``0.5*log(C*N*eps32*var(y))`` for float32
@@ -2048,6 +2054,24 @@ class GP:
         if method != "exact":
             raise ValueError(f"Unknown fit method {method!r}")
         self._infer_method = "exact"
+
+        # --- slicelite warm-refit shortcut (gplite_train.m:178-197) ---
+        # When the previous hyperposterior samples still cover the new
+        # posterior well (importance-weight effective sample size above
+        # ess_thresh), skip the design + MAP phases entirely and just
+        # refresh each previous sample with a few no-adapt slice sweeps
+        # (gplite_train.m:359-390, Nopts==0 branch: Adaptive=false,
+        # starts = previous samples, Burnin = Thin_eff*Ns).  Previous
+        # log-posterior values come from options['hyp0_logp'] or, when
+        # hyp0 is this object's previous fit output, from the state the
+        # last fit stored.
+        if sampler_name == "slicelite" and s_N > 0:
+            warm = self._slicelite_ess(hyp0, options, thin)
+            if warm is not None:
+                return self._slicelite_warm_refit(
+                    warm, s_N, LB, UB, PLB, PUB, widths, options,
+                    _t_start, _trace_dir,
+                )
 
         objective_f_1 = lambda hyp_: self._objective(hyp_)
         if s_N > 0 and sampler_name != "laplace":
@@ -2269,6 +2293,7 @@ class GP:
         eff_s_N = s_N * thin
         if sampler_name not in (
             "slicesample",
+            "slicelite",
             "covsample",
             "eissample",
             "mala",
@@ -2521,6 +2546,7 @@ class GP:
             time.perf_counter() - _t_start
             - sum(self.fit_timings.values())
         )
+        self._store_warm_state(hyp, sampling_result, thin, widths)
 
         self.update(hyp=hyp)
         self.fit_timings["posterior_s"] = (
@@ -2530,6 +2556,151 @@ class GP:
         if _trace_dir:
             _jprof.stop_trace()
         return hyp, optimize_result, sampling_result
+
+    # ------------------------------------------------------------------
+    # slicelite warm-refit machinery (gplite_train.m:178-197, 359-390)
+    # ------------------------------------------------------------------
+
+    def _store_warm_state(self, hyp, sampling_result, thin, widths):
+        """Record the fit's hyperposterior samples, their log-posterior
+        values, and the slice widths used, so a later
+        ``fit(sampler='slicelite')`` can evaluate the ESS shortcut
+        (the MATLAB driver's LogP input, gplite_train.m:178-186).
+        Host-side numpy only; not persisted by save() — the first
+        refit after a load runs the full pipeline."""
+        f_vals = np.asarray(sampling_result["f_vals"]).ravel()
+        log_priors = np.asarray(
+            sampling_result["log_priors"]
+        ).ravel()
+        logp = (f_vals + log_priors)[thin - 1 :: thin][: hyp.shape[0]]
+        if logp.shape[0] == hyp.shape[0] and np.all(np.isfinite(logp)):
+            self._warm_hyp = np.array(hyp, dtype=np.float64)
+            self._warm_logp = logp
+            self._warm_widths = (
+                None if widths is None else np.array(widths)
+            )
+
+    def _slicelite_ess(self, hyp0, options, thin):
+        """Importance-weight effective-sample-size test of the previous
+        hyperposterior samples under the new data
+        (gplite_train.m:178-197).  Returns ``(starts, thin_eff,
+        ess_frac)`` when the shortcut applies, else None."""
+        hyp_prev = np.atleast_2d(np.asarray(hyp0, dtype=np.float64))
+        if hyp_prev.shape[0] < 2:
+            return None
+        logp_prev = options.get("hyp0_logp", None)
+        if logp_prev is None:
+            warm_hyp = getattr(self, "_warm_hyp", None)
+            if (
+                warm_hyp is not None
+                and warm_hyp.shape == hyp_prev.shape
+                and np.array_equal(warm_hyp, hyp_prev)
+            ):
+                logp_prev = self._warm_logp
+        if logp_prev is None:
+            return None
+        logp_prev = np.asarray(logp_prev, dtype=np.float64).ravel()
+        if logp_prev.shape[0] != hyp_prev.shape[0]:
+            raise ValueError(
+                "hyp0_logp must have one log-posterior value per hyp0 "
+                "row."
+            )
+        # New log posterior of the old samples: one batched device
+        # program (the driver's per-row gp_objfun loop, :181-182).
+        nll_new = np.asarray(self._objective_batch(hyp_prev))
+        lnw = -nll_new - logp_prev
+        finite = np.isfinite(lnw)
+        if not np.any(finite):
+            return None
+        w = np.where(finite, np.exp(lnw - np.max(lnw[finite])), 0.0)
+        w = w / np.sum(w)
+        ess_frac = (1.0 / np.sum(w**2)) / hyp_prev.shape[0]
+        ess_thresh = options.get("ess_thresh", 0.5)
+        if ess_frac <= ess_thresh:
+            return None
+        # Refresh budget shrinks as the overlap grows (:192-195).
+        thin_eff = max(
+            1,
+            round(
+                thin
+                * (1 - (ess_frac - ess_thresh) / (1 - ess_thresh))
+            ),
+        )
+        return hyp_prev, int(thin_eff), float(ess_frac)
+
+    def _slicelite_warm_refit(
+        self, warm, s_N, LB, UB, PLB, PUB, widths, options,
+        _t_start, _trace_dir,
+    ):
+        """The ESS-shortcut sampling phase: each previous sample seeds a
+        no-adaptation slice chain advanced ``thin_eff`` sweeps, all
+        chains batched into one device program (gplite_train.m:370-380
+        slicelite with Nopts==0: Adaptive=false, starts = previous
+        samples replicated to Ns rows, Burnin = Thin_eff*Ns)."""
+        hyp_prev, thin_eff, ess_frac = warm
+        self.fit_timings["design_s"] = 0.0
+        self.fit_timings["optimize_s"] = (
+            time.perf_counter() - _t_start
+        )
+        widths_w = widths
+        if widths_w is None:
+            widths_w = getattr(self, "_warm_widths", None)
+        if widths_w is None:
+            widths_w = PUB - PLB
+        # Recycle the previous samples round-robin onto s_N chains
+        # (the driver's repmat, :376-378), clamped inside the current
+        # bounds (the f32 noise floor may have moved LB).
+        x0s = hyp_prev[np.arange(s_N) % hyp_prev.shape[0]]
+        x0s = np.minimum(np.maximum(x0s, LB), UB)
+        fns, obj_args = self._obj_args()
+        key = jax.random.key(int(np.random.randint(0, 2**31 - 1)))
+        mesh = self.mesh
+        if mesh is not None and s_N % mesh.devices.size != 0:
+            mesh = None  # chain axis not divisible; run unsharded
+        chain_x, chain_f = _device_slice.sample_chains(
+            fns["log_post_raw"],
+            x0s,
+            key,
+            widths=widths_w,
+            LB=LB,
+            UB=UB,
+            n_samples=1,
+            thin=1,
+            burn=thin_eff - 1,
+            adaptive=False,
+            f_args=obj_args,
+            mesh=mesh,
+            seg_sweeps=_map_optimize.sweep_segment_plan(
+                obj_args[0].shape[0], int(np.size(LB))
+            ),
+        )
+        samples = np.asarray(chain_x)[:, 0, :]
+        f_vals = np.asarray(chain_f)[:, 0]
+        sampling_result = {
+            "samples": samples,
+            "f_vals": f_vals.reshape(-1, 1),
+            "log_priors": np.zeros((s_N,)),
+            "exit_flag": 0,
+            "R": None,
+            "eff_N": None,
+            "ess_frac": ess_frac,
+            "thin_eff": thin_eff,
+        }
+        self.fit_timings["sample_s"] = (
+            time.perf_counter() - _t_start
+            - sum(self.fit_timings.values())
+        )
+        self._store_warm_state(samples, sampling_result, 1, widths_w)
+        self.update(hyp=samples)
+        self.fit_timings["posterior_s"] = (
+            time.perf_counter() - _t_start
+            - sum(self.fit_timings.values())
+        )
+        if _trace_dir:
+            import jax.profiler as _jprof
+
+            _jprof.stop_trace()
+        return samples, None, sampling_result
 
     # ------------------------------------------------------------------
     # Likelihood / posterior evaluations
