@@ -321,8 +321,10 @@ def _rd_sweep(logpdf, LB, UB, fixed, max_shrink):
             jnp.where(absw > 0, viol_r / safe, 0.0), initial=0.0
         )
         x_l = x_l + wvec * shift_l
-        rr = rr - shift_l
-        wsize = wsize - shift_l - shift_r
+        # Exact arithmetic keeps 0 <= rr <= wsize (the bracket always
+        # contains x, which is in bounds); clamp against float error.
+        wsize = jnp.maximum(wsize - shift_l - shift_r, 0.0)
+        rr = jnp.clip(rr - shift_l, 0.0, wsize)
 
         def cond(c):
             _, _, _, _, _, _, shrink, done = c
