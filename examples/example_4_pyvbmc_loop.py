@@ -55,7 +55,18 @@ def main():
     gp.set_priors(priors)
 
     fit_opts = {"n_samples": 4, "opts_N": 2, "init_N": 256, "thin": 2}
-    warm_opts = {"n_samples": 4, "opts_N": 1, "init_N": 0, "thin": 2}
+    # Warm refits use the slicelite ESS shortcut (gplite_train.m:178-197):
+    # when the previous hyperposterior samples still cover the new
+    # posterior (importance-weight ESS fraction > 0.5), fit() skips
+    # design + MAP and just refreshes each sample with a few no-adapt
+    # slice sweeps — the oracle's PyVBMC refit fast path.
+    warm_opts = {
+        "sampler": "slicelite",
+        "n_samples": 4,
+        "opts_N": 1,
+        "init_N": 0,
+        "thin": 2,
+    }
 
     t0 = time.perf_counter()
     gp.fit(X=X, y=y, options=fit_opts)
@@ -82,14 +93,15 @@ def main():
 
         # --- warm refit of the hyperposterior. ---
         t0 = time.perf_counter()
-        gp.fit(options=warm_opts)
+        _, opt_res, _ = gp.fit(options=warm_opts)
         t_fit = time.perf_counter() - t0
 
         n = gp.X.shape[0]
         print(
             f"iter {it}: N={n}  8 rank-1 updates {t_upd:.2f} s, "
             f"50-component quad {t_quad * 1e3:.0f} ms, "
-            f"warm refit {t_fit:.2f} s   "
+            f"warm refit {t_fit:.2f} s"
+            f"{' [ESS shortcut]' if opt_res is None else ''}   "
             f"(E[f] mean {float(np.mean(F)):+.3f})"
         )
 
