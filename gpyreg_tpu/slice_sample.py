@@ -64,7 +64,7 @@ class SliceSampler:
             if v is None:
                 return np.full(D, fill, dtype=np.float64)
             v = np.asarray(v, dtype=np.float64)
-            return np.full(D, float(v)) if v.size == 1 else v.copy()
+            return np.full(D, v.item()) if v.size == 1 else v.copy()
 
         self.LB = as_bound(LB, -np.inf)
         self.UB = as_bound(UB, np.inf)
