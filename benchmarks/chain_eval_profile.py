@@ -33,11 +33,14 @@ from gpyreg_tpu.ops import linalg
 N, D, R = 16384, 10, 8  # R = scan length (evals per timed dispatch)
 
 
-def timed(fn, args, rounds=4):
-    out = jax.block_until_ready(fn(*args))  # compile + warm
-    del out
+def timed(fn, args_fn, rounds=4):
+    """args_fn(r) must return DISTINCT args per round r: re-dispatching
+    a compiled program with identical args can return a
+    memoized-transfer artifact (CLAUDE.md) — round -1 warms/compiles."""
+    jax.block_until_ready(fn(*args_fn(-1)))
     best = np.inf
-    for _ in range(rounds):
+    for r in range(rounds):
+        args = args_fn(r)
         t0 = time.perf_counter()
         jax.block_until_ready(fn(*args))
         best = min(best, time.perf_counter() - t0)
@@ -83,7 +86,9 @@ def main():
             return c + L[0, 0], None
         return jax.lax.scan(body, jnp.float32(0), js)[0]
 
-    emit("chol_ms", round(timed(chol_scan, (G0, jits)), 1))
+    emit("chol_ms", round(timed(
+        chol_scan, lambda r: (G0, jits + np.float32(1e-5) * (r + 2))
+    ), 1))
 
     # --- jittered_cholesky (retry loop) on the same scan ---
     sn2v = np.full((N, 1), np.exp(2 * -1.0), np.float32)
@@ -95,7 +100,9 @@ def main():
             return c + L[0, 0] + mult, None
         return jax.lax.scan(body, jnp.float32(0), js)[0]
 
-    emit("jchol_ms", round(timed(jchol_scan, (G0, jits)), 1))
+    emit("jchol_ms", round(timed(
+        jchol_scan, lambda r: (G0, jits + np.float32(1e-5) * (r + 2))
+    ), 1))
 
     # --- full NLML forward, scan over R hyp vectors ---
     @jax.jit
@@ -104,7 +111,9 @@ def main():
             return c + nlml.nlz(spec, h, X, y, None, None), None
         return jax.lax.scan(body, jnp.float32(0), hs)[0]
 
-    emit("nlz_ms", round(timed(nlz_scan, (hyps,)), 1))
+    emit("nlz_ms", round(timed(
+        nlz_scan, lambda r: (hyps + np.float32(1e-4) * (r + 2),)
+    ), 1))
 
     # --- NLML value_and_grad (MAP unit) ---
     @jax.jit
@@ -116,7 +125,9 @@ def main():
             return c + v + jnp.sum(g), None
         return jax.lax.scan(body, jnp.float32(0), hs)[0]
 
-    emit("vgrad_ms", round(timed(vgrad_scan, (hyps,)), 1))
+    emit("vgrad_ms", round(timed(
+        vgrad_scan, lambda r: (hyps + np.float32(1e-4) * (r + 2),)
+    ), 1))
 
     chol_tflops = (N**3 / 3) / (out["chol_ms"] * 1e-3) / 1e12
     out["chol_eff_tflops"] = round(chol_tflops, 1)

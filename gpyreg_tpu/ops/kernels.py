@@ -22,18 +22,22 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _fused_se_enabled(X, iso, Z, diag):
-    """Dispatch gate for the fused Pallas SE self-covariance build with
-    its one-pass custom VJP (ops/pallas_kernels.se_kernel_fused): the
-    f32 TPU training path at large N, unless disabled by env."""
-    if iso or Z is not None or diag:
+def _fused_enabled(X, iso, Z, diag, base="se"):
+    """Dispatch gate for the fused Pallas self-covariance build with
+    its one-pass custom VJP (ops/pallas_kernels.kernel_self_fused): the
+    f32 TPU training path at large N, unless disabled by env.  All
+    kernel families dispatch (SE/Matern/RQ, ARD and isotropic)."""
+    if Z is not None or diag:
         return False
     if X.dtype != jnp.float32:
         return False
-    if X.shape[1] >= 128:
-        # The VJP kernel packs the (D+1) gradient into one 128-lane
-        # row (pallas_kernels._make_se_vjp_kernel); wider D falls back
-        # to the XLA composition.
+    D = X.shape[1]
+    hyp_width = 2 if iso else (D + 2 if base == "rq" else D + 1)
+    if D >= 128 or hyp_width > 128:
+        # The VJP kernel packs the hyperparameter gradient into one
+        # 128-lane row (pallas_kernels._make_vjp_kernel), and the D
+        # axis rides untiled in VMEM; wider D falls back to the XLA
+        # composition.
         return False
     if os.environ.get("GPYREG_TPU_NO_FUSED_KERNEL"):
         return False
@@ -44,19 +48,32 @@ def _fused_se_enabled(X, iso, Z, diag):
     return INTERPRET or jax.default_backend() == "tpu"
 
 
+# Back-compat name (round-2 SE-only gate).
+_fused_se_enabled = _fused_enabled
+
+
 def sq_dist(a, b=None):
     """Pairwise squared euclidean distances, (N,D),(M,D) -> (N,M).
 
     Uses the norm-expansion matmul so the contraction runs on the MXU.
-    Result is clamped at zero (cancellation can yield tiny negatives).
-    """
-    if b is None:
+    Result is clamped at zero (cancellation can yield tiny negatives),
+    and the self-covariance diagonal is zeroed exactly: the expansion
+    leaves O(eps32) residue at i == j that profiles with unbounded
+    slope at zero (Matern-1/2's exp(-sqrt(t2))) amplify to O(1e-3)
+    kernel error — the reference's pdist/squareform diagonal is exactly
+    zero (reference covariance_functions.py:165)."""
+    self_cov = b is None
+    if self_cov:
         b = a
     a2 = jnp.sum(a * a, axis=-1, keepdims=True)  # (N,1)
     b2 = jnp.sum(b * b, axis=-1)  # (M,)
     d = a2 + b2[None, :] - 2.0 * jnp.matmul(
         a, b.T, precision=lax.Precision.HIGHEST
     )
+    if self_cov:
+        ii = lax.broadcasted_iota(jnp.int32, d.shape[-2:], 0)
+        jj = lax.broadcasted_iota(jnp.int32, d.shape[-2:], 1)
+        d = jnp.where(ii == jj, 0.0, d)
     return jnp.maximum(d, 0.0)
 
 
@@ -118,14 +135,15 @@ def kernel_matrix(cov: str, hyp_cov, X, Z=None, diag=False):
     if diag:
         return sf2 * jnp.ones((N,), dtype=X.dtype)
 
+    if _fused_enabled(X, iso, Z, diag, base):
+        from .pallas_kernels import kernel_self_fused
+
+        return kernel_self_fused(base, iso, hyp_cov, X)
+
     Xs = X / ell
     Zs = None if Z is None else Z / ell
 
     if base == "se":
-        if _fused_se_enabled(X, iso, Z, diag):
-            from .pallas_kernels import se_kernel_fused
-
-            return se_kernel_fused(hyp_cov[: D + 1], X)
         return sf2 * jnp.exp(-0.5 * sq_dist(Xs, Zs))
     if base in ("m1", "m3", "m5"):
         deg = int(base[1])

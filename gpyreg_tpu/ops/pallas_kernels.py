@@ -10,13 +10,13 @@ consumed by a triangular solve immediately after.  Measured on one
 v5e chip: an 8192 x 8192 SE build runs in 12.2 ms vs 23.4 ms for the
 XLA composition (1.9x), matching it to ~2e-6.
 
-Autodiff does NOT flow through pallas_call; this op is used on
-gradient-free paths only (prediction cross-covariance). The NLML/
-training path keeps the XLA composition so jax.grad works end to end.
-
-Kernel profiles supported: 'se', 'm1', 'm3', 'm5', 'rq' (+ '_iso'
-variants handle themselves upstream — inputs arrive pre-scaled by the
-lengthscales either way).
+Autodiff does NOT flow through pallas_call, so the training path is
+served by :func:`kernel_self_fused` — a custom-VJP self-covariance
+build whose backward pass is a second one-pass Pallas kernel
+(`_make_vjp_kernel`) contracting the upstream cotangent against the
+profile derivative tile by tile, for every kernel family
+('se','m1','m3','m5','rq', ARD and isotropic).  Gradient-free paths
+(prediction cross-covariance) use :func:`kernel_cross_pallas` directly.
 """
 
 import functools
@@ -55,7 +55,48 @@ def _profile(base, t2, sf2, alpha):
     raise ValueError(f"Unknown kernel profile {base}")
 
 
-def _make_kernel(base):
+def _dprofile(base, t2, sf2, alpha):
+    """dK/dt2 for each radial profile, with the same on-axis convention
+    as the XLA composition's autodiff: `ops.kernels._safe_sqrt` clamps
+    d(sqrt)/d(t2) to zero at t2 == 0, so the Matern derivatives are
+    forced to 0 there (they multiply a zero squared-difference weight in
+    every hyperparameter contraction, so the clamp value is never
+    observable — but an unguarded m1 derivative is infinite on the
+    diagonal and would poison the tile sums with 0*inf NaNs)."""
+    t2 = jnp.maximum(t2, 0.0)
+    if base == "se":
+        return -0.5 * sf2 * jnp.exp(-0.5 * t2)
+    if base in ("m1", "m3", "m5"):
+        deg = float(int(base[1]))
+        safe = jnp.where(t2 > 0.0, t2, 1.0)
+        t = jnp.sqrt(deg * safe)
+        em = jnp.exp(-t)
+        if base == "m1":
+            val = -sf2 * em * (deg / 2.0) / t
+        elif base == "m3":
+            val = -sf2 * em * (deg / 2.0)
+        else:  # m5: f'(t)-f(t) = -(t/3)(1+t)
+            val = -sf2 * em * (1.0 + t) * (deg / 6.0)
+        return jnp.where(t2 > 0.0, val, 0.0)
+    if base == "rq":
+        M = 1.0 + 0.5 * t2 / alpha
+        return -0.5 * sf2 * M ** (-alpha - 1.0)
+    raise ValueError(f"Unknown kernel profile {base}")
+
+
+def _zero_diag_tile(t2):
+    """Zero the global-diagonal entries of a (TILE_N, TILE_M) tile at
+    grid position (i, j): the norm expansion leaves O(eps32) residue at
+    i == j that unbounded-slope profiles (m1) amplify — the true
+    self-distance is exactly zero (cf. ops.kernels.sq_dist)."""
+    gi = pl.program_id(0) * TILE_N
+    gj = pl.program_id(1) * TILE_M
+    ii = gi + jax.lax.broadcasted_iota(jnp.int32, t2.shape, 0)
+    jj = gj + jax.lax.broadcasted_iota(jnp.int32, t2.shape, 1)
+    return jnp.where(ii == jj, 0.0, t2)
+
+
+def _make_kernel(base, zero_diag=False):
     def kernel(xs_ref, zs_ref, params_ref, out_ref):
         xs = xs_ref[:]  # (TILE_N, D)
         zs = zs_ref[:]  # (TILE_M, D)
@@ -73,24 +114,33 @@ def _make_kernel(base):
             precision=jax.lax.Precision.HIGHEST,
         )
         t2 = a2 + b2.T - 2.0 * cross
+        if zero_diag:
+            t2 = _zero_diag_tile(t2)
         out_ref[:] = _profile(base, t2, sf2, alpha).astype(out_ref.dtype)
 
     return kernel
 
 
-def kernel_cross_pallas(base, Xs, Zs, sf2, alpha=1.0, interpret=None):
+def kernel_cross_pallas(
+    base, Xs, Zs, sf2, alpha=1.0, interpret=None, zero_diag=False
+):
     """K(Xs, Zs) for pre-scaled inputs (X/ell, Z/ell), float32.
 
     Pads N/M up to tile multiples; the D axis rides along untiled
-    (D << 128 in this workload).
+    (D << 128 in this workload).  ``zero_diag`` marks a self-covariance
+    build (Zs is Xs) whose diagonal distance is exactly zero.
     """
     if interpret is None:
         interpret = INTERPRET
-    return _kernel_cross_pallas(base, Xs, Zs, sf2, alpha, bool(interpret))
+    return _kernel_cross_pallas(
+        base, Xs, Zs, sf2, alpha, bool(interpret), bool(zero_diag)
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("base", "interpret"))
-def _kernel_cross_pallas(base, Xs, Zs, sf2, alpha, interpret):
+@functools.partial(
+    jax.jit, static_argnames=("base", "interpret", "zero_diag")
+)
+def _kernel_cross_pallas(base, Xs, Zs, sf2, alpha, interpret, zero_diag):
     N, D = Xs.shape
     M = Zs.shape[0]
     Np = -(-N // TILE_N) * TILE_N
@@ -103,7 +153,7 @@ def _kernel_cross_pallas(base, Xs, Zs, sf2, alpha, interpret):
 
     grid = (Np // TILE_N, Mp // TILE_M)
     out = pl.pallas_call(
-        _make_kernel(base),
+        _make_kernel(base, zero_diag),
         out_shape=jax.ShapeDtypeStruct((Np, Mp), jnp.float32),
         grid=grid,
         in_specs=[
@@ -131,21 +181,27 @@ def _kernel_cross_pallas(base, Xs, Zs, sf2, alpha, interpret):
     return out[:N, :M]
 
 
-def _make_se_vjp_kernel():
-    """Backward tile kernel for the fused SE-ARD build: given the
-    upstream cotangent G_bar, accumulate the (D+1) hyperparameter
-    gradients across the tile grid in ONE pass over the N x N plane.
+def _make_vjp_kernel(base, iso):
+    """Backward tile kernel for the fused self-covariance build: given
+    the upstream cotangent G_bar, accumulate every hyperparameter
+    gradient across the tile grid in ONE pass over the N x N plane.
 
-    With E = G_bar * K (K recomputed per tile — cheaper than re-reading
-    it from HBM) and xs = X/ell:
+    With P = dK/dt2 (profile derivative), E = -2 * G_bar * P, and
+    xs = X/ell (for SE, E reduces to G_bar * K — the round-2 special
+    case):
 
-        d/dlog ell_k = sum_ij E_ij (xs_ik - xs_jk)^2
-                     = sum_i xs_ik^2 rowE_i + sum_j zs_jk^2 colE_j
-                       - 2 sum_i xs_ik (E @ zs_k)_i
-        d/dlog sf    = 2 sum_ij E_ij
+        ARD:  d/dlog ell_k = sum_ij E_ij (xs_ik - xs_jk)^2
+                           = sum_i xs_ik^2 rowE_i + sum_j zs_jk^2 colE_j
+                             - 2 sum_i xs_ik (E @ zs_k)_i
+        iso:  d/dlog ell   = sum_ij E_ij t2_ij
+        d/dlog sf    = 2 sum_ij G_bar_ij K_ij
+        rq:   d/dlog alpha = sum_ij G_bar_ij K_ij
+                             (t2/(2M) - alpha log M),  M = 1 + t2/(2 alpha)
 
-    The XLA autodiff of the composition instead materializes full-plane
-    temporaries per contraction; this kernel reads G_bar exactly once.
+    K and P are recomputed per tile — cheaper than re-reading them from
+    HBM.  The XLA autodiff of the composition instead materializes
+    full-plane temporaries per contraction; this kernel reads G_bar
+    exactly once.
     """
 
     def kernel(xs_ref, zs_ref, gbar_ref, params_ref, out_ref):
@@ -159,6 +215,7 @@ def _make_se_vjp_kernel():
         xs = xs_ref[:]  # (TN, D)
         zs = zs_ref[:]  # (TM, D)
         sf2 = params_ref[0, 0]
+        alpha = params_ref[0, 1]
         a2 = jnp.sum(xs * xs, axis=1, keepdims=True)
         b2 = jnp.sum(zs * zs, axis=1, keepdims=True)
         cross = jax.lax.dot_general(
@@ -168,34 +225,48 @@ def _make_se_vjp_kernel():
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        t2 = jnp.maximum(a2 + b2.T - 2.0 * cross, 0.0)
-        E = gbar_ref[:] * (sf2 * jnp.exp(-0.5 * t2))  # (TN, TM)
+        t2 = jnp.maximum(_zero_diag_tile(a2 + b2.T - 2.0 * cross), 0.0)
+        gbar = gbar_ref[:]  # (TN, TM)
+        Kt = _profile(base, t2, sf2, alpha)
+        E = -2.0 * gbar * _dprofile(base, t2, sf2, alpha)
 
-        s0 = jnp.sum(E)
-        rowE = jnp.sum(E, axis=1, keepdims=True)  # (TN, 1)
-        colE = jnp.sum(E, axis=0, keepdims=True)  # (1, TM)
-        M = jax.lax.dot_general(
-            E,
-            zs,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (TN, D)
-        g_ell = (
-            jnp.sum(xs * xs * rowE, axis=0)
-            + jnp.sum(zs * zs * colE.T, axis=0)
-            - 2.0 * jnp.sum(xs * M, axis=0)
-        )  # (D,)
-        D = g_ell.shape[0]
-        # Place [g_ell | 2*s0 | 0...] into row 0 without scatter
-        # (unsupported in Pallas TPU lowering): static concatenate +
-        # row mask.
+        parts = []
+        if iso:
+            parts.append(jnp.reshape(jnp.sum(E * t2), (1,)))
+        else:
+            rowE = jnp.sum(E, axis=1, keepdims=True)  # (TN, 1)
+            colE = jnp.sum(E, axis=0, keepdims=True)  # (1, TM)
+            M = jax.lax.dot_general(
+                E,
+                zs,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (TN, D)
+            parts.append(
+                jnp.sum(xs * xs * rowE, axis=0)
+                + jnp.sum(zs * zs * colE.T, axis=0)
+                - 2.0 * jnp.sum(xs * M, axis=0)
+            )  # (D,)
+        parts.append(jnp.reshape(2.0 * jnp.sum(gbar * Kt), (1,)))
+        if base == "rq":
+            Mq = 1.0 + 0.5 * t2 / alpha
+            parts.append(
+                jnp.reshape(
+                    jnp.sum(
+                        gbar
+                        * Kt
+                        * (0.5 * t2 / Mq - alpha * jnp.log(Mq))
+                    ),
+                    (1,),
+                )
+            )
+        # Place [g_hyp | 0...] into row 0 without scatter (unsupported
+        # in Pallas TPU lowering): static concatenate + row mask.
+        g_hyp = jnp.concatenate(parts)
+        W = g_hyp.shape[0]
         g_vec = jnp.concatenate(
-            [
-                g_ell,
-                jnp.reshape(2.0 * s0, (1,)),
-                jnp.zeros((128 - D - 1,), jnp.float32),
-            ]
+            [g_hyp, jnp.zeros((128 - W,), jnp.float32)]
         )
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         upd = jnp.where(
@@ -208,9 +279,12 @@ def _make_se_vjp_kernel():
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _se_vjp_pallas(Xs, Gbar, sf2, interpret):
-    """One-pass (D+1)-gradient contraction (see _make_se_vjp_kernel)."""
+@functools.partial(
+    jax.jit, static_argnames=("base", "iso", "interpret")
+)
+def _vjp_pallas(base, iso, Xs, Gbar, sf2, alpha, interpret):
+    """One-pass hyperparameter-gradient contraction (see
+    _make_vjp_kernel); returns the cov-hyp cotangent vector."""
     N, D = Xs.shape
     Np = -(-N // TILE_N) * TILE_N
     Xp = jnp.pad(Xs.astype(jnp.float32), ((0, Np - N), (0, 0)))
@@ -218,10 +292,10 @@ def _se_vjp_pallas(Xs, Gbar, sf2, interpret):
     Gp = jnp.pad(
         Gbar.astype(jnp.float32), ((0, Np - N), (0, Np - N))
     )
-    params = jnp.asarray([[sf2, 0.0]], dtype=jnp.float32)
+    params = jnp.asarray([[sf2, alpha]], dtype=jnp.float32)
     grid = (Np // TILE_N, Np // TILE_M)
     out = pl.pallas_call(
-        _make_se_vjp_kernel(),
+        _make_vjp_kernel(base, iso),
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
         grid=grid,
         in_specs=[
@@ -248,7 +322,8 @@ def _se_vjp_pallas(Xs, Gbar, sf2, interpret):
         ),
         interpret=interpret,
     )(Xp, Xp, Gp, params)
-    return out[0, : D + 1]
+    width = 2 if iso else (D + 2 if base == "rq" else D + 1)
+    return out[0, :width]
 
 
 # Minimum N for the fused custom-VJP SE build on the training path
@@ -257,12 +332,32 @@ def _se_vjp_pallas(Xs, Gbar, sf2, interpret):
 FUSED_MIN_N = 2048
 
 
-@jax.custom_vjp
-def se_kernel_fused(hyp_cov, X):
-    """SE-ARD self-covariance K(X, X) with a fused Pallas forward AND a
-    fused one-pass Pallas VJP (VERDICT r2 item 6: the round-2 Pallas
-    tile only served gradient-free paths because autodiff does not flow
-    through pallas_call; this custom_vjp closes that).
+def _scaled_params(base, iso, hyp_cov, X):
+    """(X/ell, sf2, alpha) from the log-hyperparameter vector."""
+    D = X.shape[1]
+    if iso:
+        ell = jnp.exp(hyp_cov[0])
+        sf2 = jnp.exp(2.0 * hyp_cov[1])
+        alpha = jnp.asarray(1.0, X.dtype)
+    else:
+        ell = jnp.exp(hyp_cov[0:D])
+        sf2 = jnp.exp(2.0 * hyp_cov[D])
+        alpha = (
+            jnp.exp(hyp_cov[D + 1])
+            if base == "rq"
+            else jnp.asarray(1.0, X.dtype)
+        )
+    return X / ell, sf2, alpha
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def kernel_self_fused(base, iso, hyp_cov, X):
+    """Self-covariance K(X, X) with a fused Pallas forward AND a fused
+    one-pass Pallas VJP, for every kernel family in the zoo
+    (base in {'se','m1','m3','m5','rq'}, ARD and isotropic) — the
+    round-2 Pallas tile only served gradient-free paths because
+    autodiff does not flow through pallas_call; this custom_vjp closes
+    that (VERDICT r2 item 6), generalized beyond SE in round 3.
 
     float32 / TPU training path only — dispatch via
     :func:`ops.kernels.kernel_matrix`.  ``X`` is treated as a constant
@@ -270,29 +365,28 @@ def se_kernel_fused(hyp_cov, X):
     through the training inputs (reference gaussian_process.py:2475-2508
     likewise only forms hyperparameter gradients).
     """
-    D = X.shape[1]
-    ell = jnp.exp(hyp_cov[0:D])
-    sf2 = jnp.exp(2.0 * hyp_cov[D])
-    Xs = X / ell
-    return kernel_cross_pallas("se", Xs, Xs, sf2)
+    Xs, sf2, alpha = _scaled_params(base, iso, hyp_cov, X)
+    return kernel_cross_pallas(base, Xs, Xs, sf2, alpha, zero_diag=True)
 
 
-def _se_kernel_fused_fwd(hyp_cov, X):
-    D = X.shape[1]
-    ell = jnp.exp(hyp_cov[0:D])
-    sf2 = jnp.exp(2.0 * hyp_cov[D])
-    Xs = X / ell
-    K = kernel_cross_pallas("se", Xs, Xs, sf2)
-    return K, (Xs, sf2)
+def _kernel_self_fused_fwd(base, iso, hyp_cov, X):
+    Xs, sf2, alpha = _scaled_params(base, iso, hyp_cov, X)
+    K = kernel_cross_pallas(base, Xs, Xs, sf2, alpha, zero_diag=True)
+    return K, (Xs, sf2, alpha)
 
 
-def _se_kernel_fused_bwd(res, K_bar):
-    Xs, sf2 = res
-    g = _se_vjp_pallas(Xs, K_bar, sf2, bool(INTERPRET))
+def _kernel_self_fused_bwd(base, iso, res, K_bar):
+    Xs, sf2, alpha = res
+    g = _vjp_pallas(base, iso, Xs, K_bar, sf2, alpha, bool(INTERPRET))
     return g.astype(K_bar.dtype), jnp.zeros_like(Xs)
 
 
-se_kernel_fused.defvjp(_se_kernel_fused_fwd, _se_kernel_fused_bwd)
+kernel_self_fused.defvjp(_kernel_self_fused_fwd, _kernel_self_fused_bwd)
+
+
+def se_kernel_fused(hyp_cov, X):
+    """Back-compat alias: the round-2 SE-ARD entry point."""
+    return kernel_self_fused("se", False, hyp_cov, X)
 
 
 def kernel_matrix_pallas(cov, hyp_cov, X, Z=None, interpret=None):

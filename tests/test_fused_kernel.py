@@ -1,6 +1,7 @@
-"""Fused Pallas SE-ARD kernel build with one-pass custom VJP
-(ops/pallas_kernels.se_kernel_fused; VERDICT r2 item 6).  CPU tests run
-the kernels through the Pallas interpreter with the size gate lowered."""
+"""Fused Pallas kernel build with one-pass custom VJP
+(ops/pallas_kernels.kernel_self_fused; VERDICT r2 item 6, generalized
+to the whole kernel zoo in round 3).  CPU tests run the kernels through
+the Pallas interpreter with the size gate lowered."""
 
 import numpy as np
 import pytest
@@ -66,15 +67,16 @@ def test_dispatch_gate(interpret_small_gate, monkeypatch):
     assert np.max(np.abs(K_disp - K_x)) < 1e-5
     # Below the size gate / f64 / cross / diag: the XLA path serves.
     monkeypatch.setattr(PK, "FUSED_MIN_N", 10**9)
-    assert not K._fused_se_enabled(X, False, None, False)
+    assert not K._fused_enabled(X, False, None, False)
     monkeypatch.setattr(PK, "FUSED_MIN_N", 64)
-    assert not K._fused_se_enabled(
+    assert not K._fused_enabled(
         X.astype(jnp.float64), False, None, False
     )
-    assert not K._fused_se_enabled(X, False, X, False)
-    assert not K._fused_se_enabled(X, True, None, False)
+    assert not K._fused_enabled(X, False, X, False)
+    # Isotropic kernels DO dispatch since round 3.
+    assert K._fused_enabled(X, True, None, False)
     monkeypatch.setenv("GPYREG_TPU_NO_FUSED_KERNEL", "1")
-    assert not K._fused_se_enabled(X, False, None, False)
+    assert not K._fused_enabled(X, False, None, False)
 
 
 def test_nlml_grad_through_fused_kernel(interpret_small_gate):
@@ -111,6 +113,67 @@ def test_nlml_grad_through_fused_kernel(interpret_small_gate):
     assert np.isclose(float(v_f), float(v_x), rtol=1e-5)
     scale = np.maximum(np.abs(np.asarray(g_x)), 1.0)
     assert np.max(np.abs(np.asarray(g_f - g_x)) / scale) < 1e-4
+
+
+ALL_COVS = ["se", "m1", "m3", "m5", "rq", "se_iso", "m1_iso",
+            "m3_iso", "m5_iso"]
+
+
+def _cov_hyp(cov, D, seed=0):
+    rng = np.random.default_rng(seed)
+    n = K.cov_hyp_count(cov, D)
+    return jnp.asarray(
+        0.1 * rng.normal(size=(n,)) + 0.2, dtype=jnp.float32
+    )
+
+
+@pytest.mark.parametrize("cov", ALL_COVS)
+def test_fused_family_forward_matches_xla(interpret_small_gate, cov,
+                                          monkeypatch):
+    """kernel_matrix fused dispatch == the XLA composition, per family."""
+    X, _ = _data(N=256, D=3)
+    hyp_cov = _cov_hyp(cov, 3)
+    K_f = np.asarray(K.kernel_matrix(cov, hyp_cov, X))
+    monkeypatch.setattr(PK, "FUSED_MIN_N", 10**9)  # force XLA control
+    K_x = np.asarray(K.kernel_matrix(cov, hyp_cov, X))
+    assert np.max(np.abs(K_f - K_x)) < 1e-5
+
+
+@pytest.mark.parametrize("cov", ALL_COVS)
+def test_fused_family_vjp_matches_xla(interpret_small_gate, cov,
+                                      monkeypatch):
+    """One-pass Pallas VJP == XLA autodiff of the composition, per
+    family (incl. the RQ log-shape slot and the isotropic reduction)."""
+    X, _ = _data(N=256, D=3, seed=3)
+    hyp_cov = _cov_hyp(cov, 3, seed=4)
+    rng = np.random.default_rng(5)
+    C = jnp.asarray(
+        rng.normal(size=(X.shape[0],) * 2), dtype=jnp.float32
+    )
+
+    def loss(h):
+        return jnp.sum(K.kernel_matrix(cov, h, X) * C)
+
+    g_f = np.asarray(jax.grad(loss)(hyp_cov))
+    monkeypatch.setattr(PK, "FUSED_MIN_N", 10**9)  # force XLA control
+    g_x = np.asarray(jax.grad(loss)(hyp_cov))
+    scale = np.maximum(np.abs(g_x), 1.0)
+    assert np.max(np.abs(g_f - g_x) / scale) < 1e-4
+
+
+def test_fused_matern_duplicate_rows_finite(interpret_small_gate):
+    """Duplicate training points put t2 == 0 off the diagonal; the m1
+    profile derivative is singular there and must be clamped (the XLA
+    composition's _safe_sqrt convention) instead of emitting NaN."""
+    X, _ = _data(N=128, D=3, seed=6)
+    X = jnp.concatenate([X[:64], X[:64]], axis=0)
+    hyp_cov = _cov_hyp("m1", 3, seed=7)
+
+    def loss(h):
+        return jnp.sum(K.kernel_matrix("m1", h, X))
+
+    g = np.asarray(jax.grad(loss)(hyp_cov))
+    assert np.all(np.isfinite(g))
 
 
 def test_wide_d_falls_back_to_xla(interpret_small_gate):
