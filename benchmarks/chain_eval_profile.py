@@ -70,7 +70,10 @@ def main():
         print(f"  {k}: {v}", flush=True)
 
     # --- raw Cholesky floor: scan over R different jitters ---
-    G0 = np.asarray(
+    # G0 stays DEVICE-resident: passed as host numpy it would re-upload
+    # 1 GB through the tunnel on every dispatch (~6 s/eval measured),
+    # swamping the Cholesky being measured.
+    G0 = jax.block_until_ready(
         jax.jit(lambda h: nlml.assemble(spec, h, X, y, None, None)[0])(
             hyps[0]
         )

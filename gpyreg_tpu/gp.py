@@ -1937,6 +1937,14 @@ class GP:
           gplite_train.m:392-407), 'eissample' (ensemble slice),
           'mala', 'hmc', or 'laplace' (MAP only) — the MATLAB
           oracle's sampler menu (gplite_train.m:41,318-447).
+        - ``outwarp_fun``: attach an output-warping function at fit
+          time (the MATLAB oracle's OutwarpFun train option,
+          gplite_train.m:39; the Python reference accepts but ignores
+          it).  Resets bounds/priors to defaults for the new
+          hyperparameter layout.
+        - ``log_P`` (alias ``hyp0_logp``): log posteriors of the hyp0
+          rows from the previous fit, enabling the slicelite warm-refit
+          ESS shortcut (gplite_train.m LogP option).
         - ``f32_noise_floor``: 'auto' (default) raises the fit-local
           lower bound of the constant-noise hyperparameter to the f32
           conditioning floor ``0.5*log(C*N*eps32*var(y))`` for float32
@@ -1981,6 +1989,22 @@ class GP:
         if s2 is not None:
             self.s2 = s2
         self._invalidate()
+
+        # MATLAB oracle's OutwarpFun train option (gplite_train.m:39;
+        # the Python reference accepts "outwarp_fun" but ignores it,
+        # gaussian_process.py:998): attach an output-warping function at
+        # fit time.  The hyperparameter layout changes, so bounds /
+        # priors reset to defaults for the new vector and any stale
+        # posteriors are dropped.
+        outwarp_fun = options.get("outwarp_fun", None)
+        if outwarp_fun is not None and outwarp_fun is not self.outwarp:
+            self.outwarp = outwarp_fun
+            self.posteriors = None
+            # Gate set_bounds' normalization recompute until the prior
+            # table is re-sized to the new layout (constructor order).
+            self.no_prior = None
+            self.set_bounds()
+            self.set_priors()
 
         cov_N, noise_N, _ = self._hyp_counts()
 
@@ -2588,7 +2612,13 @@ class GP:
         hyp_prev = np.atleast_2d(np.asarray(hyp0, dtype=np.float64))
         if hyp_prev.shape[0] < 2:
             return None
-        logp_prev = options.get("hyp0_logp", None)
+        # "log_P" is the reference's (accepted-but-unused) spelling for
+        # the previous samples' log posteriors (reference
+        # gaussian_process.py:997, gplite_train.m LogP); accept it as a
+        # drop-in alias of hyp0_logp.
+        logp_prev = options.get(
+            "hyp0_logp", options.get("log_P", None)
+        )
         if logp_prev is None:
             warm_hyp = getattr(self, "_warm_hyp", None)
             if (

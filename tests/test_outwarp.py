@@ -261,3 +261,34 @@ def test_quantile_inverse_warp_consistency():
     mu_w, _ = gp._group_predict(xs)
     expect = warp.compute(hyp[0][-2:], mu_w, inverse=True)[:, 0]
     assert np.max(np.abs(q50 - expect)) < 1e-6
+
+
+def test_fit_time_outwarp_fun_option():
+    """The MATLAB oracle's OutwarpFun train option (gplite_train.m:39):
+    fit(options={"outwarp_fun": ...}) attaches the warp at fit time on
+    a GP constructed without one, extending the hyperparameter layout
+    and resetting bounds/priors to the new width."""
+    rng = np.random.default_rng(7)
+    N, D = 40, 1
+    X = rng.uniform(-3, 3, (N, D))
+    y = np.sin(X) + 0.05 * rng.normal(size=(N, 1))
+    gp = gpr.GP(
+        D=D,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+    )
+    hyp, _, _ = gp.fit(
+        X=X,
+        y=y,
+        options={
+            "n_samples": 2,
+            "opts_N": 1,
+            "init_N": 32,
+            "outwarp_fun": gpr.outwarp_functions.NegativePower(),
+        },
+    )
+    assert gp.outwarp is not None
+    assert hyp.shape[1] == 1 + 1 + 1 + 1 + 2  # ell, sf, noise, mean, ow
+    mu, s2 = gp.predict(np.linspace(-3, 3, 20)[:, None])
+    assert np.all(np.isfinite(mu)) and np.all(s2 >= 0)

@@ -110,3 +110,18 @@ def test_slicelite_logp_length_mismatch_raises():
     opts["hyp0_logp"] = np.zeros(3)  # wrong length
     with pytest.raises(ValueError, match="hyp0_logp"):
         gp.fit(X=X, y=y, hyp0=hyp1, options=opts)
+
+
+def test_slicelite_log_p_reference_alias():
+    """The reference's option spelling "log_P" (gaussian_process.py:997,
+    gplite LogP) works as an alias of hyp0_logp."""
+    gp1, X, y = _make()
+    hyp1, _, _ = gp1.fit(X=X, y=y, options=dict(_OPTS))
+    logp1 = gp1._warm_logp
+
+    gp2, _, _ = _make()
+    opts = dict(_OPTS)
+    opts["log_P"] = logp1
+    hyp2, opt_res2, sr2 = gp2.fit(X=X, y=y, hyp0=hyp1, options=opts)
+    assert opt_res2 is None
+    assert sr2["ess_frac"] > 0.5
