@@ -36,14 +36,23 @@ N, D, R = 16384, 10, 8  # R = scan length (evals per timed dispatch)
 def timed(fn, args_fn, rounds=4):
     """args_fn(r) must return DISTINCT args per round r: re-dispatching
     a compiled program with identical args can return a
-    memoized-transfer artifact (CLAUDE.md) — round -1 warms/compiles."""
-    jax.block_until_ready(fn(*args_fn(-1)))
+    memoized-transfer artifact (CLAUDE.md) — round -1 warms/compiles.
+
+    Each round ends with a VALUE PULL of the (scalar) result:
+    block_until_ready alone is NOT a sync barrier through the remote
+    tunnel (measured: four 400 ms scans "block" in 0.1 ms without a
+    pull; with a pull per round the next block waits for real
+    execution).  The pull is outside the timed region."""
+    out = fn(*args_fn(-1))
+    jax.block_until_ready(out)
+    float(np.asarray(out).ravel()[0])
     best = np.inf
     for r in range(rounds):
         args = args_fn(r)
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        out = jax.block_until_ready(fn(*args))
         best = min(best, time.perf_counter() - t0)
+        float(np.asarray(out).ravel()[0])  # drain the remote stream
     return best / R * 1e3  # ms per eval
 
 

@@ -260,3 +260,33 @@ def test_gp_mesh_int_shorthand(gp_data):
     X, y, rng = gp_data
     gp = _make_gp(mesh=8)
     assert gp.mesh is not None and gp.mesh.devices.size == 8
+
+
+def test_gp_mesh_predict_composes_with_mxu_path(gp_data):
+    """GP(mesh=...) + mxu_predict=True: the sharded predict program
+    takes the pre-inverted-factor branch (chol_mxu) on every device —
+    the two serving accelerations were wired independently and this
+    pins their composition."""
+    X, y, rng = gp_data
+    hyp = np.array([[0.0, 0.0, 0.3, -2.0, 0.0]])
+
+    gp = gpr.GP(
+        D=2,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+        dtype=np.float32,
+        mesh=pmesh.make_mesh(8),
+        mxu_predict=True,  # force the gate at small N
+    )
+    gp.update(X_new=X, y_new=y, hyp=hyp)
+    assert gp.posteriors[0].L_chol
+
+    gp_ref = _make_gp(mesh=None)  # f64 trsm oracle
+    gp_ref.update(X_new=X, y_new=y, hyp=hyp)
+
+    xs = rng.uniform(-3, 3, (41, 2))  # not divisible by 8
+    mu_m, s2_m = gp.predict(xs)
+    mu_r, s2_r = gp_ref.predict(xs)
+    np.testing.assert_allclose(mu_m, mu_r, atol=1e-4)
+    np.testing.assert_allclose(s2_m, s2_r, atol=1e-4)
