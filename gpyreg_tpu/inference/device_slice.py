@@ -206,7 +206,15 @@ def _sweep(
             jnp.asarray(0, dtype=jnp.int32),
             jnp.asarray(False),
         )
-        _, _, _, xp, log_Pp, shrink, _ = lax.while_loop(cond, body, init)
+        _, _, _, xp, log_Pp, shrink, done = lax.while_loop(
+            cond, body, init
+        )
+        # On max_shrink cap exit (done=False) the carry holds the last
+        # REJECTED proposal: keep the current point and its density
+        # instead (the documented cap-exit contract; the reference's
+        # unbounded loop can only exit accepted, slice_sample.py:437).
+        xp = jnp.where(done, xp, x[dd])
+        log_Pp = jnp.where(done, log_Pp, log_Px)
         return x.at[dd].set(xp), log_Pp, shrink
 
     def dim_body(j, carry):

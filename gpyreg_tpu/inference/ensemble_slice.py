@@ -158,7 +158,14 @@ def _eis_step(logpdf, H, max_shrink, sigma_factor):
             jnp.asarray(0, dtype=jnp.int32),
             jnp.asarray(False),
         )
-        _, _, _, t, logP_new, _, _ = lax.while_loop(cond, body, init)
+        _, _, _, t, logP_new, _, done = lax.while_loop(
+            cond, body, init
+        )
+        # On max_shrink cap exit (done=False) the carry holds the last
+        # REJECTED proposal: the walker keeps its current position and
+        # density (cf. device_slice.do_dim's cap-exit contract).
+        t = jnp.where(done, t, 0.0)
+        logP_new = jnp.where(done, logP_new, logP)
         return x + t * w, logP_new
 
     def update_half(active_x, active_logP, frozen_x, key):
@@ -376,10 +383,12 @@ def sample(
     )
     chain_x, chain_logP, logP0 = runner(
         log_f,
-        jnp.asarray(ens),
+        # Host-side numpy: the uploads fold into the dispatch
+        # (CLAUDE.md eager-upload rule; cf. device_slice.sample).
+        ens,
         key,
-        jnp.asarray(LBa),
-        jnp.asarray(UBa),
+        LBa,
+        UBa,
         int(n_iters),
         int(max_shrink),
         float(sigma_factor),

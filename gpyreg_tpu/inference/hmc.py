@@ -360,8 +360,10 @@ def sample(
             log_f,
             x0,
             key,
-            jnp.asarray(LBa),
-            jnp.asarray(UBa),
+            # Host-side numpy: the uploads fold into the dispatch
+            # (CLAUDE.md eager-upload rule; cf. device_slice.sample).
+            LBa,
+            UBa,
             np.asarray(w),
             np.float64(np.log(step_size)),
             *args_tail,

@@ -172,6 +172,31 @@ def _mala_step(log_f, LB, UB, M_sqrt, burn, f_args):
     return vg, step
 
 
+def _pack(v0, log_eps, xs, vs, accepts, burn, f_args, log_prior):
+    """One-pull result packing shared by the monolithic and segmented
+    chains: row 0 = [init_log_Px, accept_rate(post-burn),
+    final_log_eps, 0...]; rows 1..n = [f_val, log_prior, x] — the ABI
+    sample() reads (hmc._pack mirrors the same layout)."""
+    kept_x = xs[burn:]
+    kept_v = vs[burn:]
+    if log_prior is not None:
+        lp = jax.vmap(lambda h: log_prior(h, *f_args))(kept_x)
+    else:
+        lp = jnp.zeros_like(kept_v)
+    D = xs.shape[1]
+    acc_rate = jnp.mean(accepts[burn:].astype(xs.dtype))
+    head = jnp.concatenate(
+        [
+            jnp.stack([v0, acc_rate, log_eps]),
+            jnp.zeros((D - 1,), dtype=xs.dtype),
+        ]
+    )[None, :]
+    body = jnp.concatenate(
+        [kept_v[:, None], lp[:, None], kept_x], axis=1
+    )
+    return jnp.concatenate([head, body], axis=0)
+
+
 @partial(
     jax.jit,
     static_argnames=("log_f", "n_iters", "burn", "log_prior"),
@@ -207,27 +232,7 @@ def _run_chain(
         jnp.arange(n_iters, dtype=x0.dtype),
     )
 
-    kept_x = xs[burn:]
-    kept_v = vs[burn:]
-    if log_prior is not None:
-        lp = jax.vmap(lambda h: log_prior(h, *f_args))(kept_x)
-    else:
-        lp = jnp.zeros_like(kept_v)
-    # Pack everything the host reads into ONE array (one pull):
-    # row 0 = [init_log_Px, accept_rate(post-burn), final_log_eps, 0...];
-    # rows 1..n = [f_val, log_prior, x].
-    D = x0.shape[0]
-    acc_rate = jnp.mean(accepts[burn:].astype(x0.dtype))
-    head = jnp.concatenate(
-        [
-            jnp.stack([v0, acc_rate, log_eps]),
-            jnp.zeros((D - 1,), dtype=x0.dtype),
-        ]
-    )[None, :]
-    body = jnp.concatenate(
-        [kept_v[:, None], lp[:, None], kept_x], axis=1
-    )
-    return jnp.concatenate([head, body], axis=0)
+    return _pack(v0, log_eps, xs, vs, accepts, burn, f_args, log_prior)
 
 
 # --- Segmented (bounded-dispatch) chain: same kernel, same stream, but
@@ -274,24 +279,7 @@ def _mala_pack(
     xs = jnp.concatenate(xs_blocks, axis=0)[:n_iters]
     vs = jnp.concatenate(vs_blocks, axis=0)[:n_iters]
     accepts = jnp.concatenate(acc_blocks, axis=0)[:n_iters]
-    kept_x = xs[burn:]
-    kept_v = vs[burn:]
-    if log_prior is not None:
-        lp = jax.vmap(lambda h: log_prior(h, *f_args))(kept_x)
-    else:
-        lp = jnp.zeros_like(kept_v)
-    D = xs.shape[1]
-    acc_rate = jnp.mean(accepts[burn:].astype(xs.dtype))
-    head = jnp.concatenate(
-        [
-            jnp.stack([v0, acc_rate, log_eps]),
-            jnp.zeros((D - 1,), dtype=xs.dtype),
-        ]
-    )[None, :]
-    body = jnp.concatenate(
-        [kept_v[:, None], lp[:, None], kept_x], axis=1
-    )
-    return jnp.concatenate([head, body], axis=0)
+    return _pack(v0, log_eps, xs, vs, accepts, burn, f_args, log_prior)
 
 
 def _run_chain_segmented(
@@ -417,8 +405,10 @@ def sample(
             log_f,
             x0,
             key,
-            jnp.asarray(LBa),
-            jnp.asarray(UBa),
+            # Host-side numpy: the uploads fold into the dispatch
+            # (CLAUDE.md eager-upload rule; cf. device_slice.sample).
+            LBa,
+            UBa,
             np.asarray(w),
             np.float64(np.log(step_size)),
             n_iters,

@@ -407,5 +407,6 @@ def kernel_matrix_pallas(cov, hyp_cov, X, Z=None, interpret=None):
     Xs = X / ell
     Zs = Xs if Z is None else Z / ell
     return kernel_cross_pallas(
-        base, Xs, Zs, sf2, alpha, interpret=interpret
+        base, Xs, Zs, sf2, alpha, interpret=interpret,
+        zero_diag=Z is None,
     )

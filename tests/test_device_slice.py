@@ -149,3 +149,58 @@ def test_input_validation():
             jax.random.key(11),
             n_samples=10,
         )
+
+
+def test_shrink_cap_exit_keeps_current_point():
+    """On max_shrink cap exit the sweep must keep the CURRENT point and
+    its density — not the last rejected proposal (whose density is
+    below the slice level; a spike density makes every proposal reject,
+    so with a tiny cap the old behavior wrote -inf f_vals into the
+    chain)."""
+    import jax.numpy as jnp
+
+    from gpyreg_tpu.inference import device_slice as ds
+
+    def log_spike(x):
+        return jnp.where(jnp.all(jnp.abs(x) < 1e-12), 0.0, -jnp.inf)
+
+    key = jax.random.key(0)
+    res, _ = ds.sample(
+        log_spike,
+        np.zeros(2),
+        key,
+        widths=np.full(2, 10.0),
+        LB=np.full(2, -5.0),
+        UB=np.full(2, 5.0),
+        n_samples=5,
+        burn=2,
+        max_shrink=3,
+        diagnostics=False,
+    )
+    assert np.all(res["samples"] == 0.0)
+    assert np.all(np.isfinite(res["f_vals"]))
+
+
+def test_ensemble_shrink_cap_exit_keeps_walker():
+    """Ensemble twin of the cap-exit contract: capped walkers stay put
+    with finite densities instead of moving to rejected proposals."""
+    import jax.numpy as jnp
+
+    from gpyreg_tpu.inference import ensemble_slice as es
+
+    def log_spike(x):
+        return jnp.where(jnp.all(jnp.abs(x) < 1e-12), 0.0, -jnp.inf)
+
+    res, _ = es.sample(
+        log_spike,
+        np.zeros((6, 2)),  # every walker starts ON the spike
+        jax.random.key(1),
+        LB=np.full(2, -5.0),
+        UB=np.full(2, 5.0),
+        n_samples=8,
+        n_walkers=6,
+        burn=2,
+        max_shrink=3,
+    )
+    assert np.all(res["samples"] == 0.0)
+    assert np.all(np.isfinite(res["f_vals"]))
