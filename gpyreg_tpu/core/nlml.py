@@ -60,7 +60,12 @@ def assemble(spec: ModelSpec, hyp, X, y, s2, n_real=None):
             s2_eff = s2 * dwarp**2
         log_jac_terms = jnp.log(jnp.abs(dwarp))
         if mask is not None:
-            log_jac_terms = log_jac_terms * mask[:, None]
+            # where, not multiply: at extreme warp hyperparameters the
+            # padded rows' log|g'(0)| can be +/-inf and inf*0 = NaN
+            # would poison the whole padded NLML.
+            log_jac_terms = jnp.where(
+                mask[:, None] > 0, log_jac_terms, 0.0
+            )
         log_jacobian = jnp.sum(log_jac_terms)
 
     sn2 = noise_variance(spec, hyp_noise, y, s2_eff, X.dtype)
@@ -72,7 +77,9 @@ def assemble(spec: ModelSpec, hyp, X, y, s2, n_real=None):
     if mask is not None:
         K = K * (mask[:, None] * mask[None, :])
         sn2_vec = jnp.where(mask > 0, sn2_vec, 1.0)
-        r = r * mask[:, None]
+        # where, not multiply: a warped padded row can be non-finite
+        # (g(0) = -inf at extreme hyperparameters) and inf*0 = NaN.
+        r = jnp.where(mask[:, None] > 0, r, 0.0)
 
     return K, sn2_vec, r, m, log_jacobian
 
@@ -142,7 +149,9 @@ def nlz_design(spec: ModelSpec, hyp, X, y, s2, n_real=None):
     N = X.shape[0]
     K, sn2_vec, r, _, log_jac = assemble(spec, hyp, X, y, s2, n_real)
     G = K + sn2_vec * jnp.eye(N, dtype=K.dtype)
-    L = jnp.linalg.cholesky(G)
+    # G is symmetric by construction: skip XLA's defensive O(N^2)
+    # input symmetrization per candidate (cf. ops/linalg._chol_of).
+    L = jax.lax.linalg.cholesky(G, symmetrize_input=False)
     alpha = chol_solve(L, r)
     n_eff = N if n_real is None else n_real
     val = (

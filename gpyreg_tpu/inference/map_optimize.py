@@ -294,6 +294,12 @@ def _run_design_optimize(
     """
     B0, n = design.shape
     ndev = 1 if mesh is None else int(mesh.devices.size)
+    if ndev > 1:
+        # Same clamp as _design_optimize_segmented: without it a chunk
+        # sized >= B0 makes per_dev = chunk, so devices 1..ndev-1 only
+        # evaluate pad copies of row 0 (ndev x wasted design evals and
+        # zero sharding speedup).
+        chunk = int(max(1, min(chunk, -(-B0 // ndev))))
 
     def eval_chunked(d_local, f_args_t):
         n_chunks = d_local.shape[0] // chunk
@@ -813,16 +819,7 @@ def design_optimize(
                 mesh=mesh,
             )
         )
-        LBc = np.nextafter(np.asarray(LB, dtype=np.float64), np.inf)
-        UBc = np.nextafter(np.asarray(UB, dtype=np.float64), -np.inf)
-        fixed = np.asarray(LB) == np.asarray(UB)
-        xs = np.clip(
-            xs, np.where(fixed, LB, LBc), np.where(fixed, UB, UBc)
-        )
-        results = [
-            MapResult(xs[i], float(fs[i]), int(its[i]))
-            for i in range(xs.shape[0])
-        ]
+        xs, results = _clamp_and_pack(xs, fs, its, LB, UB)
         return xs, fs, results, widths_default, X_sorted, y_sorted
     to_x, to_z, bp = _make_transform(LB, UB)
     packed_dev, X_sorted, y_sorted = _run_design_optimize(
@@ -844,6 +841,15 @@ def design_optimize(
     packed = np.asarray(packed_dev)  # the phase's single pull
     xs, fs, its = packed[:-1, :-2], packed[:-1, -2], packed[:-1, -1]
     widths_default = packed[-1, :-2]
+    xs, results = _clamp_and_pack(xs, fs, its, LB, UB)
+    return xs, fs, results, widths_default, X_sorted, y_sorted
+
+
+def _clamp_and_pack(xs, fs, its, LB, UB):
+    """Clamp optimizer outputs strictly inside the numerical bounds
+    (transform round-off; fixed dims stay pinned) and wrap each restart
+    as a MapResult — shared by the segmented/monolithic design paths
+    and the bare multistart driver."""
     LBc = np.nextafter(np.asarray(LB, dtype=np.float64), np.inf)
     UBc = np.nextafter(np.asarray(UB, dtype=np.float64), -np.inf)
     fixed = np.asarray(LB) == np.asarray(UB)
@@ -852,7 +858,7 @@ def design_optimize(
         MapResult(xs[i], float(fs[i]), int(its[i]))
         for i in range(xs.shape[0])
     ]
-    return xs, fs, results, widths_default, X_sorted, y_sorted
+    return xs, results
 
 
 class MapResult:
@@ -904,13 +910,5 @@ def multistart_map(
         )
     )
     xs, fs, its = packed[:, :-2], packed[:, -2], packed[:, -1]
-    # Clamp strictly inside the numerical bounds (transform round-off).
-    LBc = np.nextafter(np.asarray(LB, dtype=np.float64), np.inf)
-    UBc = np.nextafter(np.asarray(UB, dtype=np.float64), -np.inf)
-    fixed = np.asarray(LB) == np.asarray(UB)
-    xs = np.clip(xs, np.where(fixed, LB, LBc), np.where(fixed, UB, UBc))
-    results = [
-        MapResult(xs[i], float(fs[i]), int(its[i]))
-        for i in range(xs.shape[0])
-    ]
+    xs, results = _clamp_and_pack(xs, fs, its, LB, UB)
     return xs, fs, results

@@ -225,15 +225,23 @@ def lanczos_tridiag(matvec, Z, n_steps: int):
 
 
 def slq_logdet(matvec, N: int, key, dtype, n_probes: int = 8,
-               n_lanczos: int = 32):
+               n_lanczos: int = 32, probes=None):
     """log det(A) by stochastic Lanczos quadrature.
 
     ``matvec`` applies the SPD operator A to an (N, P) block.  Rademacher
     probes; each probe's Gauss quadrature uses the eigen-decomposition of
     its Lanczos tridiagonal: logdet ~= (N/P) sum_i sum_k tau_ik^2
     log(theta_ik) with tau the first eigenvector components.
+
+    ``probes`` supplies an explicit (N, n_probes) probe block —
+    _cg_nlml_impl shares one block between its Hutchinson solves and
+    this quadrature (same-key re-draws would silently decouple if this
+    function's internal draw ever changed).
     """
-    Z = jax.random.rademacher(key, (N, n_probes), dtype=dtype)
+    if probes is not None:
+        Z = probes
+    else:
+        Z = jax.random.rademacher(key, (N, n_probes), dtype=dtype)
     alphas, betas = lanczos_tridiag(matvec, Z, n_lanczos)
 
     def one(al, be):
@@ -375,7 +383,7 @@ def _cg_nlml_impl(spec, compute_grad, row_chunk, max_iter, n_probes,
     sol, _, _ = _cg(mv, B, tol, max_iter)
     alpha, U = sol[:, :1], sol[:, 1:]
 
-    logdet = slq_logdet(mv, N, key, dtype, n_probes, n_lanczos)
+    logdet = slq_logdet(mv, N, key, dtype, n_probes, n_lanczos, probes=Z)
     nlml = (
         0.5 * jnp.sum(r * alpha)
         + 0.5 * logdet
