@@ -152,6 +152,10 @@ def f_min_fill(
     Returns (X sorted by objective ascending, sorted objective values).
     """
     X = build_design(x0, LB, UB, PLB, PUB, hprior, N, design)
+    # When x0 carries more rows than N, the reference evaluates (and
+    # returns) only the first N (f_min_fill.py:174-180); keep the
+    # batched path on the same contract.
+    X = X[:N]
 
     if f_batch is not None:
         y = np.asarray(f_batch(X), dtype=np.float64).reshape(-1)

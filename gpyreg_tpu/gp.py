@@ -2503,6 +2503,12 @@ class GP:
                 -1, chain_x.shape[2]
             )[:eff_s_N]
             f_vals = chain_f.T.reshape(-1)[:eff_s_N]
+            # The chain targets the log posterior; split the prior out
+            # of f_vals per the sampling_result contract.
+            log_priors = self._sample_log_priors(
+                samples, fns, obj_args
+            )
+            f_vals = f_vals - log_priors
             if options.get("sampler_diagnostics", True) and B >= 2:
                 R = gelman_rubin(chain_x)
                 eff_N = effective_n(chain_x)
@@ -2519,7 +2525,7 @@ class GP:
             sampling_result = {
                 "samples": samples,
                 "f_vals": f_vals.reshape(-1, 1),
-                "log_priors": np.zeros((samples.shape[0],)),
+                "log_priors": log_priors,
                 "exit_flag": exit_flag,
                 "R": R,
                 "eff_N": eff_N,
@@ -2584,6 +2590,21 @@ class GP:
     # ------------------------------------------------------------------
     # slicelite warm-refit machinery (gplite_train.m:178-197, 359-390)
     # ------------------------------------------------------------------
+
+    def _sample_log_priors(self, samples, fns, obj_args):
+        """Per-sample log priors in one batched device program, for the
+        sampler branches whose chains return log-POSTERIOR values
+        (chain-parallel, slicelite refresh): the sampling_result
+        contract splits f_vals = log posterior - log prior like every
+        other backend (reference slice_sample.py:281-284)."""
+        if self.no_prior:
+            return np.zeros((samples.shape[0],))
+        from .inference.ensemble_slice import _log_prior_batch_fn
+
+        lp_fn = _log_prior_batch_fn(fns["log_prior_raw"], len(obj_args))
+        return np.asarray(
+            lp_fn(samples.astype(self.dtype), *obj_args)
+        ).ravel().astype(np.float64)
 
     def _store_warm_state(self, hyp, sampling_result, thin, widths):
         """Record the fit's hyperposterior samples, their log-posterior
@@ -2706,10 +2727,14 @@ class GP:
         )
         samples = np.asarray(chain_x)[:, 0, :]
         f_vals = np.asarray(chain_f)[:, 0]
+        # The refreshed chains target the log posterior; split the
+        # prior out of f_vals per the sampling_result contract.
+        log_priors = self._sample_log_priors(samples, fns, obj_args)
+        f_vals = f_vals - log_priors
         sampling_result = {
             "samples": samples,
             "f_vals": f_vals.reshape(-1, 1),
-            "log_priors": np.zeros((s_N,)),
+            "log_priors": log_priors,
             "exit_flag": 0,
             "R": None,
             "eff_N": None,
@@ -3086,7 +3111,15 @@ class GP:
                 sn2_star = self.noise.compute(
                     hyp[cov_N : cov_N + noise_N], x_star, y_star, s2_star
                 )
-                cov[s, :, :] += np.dot(np.eye(N_star), sn2_star) * sn2_mult
+                # Observation noise is DIAGONAL.  The reference's
+                # `np.dot(np.eye(N), sn2_star)` (gaussian_process.py:
+                # 1659) silently broadcasts an (N,1) heteroskedastic
+                # sn2 across every column of the covariance; correct
+                # the inherited bug here (scalar sn2 is unaffected).
+                sn2_diag = np.broadcast_to(
+                    np.ravel(sn2_star), (N_star,)
+                )
+                cov[s, :, :] += np.diag(sn2_diag * sn2_mult)
 
         return mu, cov.transpose(1, 2, 0)
 
@@ -3611,6 +3644,10 @@ class GP:
     def _mixture_mean_variance_fn(self):
         """Jittable (x (D,) -> (mu, s2)) mixture predictive, built from
         the current stacked posterior factors (device arrays)."""
+        # Matrix-free (CG) posteriors have no stacked factors; fail
+        # with the same clear message quad/random_function raise
+        # instead of a jnp.asarray(None) TypeError deep in stacking.
+        self._require_factors("fmin/sample surrogate optimization")
         spec = self._spec()
         pfns = _predict_fns(spec)
         get_stacked, _, Xj, n_real = self._posterior_arrays()

@@ -75,18 +75,27 @@ def sharded_nlml_grad(spec: ModelSpec, mesh: Mesh, hyp_batch, X, y):
 def _sharded_predict_fn(spec: ModelSpec, mesh_key):
     """Jitted prediction with the test-point axis sharded over devices
     (the 'sequence parallel' analog for GP inference: each device owns a
-    slab of test points and the full posterior factors)."""
+    slab of test points and the full posterior factors).
+
+    Takes a traced ``n_real`` row mask so padded-bucket factors reuse
+    one compiled program across refits (the CLAUDE.md padded-serving
+    invariant); the production GP path is gp._predict_sharded_fn —
+    this is the standalone ops-level entry."""
     from jax.scipy.linalg import solve_triangular
 
     mesh = mesh_key
 
-    def predict(hyp, alpha, L_upper, sW, X, xs):
+    def predict(hyp, alpha, L_upper, sW, X, n_real, xs):
         from ..core.model import cov_matrix, mean_value
 
         hyp_cov, _, hyp_mean = spec.split_hyp(hyp)
         m_star = mean_value(spec, hyp_mean, xs)
         kss = cov_matrix(spec, hyp_cov, xs, diag=True)
         Ks = cov_matrix(spec, hyp_cov, X, Z=xs)
+        # Padded rows carry alpha = 0 and an identity L/B block, so
+        # masking the cross-covariance rows suffices.
+        mask = (jnp.arange(X.shape[0]) < n_real)[:, None]
+        Ks = jnp.where(mask, Ks, 0.0)
         mu = m_star + jnp.matmul(Ks.T, alpha)[:, 0]
         V = solve_triangular(L_upper, sW * Ks, lower=False, trans=1)
         s2 = kss - jnp.sum(V * V, axis=0)
@@ -97,21 +106,34 @@ def _sharded_predict_fn(spec: ModelSpec, mesh_key):
     out_sharding = NamedSharding(mesh, P("batch"))
     return jax.jit(
         predict,
-        in_shardings=(repl, repl, repl, repl, repl, xs_sharding),
+        in_shardings=(
+            repl, repl, repl, repl, repl, repl, xs_sharding
+        ),
         out_shardings=(out_sharding, out_sharding),
     )
 
 
-def sharded_predict(spec: ModelSpec, mesh: Mesh, hyp, alpha, L_upper, sW, X, xs):
-    """Predictive mean/variance with test points sharded over devices."""
+def sharded_predict(
+    spec: ModelSpec, mesh: Mesh, hyp, alpha, L_upper, sW, X, xs,
+    n_real=None,
+):
+    """Predictive mean/variance with test points sharded over devices.
+
+    ``n_real`` marks the true row count of padded factors (traced, so
+    one compiled program serves every N in a pad bucket); defaults to
+    all rows real."""
     fn = _sharded_predict_fn(spec, mesh)
+    if n_real is None:
+        n_real = np.asarray(X).shape[0]
+    # Host-side numpy args: the uploads fold into the dispatch.
     return fn(
-        jnp.asarray(hyp),
-        jnp.asarray(alpha),
-        jnp.asarray(L_upper),
-        jnp.asarray(sW),
-        jnp.asarray(X),
-        jnp.asarray(xs),
+        np.asarray(hyp),
+        np.asarray(alpha),
+        np.asarray(L_upper),
+        np.asarray(sW),
+        np.asarray(X),
+        np.int32(n_real),
+        np.asarray(xs),
     )
 
 
@@ -233,8 +255,11 @@ def sharded_sample_chains(
     from ..inference import device_slice
 
     fns = get_fns(spec, False, False)
-    Xj = jnp.asarray(X)
-    yj = jnp.asarray(y)
+    # Host-side numpy: the uploads fold into the sampling dispatch
+    # (CLAUDE.md eager-upload rule; an eager jnp.asarray here costs
+    # two blocking tunnel round trips before sampling starts).
+    Xj = np.asarray(X)
+    yj = np.asarray(y)
 
     log_f = fns["log_post_raw"]
     return device_slice.sample_chains(

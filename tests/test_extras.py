@@ -95,3 +95,56 @@ def test_sample_beta_penalty_pulls_towards_data():
     # The uncertainty penalty must not break sampling; both stay in box.
     assert np.all((s_lcb >= -3) & (s_lcb <= 3))
     assert not np.allclose(s_plain, s_lcb)
+
+
+def test_predict_full_heteroskedastic_noise_is_diagonal():
+    """add_noise with per-point sn2 must touch ONLY the covariance
+    diagonal.  The reference's np.dot(np.eye(N), sn2) broadcasts an
+    (N,1) heteroskedastic sn2 across every column
+    (gaussian_process.py:1659) — this pins the corrected behavior."""
+    rng = np.random.default_rng(5)
+    N, D = 30, 2
+    X = rng.uniform(-3, 3, (N, D))
+    y = np.sin(np.sum(X, 1, keepdims=True))
+    s2 = 0.05 + 0.1 * rng.uniform(size=(N, 1))
+    gp = gpr.GP(
+        D=D,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(
+            constant_add=True, user_provided_add=True
+        ),
+    )
+    hyp = np.concatenate([[0.3, 0.3], [0.0], [-2.0], [0.0]])[None, :]
+    gp.update(X_new=X, y_new=y, s2_new=s2, hyp=hyp)
+
+    xs = rng.uniform(-3, 3, (7, D))
+    s2_star = 0.2 + 0.1 * rng.uniform(size=(7, 1))
+    _, cov_plain = gp.predict_full(xs, s2_star=s2_star, add_noise=False)
+    _, cov_noise = gp.predict_full(xs, s2_star=s2_star, add_noise=True)
+    delta = cov_noise[:, :, 0] - cov_plain[:, :, 0]
+    off = delta - np.diag(np.diag(delta))
+    assert np.max(np.abs(off)) == 0.0  # off-diagonals untouched
+    assert np.all(np.diag(delta) > 0)  # per-point noise on the diag
+
+
+def test_fmin_and_sample_raise_cleanly_on_matrix_free():
+    """Matrix-free (CG) posteriors have no factors to stack; fmin/
+    sample must raise the same clear ValueError quad does instead of a
+    jnp TypeError deep in stacking."""
+    rng = np.random.default_rng(6)
+    X = rng.uniform(-3, 3, (50, 2))
+    y = np.sin(np.sum(X, 1, keepdims=True))
+    gp = gpr.GP(
+        D=2,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+    )
+    np.random.seed(2)
+    gp.fit(X=X, y=y, options={
+        "n_samples": 0, "opts_N": 1, "init_N": 16, "method": "cg"})
+    with pytest.raises(ValueError, match="posterior factors"):
+        gp.fmin()
+    with pytest.raises(ValueError, match="posterior factors"):
+        gp.sample(10)

@@ -290,3 +290,62 @@ def test_gp_mesh_predict_composes_with_mxu_path(gp_data):
     mu_r, s2_r = gp_ref.predict(xs)
     np.testing.assert_allclose(mu_m, mu_r, atol=1e-4)
     np.testing.assert_allclose(s2_m, s2_r, atol=1e-4)
+
+
+def test_chain_parallel_splits_log_priors(gp_data):
+    """The chain-parallel branch must honor the sampling_result
+    contract: f_vals exclude the prior, log_priors carry it (the chain
+    itself targets the log posterior) — like every other backend."""
+    X, y, rng = gp_data
+    gp = _make_gp(mesh=pmesh.make_mesh(8))
+    gp.set_priors({
+        "covariance_log_lengthscale": ("gaussian", (0.0, 1.0)),
+        "covariance_log_outputscale": ("gaussian", (0.0, 1.0)),
+        "noise_log_scale": ("gaussian", (-2.0, 1.0)),
+        "mean_const": ("gaussian", (0.0, 2.0)),
+    })
+    np.random.seed(13)
+    hyp, _, sr = gp.fit(
+        X=X, y=y,
+        options={"n_samples": 8, "opts_N": 1, "init_N": 16,
+                 "thin": 1, "n_chains": 8},
+    )
+    lp = np.asarray(sr["log_priors"]).ravel()
+    assert lp.shape[0] == sr["samples"].shape[0]
+    assert np.any(lp != 0.0) and np.all(np.isfinite(lp))
+    # f_vals + log_priors reconstructs the log posterior the chain
+    # sampled: re-evaluate via the public API for one sample.
+    i = 0
+    lp_ref, _ = gp.log_posterior(sr["samples"][i]), None
+    assert np.isclose(
+        float(sr["f_vals"].ravel()[i] + lp[i]), float(lp_ref),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_sharded_predict_padded_n_real(setup):
+    """ops-level sharded_predict takes a traced n_real mask: padded
+    factors (one compiled program per bucket) match the true-size
+    call."""
+    spec, m, X, y, rng = setup
+    gp = gpr.GP(
+        D=3,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+    )
+    hyp = np.concatenate([np.zeros(3), [0.0], [-1.0], [0.0]])[None, :]
+    gp.update(X_new=X, y_new=y, hyp=hyp)
+    p = gp.posteriors[0]
+    # Padded device factors + traced true row count.
+    N_pad, n_real = p._L.shape[0], X.shape[0]
+    assert N_pad > n_real
+    X_pad = np.zeros((N_pad, X.shape[1])); X_pad[:n_real] = X
+    xs = rng.normal(size=(16, 3))
+    mu_p, s2_p = pmesh.sharded_predict(
+        spec, m, p.hyp, p._alpha, p._L, p._sW, X_pad, xs,
+        n_real=n_real,
+    )
+    mu_r, s2_r = gp.predict(xs)
+    assert np.allclose(np.asarray(mu_p), mu_r.ravel(), atol=1e-8)
+    assert np.allclose(np.asarray(s2_p), s2_r.ravel(), atol=1e-8)
