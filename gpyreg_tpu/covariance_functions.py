@@ -33,6 +33,15 @@ def _compute_kernel(kind, hyp, X, X_star, compute_diag, compute_grad):
         raise ValueError("X_star should be None when compute_grad is True.")
 
     if X_star is None and compute_diag:
+        if compute_grad:
+            # The reference "supports" this combination only by a
+            # broadcasting accident (diag K (N,1) times full-plane
+            # squared distances, covariance_functions.py:163-183);
+            # refuse it explicitly rather than return the gradient of
+            # a different quantity.
+            raise ValueError(
+                "compute_grad with compute_diag is not supported."
+            )
         # Reference returns the diagonal with shape (N, 1)
         # (covariance_functions.py:163-169).
         K = kernel_matrix(kind, hyp, X, diag=True)

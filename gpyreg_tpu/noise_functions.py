@@ -16,6 +16,8 @@ gpyreg_tpu/core/model.py (noise_variance).
 
 import numpy as np
 
+from .covariance_functions import _validate_hyp
+
 
 class GaussianNoise:
     """Gaussian noise function with composable features."""
@@ -126,16 +128,7 @@ class GaussianNoise:
         noise_N = self.hyperparameter_count()
         hyp = np.asarray(hyp)
 
-        if hyp.size != noise_N:
-            raise ValueError(
-                f"Expected {noise_N} noise function hyperparameters, "
-                f"{hyp.size} passed instead."
-            )
-        if hyp.ndim != 1:
-            raise ValueError(
-                "Noise function output is available only for "
-                "one-sample hyperparameter inputs."
-            )
+        _validate_hyp(hyp, noise_N, kind="noise")
 
         dsn2 = None
         if compute_grad:

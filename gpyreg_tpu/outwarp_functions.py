@@ -24,6 +24,8 @@ d2warp_dthetadt are the test oracle.
 
 import numpy as np
 
+from .covariance_functions import _validate_hyp
+
 import jax.numpy as jnp
 
 OUTWARP_KINDS = ("negpow", "negpowc1", "negscaledpow")
@@ -138,12 +140,11 @@ class _AbstractOutputWarping:
     def compute(self, hyp, y, inverse: bool = False, compute_grad=False):
         """Host-facing evaluation: g(y) (or g^{-1}(y)); with
         ``compute_grad`` also g'(y)."""
-        hyp = np.asarray(hyp, dtype=np.float64).ravel()
-        if hyp.size != self.hyperparameter_count():
-            raise ValueError(
-                f"Expected {self.hyperparameter_count()} output warping "
-                f"function hyperparameters, {hyp.size} passed instead."
-            )
+        hyp = np.asarray(hyp, dtype=np.float64)
+        _validate_hyp(
+            hyp, self.hyperparameter_count(), kind="output warping"
+        )
+        hyp = hyp.ravel()
         yj = jnp.asarray(y, dtype=jnp.float64)
         if inverse:
             if compute_grad:
