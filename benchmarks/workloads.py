@@ -209,7 +209,13 @@ def config4_pyvbmc_warm_refits(gpr, seed=3, n_refits=5):
         warm_s.append(_timer() - t0)
     return {
         "cold_fit_s": cold_fit_s,
+        # Median is the headline: a single transient tunnel degradation
+        # (known 2-6x swings, CLAUDE.md) in a 5-refit loop drags the
+        # mean far off the steady state one observed run reported
+        # warm_mean 1.98 s vs median ~0.22 s.  Max discloses the tail.
+        "warm_refit_s": float(np.median(warm_s)),
         "warm_refit_s_mean": float(np.mean(warm_s)),
+        "warm_refit_s_max": float(np.max(warm_s)),
     }
 
 
