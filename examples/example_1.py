@@ -8,7 +8,14 @@ MAP, MCMC) evaluates the NLML on device; the MCMC chain itself is a
 single jitted XLA program.
 """
 
+import os
+import sys
+
 import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 from scipy.stats import norm
 
 import gpyreg_tpu as gpr

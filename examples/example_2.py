@@ -5,7 +5,14 @@ constant mean, constant Gaussian noise, mixed prior families, fit +
 predict on a grid, then incremental update() and refit.
 """
 
+import os
+import sys
+
 import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import gpyreg_tpu as gpr
 

@@ -6,7 +6,14 @@ explicit-inverse factors, the device samplers, and matrix-free CG
 inference past the Cholesky size limit.
 """
 
+import os
+import sys
+
 import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import gpyreg_tpu as gpr
 
