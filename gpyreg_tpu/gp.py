@@ -1697,27 +1697,33 @@ class GP:
         materialized: the L-BFGS-B objective is the stochastic
         CG+SLQ NLML (ops/iterative.py cg_nlml, common random numbers)
         and the stored posterior is a matrix-free tag whose CG weight
-        vector is solved lazily at the first predict.  Hyperposterior
-        sampling is not offered on this path (each MCMC evaluation would
-        pay a full CG+SLQ program); reference-style multi-sample
-        posteriors need the exact method.
+        vector is solved lazily at the first predict.
+
+        Hyperposterior sampling IS available here when the caller asks
+        for it explicitly (``n_samples`` spelled out in options): the
+        device slice chain runs on a FIXED-PROBE surrogate posterior —
+        one frozen SLQ/Hutchinson probe key for the whole chain (common
+        random numbers), so the target is deterministic and its
+        log-density error is the estimator error (<1% at defaults) —
+        the determinant-free fully-Bayesian construction
+        (ops/iterative.cg_log_post_raw, cf. arXiv:2412.20884).  The
+        reference's DEFAULT n_samples=10 is not honored silently (each
+        chain evaluation is a full CG+SLQ program): it warns and runs
+        MAP-only unless the caller opts in.
         """
         from .ops import iterative as _iterative
 
-        if s_N > 0 and "n_samples" in options:
-            raise ValueError(
-                'fit(options={"method": "cg"}) is MAP-only: '
-                "hyperposterior sampling is unsupported on the "
-                "matrix-free path (set n_samples=0)."
-            )
-        if s_N > 0:
+        sample_requested = s_N > 0 and "n_samples" in options
+        if s_N > 0 and not sample_requested:
             # The reference contract defaults to n_samples=10; never
             # downgrade it silently just because the caller didn't
             # spell out a sampling option.
             warnings.warn(
-                'fit(options={"method": "cg"}) is MAP-only: skipping '
-                f"the default n_samples={s_N} hyperposterior sampling "
-                "(set n_samples=0 to acknowledge).",
+                'fit(options={"method": "cg"}) samples only on '
+                f"explicit request: skipping the default n_samples="
+                f"{s_N} hyperposterior sampling (pass n_samples in "
+                "options to run the fixed-probe chain, or 0 to "
+                "acknowledge MAP-only).",
                 stacklevel=3,
             )
         cg_opts = {
@@ -1800,19 +1806,93 @@ class GP:
             "precond_rank": int(options.get("cg_precond_rank", 0)),
             **cg_opts,
         }
+
+        sampling_result = None
         hyp = np.reshape(hyp_opt, (1, -1))
+        if sample_requested:
+            # Fixed-probe hyperposterior chain (see the method
+            # docstring): the frozen probe key makes the chain target a
+            # deterministic surrogate of the posterior.
+            from .inference import device_slice as _device_slice
+            from .inference import map_optimize as _map_optimize
+
+            thin = int(options.get("thin", 5))
+            burn = int(options.get("burn", thin * s_N))
+            _, _, _, _, pack = self._device()
+            log_f, _prior_raw = _iterative.cg_log_post_raw(
+                spec,
+                float(options.get("cg_sample_tol", fit_opts["cg_tol"])),
+                cg_opts["row_chunk"],
+                cg_opts["max_iter"],
+                fit_opts["n_probes"],
+                fit_opts["n_lanczos"],
+                s2 is not None,
+                pack is not None,
+            )
+            f_args = [X, y]
+            if s2 is not None:
+                f_args.append(s2)
+            if pack is not None:
+                f_args.append(pack)
+            f_args.append(key)  # the FROZEN probe key (design/MAP key)
+            mc_key = jax.random.key(
+                int(np.random.randint(0, 2**31 - 1))
+            )
+            # Every chain evaluation is a full CG+SLQ program: one
+            # sweep per watchdog-safe dispatch segment at large N.
+            seg = (
+                1
+                if X.shape[0] >= _map_optimize.SEG_MIN_N
+                else None
+            )
+            sampling_result, _ = _device_slice.sample(
+                log_f,
+                np.asarray(hyp_opt, dtype=np.float64),
+                mc_key,
+                widths=np.asarray(PUB - PLB, dtype=np.float64),
+                LB=LB,
+                UB=UB,
+                n_samples=s_N * thin,
+                thin=1,
+                burn=burn,
+                f_args=tuple(f_args),
+                seg_sweeps=seg,
+            )
+            samples = np.asarray(sampling_result["samples"])
+            hyp = samples[thin - 1 :: thin][:s_N]
+            f_vals = np.asarray(
+                sampling_result["f_vals"]
+            ).ravel()[thin - 1 :: thin][:s_N]
+            # The chain targets the log posterior; split the prior out
+            # of f_vals per the sampling_result contract (the prior is
+            # kernel-independent, so the exact-path bundle serves).
+            fns_e, obj_args_e = self._obj_args()
+            log_priors = self._sample_log_priors(
+                hyp, fns_e, obj_args_e
+            )
+            sampling_result["samples"] = hyp
+            sampling_result["f_vals"] = (
+                f_vals - log_priors
+            ).reshape(-1, 1)
+            sampling_result["log_priors"] = log_priors
+        self.fit_timings["sample_s"] = (
+            time.perf_counter() - _t_start
+            - self.fit_timings["design_s"]
+            - self.fit_timings["optimize_s"]
+        )
+
         self.update(hyp=hyp)
-        self.fit_timings["sample_s"] = 0.0
         self.fit_timings["posterior_s"] = (
             time.perf_counter() - _t_start
             - self.fit_timings["design_s"]
             - self.fit_timings["optimize_s"]
+            - self.fit_timings["sample_s"]
         )
         if _trace_dir:
             import jax.profiler as _jprof
 
             _jprof.stop_trace()
-        return hyp, res, None
+        return hyp, res, sampling_result
 
     def _require_factors(self, what: str):
         """Raise for operations that need explicit O(N^2) posterior

@@ -427,6 +427,86 @@ def _cg_nlml_fn(spec, compute_grad, row_chunk, max_iter, n_probes,
     return run
 
 
+@lru_cache(maxsize=None)
+def cg_log_post_raw(
+    spec: ModelSpec,
+    tol: float,
+    row_chunk: int,
+    max_iter: int,
+    n_probes: int,
+    n_lanczos: int,
+    has_s2: bool,
+    has_prior: bool,
+):
+    """Identity-stable raw callables for MCMC on the matrix-free NLML:
+    ``(log_post, log_prior)``, each taking
+    ``(hyp, X, y[, s2][, prior_pack], probe_key)``.
+
+    The probe key travels as an ARGUMENT and the caller passes ONE
+    frozen key for the whole chain (common random numbers): the chain
+    then targets a DETERMINISTIC fixed-probe surrogate of the
+    hyperposterior whose log-density error is the SLQ/Hutchinson
+    estimator error (<1% NLML error at defaults,
+    tests/test_iterative.py) — the determinant-free fully-Bayesian GP
+    construction (cf. arXiv:2412.20884), which neither the reference
+    nor the MATLAB oracle offers at any N.  lru-cached so warm refits
+    reuse the chain's compiled programs (the device samplers key their
+    jit caches on the callable's identity)."""
+    from ..core.priors import log_prior as _log_prior
+
+    def _split(args):
+        X, y = args[0], args[1]
+        i = 2
+        s2 = None
+        if has_s2:
+            s2 = args[i]
+            i += 1
+        pack = None
+        if has_prior:
+            pack = args[i]
+            i += 1
+        key = args[i]
+        return X, y, s2, pack, key
+
+    def log_post(hyp, *args):
+        X, y, s2, pack, key = _split(args)
+        Xj = jnp.asarray(X)
+        dtype = Xj.dtype
+        N = Xj.shape[0]
+        # Mask-pad to a whole number of row panels (same construction
+        # as the cg_nlml host wrapper; shapes are trace-static).
+        rc = int(min(row_chunk, N))
+        yj = jnp.asarray(y, dtype=dtype)
+        s2j = None if s2 is None else jnp.asarray(s2, dtype=dtype)
+        n_real = None
+        if N % rc:
+            Xj, _ = _pad_rows(Xj, rc)
+            pad = Xj.shape[0] - N
+            yj = jnp.concatenate([yj, jnp.zeros((pad, 1), dtype)])
+            if s2j is not None:
+                s2j = jnp.concatenate(
+                    [s2j, jnp.ones((pad, 1), dtype)]
+                )
+            n_real = jnp.asarray(N, dtype=jnp.int32)
+        nl = _cg_nlml_impl(
+            spec, False, rc, max_iter, n_probes, n_lanczos,
+            has_s2, n_real is not None, hyp, Xj, yj, key,
+            jnp.asarray(tol, dtype=dtype), s2=s2j, n_real=n_real,
+        )
+        v = -nl
+        if pack is not None:
+            v = v + _log_prior(pack, hyp)
+        return v
+
+    def prior_only(hyp, *args):
+        _, _, _, pack, _ = _split(args)
+        if pack is None:
+            return jnp.zeros((), dtype=jnp.asarray(hyp).dtype)
+        return _log_prior(pack, hyp)
+
+    return log_post, prior_only
+
+
 def fit_cg(
     spec: ModelSpec,
     X,

@@ -114,8 +114,6 @@ def test_cg_guards_and_method_validation():
         gp_c.predict_full(np.zeros((3, 2)))
     with pytest.raises(ValueError, match="matrix-free"):
         gp_c.random_function(np.zeros((3, 2)))
-    with pytest.raises(ValueError, match="MAP-only"):
-        gp_c.fit(X=X, y=y, options=dict(CG_OPTS, n_samples=4))
     with pytest.raises(ValueError, match="Unknown fit method"):
         gp_c.fit(X=X, y=y, options={"method": "nope"})
 
@@ -192,5 +190,51 @@ def test_cg_default_n_samples_downgrade_warns():
     X, y = _data(N=200)
     gp = _make_gp()
     opts = {k: v for k, v in CG_OPTS.items() if k != "n_samples"}
-    with pytest.warns(UserWarning, match="MAP-only"):
+    with pytest.warns(UserWarning, match="explicit request"):
         gp.fit(X=X, y=y, options=opts)
+
+
+def test_cg_fixed_probe_hyperposterior_sampling():
+    """fit(method='cg', n_samples=S) samples the fixed-probe surrogate
+    hyperposterior (frozen SLQ/Hutchinson probe key -> deterministic
+    chain target) and stores S matrix-free posteriors whose mixture
+    prediction serves through the CG path."""
+    X, y = _data(N=150)
+    gp = _make_gp()
+    gp.set_priors({
+        "covariance_log_lengthscale": ("gaussian", (0.0, 1.0)),
+        "covariance_log_outputscale": ("gaussian", (0.0, 1.0)),
+        "noise_log_scale": ("gaussian", (-2.0, 1.0)),
+        "mean_const": ("gaussian", (0.0, 2.0)),
+    })
+    np.random.seed(5)
+    hyp, res, sr = gp.fit(
+        X=X, y=y,
+        options=dict(CG_OPTS, n_samples=3, thin=2, burn=4),
+    )
+    assert hyp.shape[0] == 3
+    assert sr is not None
+    assert np.all(np.isfinite(sr["f_vals"]))
+    assert np.any(np.asarray(sr["log_priors"]) != 0.0)
+    assert len(gp.posteriors) == 3
+    assert all(p.matrix_free for p in gp.posteriors)
+
+    xs = np.random.uniform(-3, 3, (12, 2))
+    mu, s2 = gp.predict(xs)
+    assert mu.shape == (12, 1) and np.all(np.isfinite(mu))
+    assert np.all(s2 >= 0)
+
+    # The frozen-probe target is deterministic: two evaluations of the
+    # chain's log posterior at the same hyp agree exactly.
+    from gpyreg_tpu.ops import iterative as _it
+    import jax
+    spec = gp._spec()
+    _, _, _, _, pack = gp._device()
+    log_f, _ = _it.cg_log_post_raw(
+        spec, 1e-5, 1024, 500, 8, 32, False, pack is not None
+    )
+    key = jax.random.key(0)
+    args = (np.asarray(X), np.asarray(y), pack, key)
+    v1 = float(jax.jit(log_f, static_argnums=())(hyp[0], *args))
+    v2 = float(jax.jit(log_f)(hyp[0], *args))
+    assert v1 == v2
