@@ -157,3 +157,62 @@ def test_fused_nlz_grad_equals_legacy_cholesky_path(padded):
     np.testing.assert_allclose(
         np.asarray(g1), np.asarray(g2), rtol=1e-9, atol=1e-12
     )
+
+
+def test_jittered_cholesky_fast_path_and_retry_semantics():
+    """The attempt-0-outside-the-loop restructure (ops/linalg.py
+    _jittered_chol_impl) must preserve the reference's escalation
+    semantics (gaussian_process.py:2413-2421): mult=1 when the first
+    factorization succeeds, x10 per retry, all-NaN L after
+    CHOL_MAX_TRIES failures."""
+    from gpyreg_tpu._config import CHOL_MAX_TRIES
+    from gpyreg_tpu.ops.linalg import jittered_cholesky
+
+    N = 16
+    sn2 = jnp.full((N,), 0.1)
+    # Well-conditioned: first attempt, mult stays 1.
+    L, mult = jittered_cholesky(jnp.eye(N), sn2)
+    assert float(mult) == 1.0
+    np.testing.assert_allclose(
+        np.asarray(L), np.sqrt(1.1) * np.eye(N), rtol=1e-12
+    )
+    # Indefinite until the second attempt: -0.5 I + 1*0.1 I < 0,
+    # -0.5 I + 10*0.1 I > 0 -> mult = 10, deterministically.
+    L, mult = jittered_cholesky(-0.5 * jnp.eye(N), sn2)
+    assert float(mult) == 10.0
+    assert np.all(np.isfinite(np.asarray(L)))
+    np.testing.assert_allclose(
+        np.asarray(L), np.sqrt(0.5) * np.eye(N), rtol=1e-12
+    )
+    # Hopeless: negative beyond every multiplier -> NaN factor (XLA
+    # fills the lower triangle with NaN, zeros above; callers detect
+    # via any-isnan, reference raises) at the final multiplier.
+    L, mult = jittered_cholesky(-1e12 * jnp.eye(N), jnp.full((N,), 1.0))
+    assert float(mult) == 10.0 ** (CHOL_MAX_TRIES - 1)
+    assert np.all(np.isnan(np.diag(np.asarray(L))))
+
+
+def test_jittered_cholesky_mixed_lanes_under_vmap():
+    """Per-lane multiplier independence under vmap: a converged lane
+    must keep its attempt-0 factor and mult=1 while a failing lane
+    escalates (the batched design/multistart programs rely on this)."""
+    from gpyreg_tpu.ops.linalg import jittered_cholesky
+
+    N = 16
+    K = jnp.stack([jnp.eye(N), -0.5 * jnp.eye(N)])
+    sn2 = jnp.full((2, N), 0.1)
+    L, mult = jax.vmap(jittered_cholesky)(K, sn2)
+    np.testing.assert_allclose(np.asarray(mult), [1.0, 10.0])
+    np.testing.assert_allclose(
+        np.asarray(L[0]), np.sqrt(1.1) * np.eye(N), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(L[1]), np.sqrt(0.5) * np.eye(N), rtol=1e-12
+    )
+    # Gradients flow through the vmapped cond/retry structure.
+    def loss(Kb):
+        Lb, _ = jax.vmap(jittered_cholesky)(Kb, sn2)
+        return jnp.sum(jnp.log(jnp.diagonal(Lb, axis1=-2, axis2=-1)))
+
+    g = jax.grad(loss)(K)
+    assert np.all(np.isfinite(np.asarray(g)))
