@@ -2260,6 +2260,45 @@ class GP:
             low_idx = (
                 cov_N if (noise_N > 0 and 1 < opts_N < init_N) else None
             )
+            # Optional subset RANKING of the design (TPU-first speed
+            # knob, off by default): each candidate's NLML costs O(N^3),
+            # so at large N the 1024-candidate ranking dominates the
+            # design+MAP phase even though it only picks the multistart
+            # STARTING points.  options["design_subset"]=n_sub ranks the
+            # candidates on an evenly-strided n_sub-row data subset
+            # (deterministic — no RNG stream change) at O((n_sub/N)^3)
+            # of the cost; the multistart L-BFGS and every reported
+            # objective value still use the full data.  The reference
+            # ranks on the full data (f_min_fill.py:175) — this is an
+            # opt-in deviation in start-selection fidelity only.
+            design_f_args = None
+            design_nr = None
+            n_sub = int(options.get("design_subset", 0) or 0)
+            n_true = int(self.X.shape[0])
+            if init_N > 0 and 0 < n_sub < n_true:
+                spec_d, _, _, _, pack_d = self._device()
+                idx_sub = np.round(
+                    np.linspace(0, n_true - 1, n_sub)
+                ).astype(int)
+                fns_sub = get_fns(
+                    spec_d, self.s2 is not None, pack_d is not None,
+                    padded=False,
+                )
+                sub = [
+                    np.asarray(self.X[idx_sub], dtype=self.dtype),
+                    np.asarray(self.y[idx_sub], dtype=self.dtype),
+                ]
+                if self.s2 is not None:
+                    sub.append(
+                        np.asarray(self.s2[idx_sub], dtype=self.dtype)
+                    )
+                if pack_d is not None:
+                    sub.append(pack_d)
+                design_f_args = tuple(sub)
+                design_nr = n_sub
+                obj_design_fn = fns_sub["obj_design_raw"]
+            else:
+                obj_design_fn = fns["obj_design_raw"]
             # Memory-bounded design-eval chunk (~2 GB of (chunk, N, N)
             # f64 workspace; mirrors _objective_batch).  Derived from
             # the PADDED row count and rounded down to a power of two:
@@ -2279,7 +2318,8 @@ class GP:
             # exceeds the TPU runtime's ~6-minute per-dispatch execution
             # watchdog; switch to bounded dispatches (map_optimize.py).
             segments = _map_optimize.segment_plan(
-                obj_args_nr, design.shape[0], k, 500
+                obj_args_nr, design.shape[0], k, 500,
+                nr_design=design_nr,
             )
             (
                 xs,
@@ -2298,9 +2338,10 @@ class GP:
                 opts_N=k,
                 low_noise_idx=low_idx,
                 chunk=chunk,
-                obj_design_raw=fns["obj_design_raw"],
+                obj_design_raw=obj_design_fn,
                 mesh=self.mesh,
                 segments=segments,
+                design_f_args=design_f_args,
             )
             opts_N = k
             hyp = np.array(xs)

@@ -272,6 +272,7 @@ def _run_design_optimize(
     max_iter: int,
     memory_size: int,
     f_args,
+    design_f_args,
     mesh=None,
 ):
     """Design evaluation + start selection + multistart L-BFGS fused
@@ -320,16 +321,16 @@ def _run_design_optimize(
         else design
     )
     if mesh is None:
-        ys = eval_chunked(dpad, f_args)[:B0]
+        ys = eval_chunked(dpad, design_f_args)[:B0]
     else:
         # f_args replicate across devices (shard_map bodies must not
         # close over traced values, so they ride as explicit args).
         ys = _smap(
             eval_chunked,
             mesh,
-            (_P("batch", None), _repl_specs(f_args)),
+            (_P("batch", None), _repl_specs(design_f_args)),
             _P("batch"),
-        )(dpad, f_args)[:B0]
+        )(dpad, design_f_args)[:B0]
     # Failed evaluations (NaN kernel factorization) sort last.
     ys = jnp.where(jnp.isfinite(ys), ys, jnp.inf)
     order = jnp.argsort(ys)
@@ -427,13 +428,18 @@ def _per_eval_s(nr):
     return _EVAL_S_16K * (nr / 16384.0) ** 3
 
 
-def segment_plan(nr, B0, opts_N, max_iter):
+def segment_plan(nr, B0, opts_N, max_iter, nr_design=None):
     """Bounded-dispatch budgets for padded row count ``nr``; None if the
-    one-dispatch fused program is safe."""
+    one-dispatch fused program is safe.  ``nr_design`` (default ``nr``)
+    is the row count the DESIGN ranking evaluates — smaller when the
+    caller ranks candidates on a data subset (gp.fit design_subset)."""
     if nr < SEG_MIN_N:
         return None
     per = _per_eval_s(nr)
-    design_seg = int(np.clip(_DISPATCH_BUDGET_S / per, 1, max(1, B0)))
+    per_design = _per_eval_s(nr if nr_design is None else nr_design)
+    design_seg = int(
+        np.clip(_DISPATCH_BUDGET_S / per_design, 1, max(1, B0))
+    )
     # One L-BFGS iteration steps every lane (sequential lax.map) and the
     # zoom linesearch costs ~4 NLML+grad evaluations per update.
     iter_seg = int(
@@ -630,6 +636,7 @@ def _design_optimize_segmented(
     LB,
     UB,
     f_args,
+    design_f_args,
     tol,
     opts_N,
     low_noise_idx,
@@ -680,13 +687,17 @@ def _design_optimize_segmented(
         if mesh is None:
             ys_parts.append(
                 _eval_design_seg(
-                    obj_design_raw, seg_rows, tuple(f_args), chunk
+                    obj_design_raw, seg_rows, tuple(design_f_args), chunk
                 )
             )
         else:
             ys_parts.append(
                 _eval_design_seg_mesh(
-                    obj_design_raw, seg_rows, tuple(f_args), chunk, mesh
+                    obj_design_raw,
+                    seg_rows,
+                    tuple(design_f_args),
+                    chunk,
+                    mesh,
                 )
             )
     ys = np.concatenate([np.asarray(p) for p in ys_parts])[:B0]
@@ -775,6 +786,7 @@ def design_optimize(
     obj_design_raw=None,
     mesh=None,
     segments=None,
+    design_f_args=None,
 ):
     """Fused design-eval + top-k selection + multistart MAP.
 
@@ -787,6 +799,12 @@ def design_optimize(
     switches to the bounded-dispatch path — required above
     ``SEG_MIN_N`` padded rows, where the one-dispatch fused program
     exceeds the TPU runtime's per-dispatch execution watchdog.
+
+    ``design_f_args`` (default ``f_args``): the argument tuple the
+    design RANKING evaluates ``obj_design_raw`` with — a data subset
+    when the caller trades ranking fidelity for O((N_sub/N)^3) design
+    cost (gp.fit ``design_subset``).  The optimization phase and the
+    returned objective values always use the full ``f_args``.
     """
     design = np.atleast_2d(np.asarray(design, dtype=np.float64))
     B0 = design.shape[0]
@@ -794,6 +812,8 @@ def design_optimize(
     if chunk is None:
         chunk = B0
     chunk = int(max(1, min(chunk, B0)))
+    if design_f_args is None:
+        design_f_args = f_args
     if segments is not None:
         # The watchdog bound applies with or without a mesh (sharding
         # shortens a dispatch, never lengthens it — but a monolithic
@@ -808,6 +828,7 @@ def design_optimize(
                 LB,
                 UB,
                 f_args,
+                design_f_args,
                 tol,
                 opts_N,
                 low_noise_idx,
@@ -836,6 +857,7 @@ def design_optimize(
         int(max_iter),
         int(memory_size),
         tuple(f_args),
+        tuple(design_f_args),
         mesh,
     )
     packed = np.asarray(packed_dev)  # the phase's single pull

@@ -135,3 +135,79 @@ def test_design_optimize_start_selection_matches_host_logic():
     # All three optimized starts must converge to the bowl's minimum.
     np.testing.assert_allclose(xs, 0.5, atol=1e-4)
     assert np.all(fs < 1e-6)
+
+
+def test_design_f_args_rank_on_subset_optimize_on_full():
+    """design_f_args ranks the candidates with DIFFERENT objective
+    arguments than the optimization phase (the gp.fit design_subset
+    knob): starts must follow the design-args ordering while the
+    optimum and reported objective values come from the full args."""
+    from gpyreg_tpu.inference.map_optimize import design_optimize
+
+    def obj_raw(h, c):
+        return jnp.sum((h - c) ** 2)
+
+    # Ranked against c=2: [1.5], [3.0], [0.1]; optimum under c=0 is 0.
+    design = np.array([[1.5], [0.1], [3.0]])
+    LB, UB = np.array([-10.0]), np.array([10.0])
+    full = (np.float64(0.0),)
+    sub = (np.float64(2.0),)
+    for segments in (None, (2, 50)):
+        xs, fs, results, widths, X_sorted, y_sorted = design_optimize(
+            obj_raw,
+            design,
+            LB,
+            UB,
+            f_args=full,
+            design_f_args=sub,
+            tol=1e-10,
+            opts_N=1,
+            segments=segments,
+        )
+        np.testing.assert_allclose(
+            np.asarray(X_sorted), [[1.5], [3.0], [0.1]], atol=1e-12
+        )
+        np.testing.assert_allclose(  # ranking values are subset values
+            np.asarray(y_sorted), [0.25, 1.0, 3.61], atol=1e-10
+        )
+        np.testing.assert_allclose(xs, 0.0, atol=1e-5)
+        assert fs[0] < 1e-8  # full-args objective at the optimum
+
+
+def test_gp_fit_design_subset_matches_full_ranking_fit():
+    """GP.fit(options={'design_subset': n}) must reach the same MAP
+    optimum as the full-data ranking on a well-conditioned problem (the
+    subset only changes which starting points are picked)."""
+    import gpyreg_tpu as gpr
+
+    rng = np.random.default_rng(7)
+    X = rng.uniform(-3, 3, (160, 1))
+    y = np.sin(X) + 0.1 * rng.normal(size=(160, 1))
+    opts = {"n_samples": 0, "opts_N": 2, "init_N": 32}
+
+    def make():
+        return gpr.GP(
+            D=1,
+            covariance=gpr.covariance_functions.SquaredExponential(),
+            mean=gpr.mean_functions.ConstantMean(),
+            noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+        )
+
+    gp_full = make()
+    np.random.seed(3)
+    hyp_f, res_f, _ = gp_full.fit(X=X, y=y, options=dict(opts))
+    gp_sub = make()
+    np.random.seed(3)
+    hyp_s, res_s, _ = gp_sub.fit(
+        X=X, y=y, options={**opts, "design_subset": 48}
+    )
+    f_full = res_f.fun
+    f_sub = res_s.fun
+    assert abs(f_full - f_sub) < 1e-3 * max(1.0, abs(f_full))
+    # n_sub >= N falls back to the identical full-ranking path.
+    gp_id = make()
+    np.random.seed(3)
+    hyp_i, res_i, _ = gp_id.fit(
+        X=X, y=y, options={**opts, "design_subset": 10_000}
+    )
+    np.testing.assert_allclose(hyp_i, hyp_f, atol=1e-12)
