@@ -59,6 +59,15 @@ def tpu_side():
         )
 
     opts = {"n_samples": S_N, "thin": THIN, "opts_N": 3, "init_N": 1024}
+    # Optional TPU-first knobs (the headline row runs WITHOUT them; rows
+    # measured with these flags are reported as labeled option rows):
+    #   --sampler NAME       e.g. hmc / mala / covsample
+    #   --design-subset N    subset ranking of the 1024 candidates
+    for i, a in enumerate(sys.argv):
+        if a == "--sampler":
+            opts["sampler"] = sys.argv[i + 1]
+        if a == "--design-subset":
+            opts["design_subset"] = int(sys.argv[i + 1])
 
     # Cold fit (includes every remote compile).
     gp = make_gp(np.float32)
@@ -94,6 +103,11 @@ def tpu_side():
         "N": N,
         "D": D,
         "n_samples": S_N,
+        "option_flags": {
+            k: opts[k]
+            for k in ("sampler", "design_subset")
+            if k in opts
+        },
         "cold_fit_s": round(cold_fit_s, 1),
         "warm_fit_s": round(warm_fit_s, 1),
         "warm_timings_s": {
