@@ -381,7 +381,7 @@ class TestSegmentedFitEndToEnd:
         h_mono = fit_once()
         orig_plan = mo.segment_plan
         orig_sweep = mo.sweep_segment_plan
-        mo.segment_plan = lambda nr, B0, opts_N, max_iter: (8, 7)
+        mo.segment_plan = lambda nr, B0, opts_N, max_iter, **kw: (8, 7)
         mo.sweep_segment_plan = lambda nr, n_dims: 2
         try:
             h_seg = fit_once()
@@ -417,7 +417,7 @@ class TestSegmentedFitEndToEnd:
             return np.asarray(gp.get_hyperparameters(as_array=True))
 
         orig_plan = mo.segment_plan
-        mo.segment_plan = lambda nr, B0, opts_N, max_iter: (8, 7)
+        mo.segment_plan = lambda nr, B0, opts_N, max_iter, **kw: (8, 7)
         try:
             h_seg = fit_once(None)
             h_seg_mesh = fit_once(pmesh.make_mesh(8))
