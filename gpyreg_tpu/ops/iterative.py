@@ -53,17 +53,27 @@ def _panel_matvec(spec: ModelSpec, hyp_cov, X, V, sn2_vec, row_chunk):
     return out + sn2_vec[:, None] * V
 
 
-def _cg(matvec, B, tol, max_iter, precond=None):
+def _cg(matvec, B, tol, max_iter, precond=None, x0=None):
     """Batched (preconditioned) conjugate gradients: solve A X = B.
 
     B: (N, nrhs).  Runs until every column's relative residual drops
     below tol or max_iter; columns that converge early are frozen.
     ``precond``: optional M^{-1} apply (the PCG preconditioner).
+    ``x0``: optional initial guess (N, nrhs) — warm starting from a
+    nearby solve's solution (Lin et al. 2024, arXiv:2405.18457 §3:
+    successive hyperparameter steps change the system slowly, so the
+    previous solutions start CG far down its convergence curve).  The
+    stopping criterion stays RELATIVE TO ||B|| (not the initial
+    residual), so warm and cold starts solve to the same accuracy.
     """
     if precond is None:
         precond = lambda v: v
-    X0 = jnp.zeros_like(B)
-    R0 = B
+    if x0 is None:
+        X0 = jnp.zeros_like(B)
+        R0 = B
+    else:
+        X0 = x0
+        R0 = B - matvec(x0)
     Z0 = precond(R0)
     P0 = Z0
     b_norm2 = jnp.sum(B * B, axis=0)
@@ -272,6 +282,8 @@ def cg_nlml(
     max_iter: int = 500,
     n_probes: int = 8,
     n_lanczos: int = 32,
+    sol0=None,
+    return_sol: bool = False,
 ):
     """Estimated negative log marginal likelihood (and gradient) with a
     never-materialized kernel matrix — the BBMM training objective:
@@ -288,6 +300,14 @@ def cg_nlml(
     a quasi-Newton optimizer can run on it.  Host-facing; returns float
     (and a numpy gradient).  Accuracy: ~0.1% relative on the logdet at
     the defaults (see tests/test_iterative.py).
+
+    ``return_sol=True`` additionally returns the device-resident CG
+    solution block (padded (N', 1+P)) and the iteration count; pass it
+    back as ``sol0`` on the next call to warm-start the solves across
+    optimizer steps (Lin et al. 2024, arXiv:2405.18457) — the probes
+    are common random numbers, so successive solves differ only by the
+    hyperparameter step and the previous solutions start CG far down
+    its convergence curve.  The solution never leaves the device.
     """
     if key is None:
         key = jax.random.key(0)
@@ -311,14 +331,25 @@ def cg_nlml(
         n_real = jnp.asarray(N, dtype=jnp.int32)
     fn = _cg_nlml_fn(spec, bool(compute_grad), int(row_chunk),
                      int(max_iter), int(n_probes), int(n_lanczos),
-                     s2 is not None, n_real is not None)
+                     s2 is not None, n_real is not None,
+                     carry_sol=bool(return_sol))
     args = [jnp.asarray(hyp), Xj, yj,
             key, jnp.asarray(tol, dtype=dtype)]
     if s2j is not None:
         args.append(s2j)
     if n_real is not None:
         args.append(n_real)
-    out = fn(*args)
+    if return_sol and sol0 is None:
+        # Zeros init keeps the first call on the SAME compiled program
+        # as every warm call (one extra matvec: R0 = B - A@0 = B).
+        sol0 = jnp.zeros((Xj.shape[0], 1 + n_probes), dtype=dtype)
+    out = fn(*args, sol0=sol0)
+    if return_sol:
+        if compute_grad:
+            nlml, grad, sol, iters = out
+            return float(nlml), np.asarray(grad), sol, iters
+        nlml, sol, iters = out
+        return float(nlml), sol, iters
     if compute_grad:
         return float(out[0]), np.asarray(out[1])
     return float(out)
@@ -326,10 +357,10 @@ def cg_nlml(
 
 @partial(jax.jit, static_argnames=("spec", "compute_grad", "row_chunk",
                                    "max_iter", "n_probes", "n_lanczos",
-                                   "has_s2", "has_mask"))
+                                   "has_s2", "has_mask", "carry_sol"))
 def _cg_nlml_impl(spec, compute_grad, row_chunk, max_iter, n_probes,
                   n_lanczos, has_s2, has_mask, hyp, X, y, key, tol,
-                  s2=None, n_real=None):
+                  s2=None, n_real=None, carry_sol=False, sol0=None):
     N = X.shape[0]
     dtype = X.dtype
     hyp = jnp.asarray(hyp).astype(dtype)
@@ -380,7 +411,9 @@ def _cg_nlml_impl(spec, compute_grad, row_chunk, max_iter, n_probes,
     # Shared CG batch: [r | probes]; u = A^{-1} z reused by the gradient.
     Z = jax.random.rademacher(key, (N, n_probes), dtype=dtype)
     B = jnp.concatenate([r, Z], axis=1)
-    sol, _, _ = _cg(mv, B, tol, max_iter)
+    sol, _, cg_iters = _cg(
+        mv, B, tol, max_iter, x0=sol0 if carry_sol else None
+    )
     alpha, U = sol[:, :1], sol[:, 1:]
 
     logdet = slq_logdet(mv, N, key, dtype, n_probes, n_lanczos, probes=Z)
@@ -390,6 +423,8 @@ def _cg_nlml_impl(spec, compute_grad, row_chunk, max_iter, n_probes,
         + 0.5 * n_eff * jnp.log(2.0 * jnp.pi)
     )
     if not compute_grad:
+        if carry_sol:
+            return nlml, sol, cg_iters
         return nlml
 
     # Surrogate whose autodiff gradient equals the estimator:
@@ -410,19 +445,22 @@ def _cg_nlml_impl(spec, compute_grad, row_chunk, max_iter, n_probes,
         return psi + phi
 
     grad = jax.grad(surrogate)(hyp)
+    if carry_sol:
+        return nlml, grad, sol, cg_iters
     return nlml, grad
 
 
 @lru_cache(maxsize=None)
 def _cg_nlml_fn(spec, compute_grad, row_chunk, max_iter, n_probes,
-                n_lanczos, has_s2, has_mask=False):
-    def run(hyp, X, y, key, tol, *rest):
+                n_lanczos, has_s2, has_mask=False, carry_sol=False):
+    def run(hyp, X, y, key, tol, *rest, sol0=None):
         rest = list(rest)
         n_real = rest.pop() if has_mask else None
         s2 = rest[0] if rest else None
         return _cg_nlml_impl(spec, compute_grad, row_chunk, max_iter,
                              n_probes, n_lanczos, has_s2, has_mask, hyp,
-                             X, y, key, tol, s2, n_real)
+                             X, y, key, tol, s2, n_real,
+                             carry_sol=carry_sol, sol0=sol0)
 
     return run
 
@@ -524,6 +562,7 @@ def fit_cg(
     n_lanczos: int = 32,
     max_opt_iter: int = 100,
     ftol: float = 1e-9,
+    warm_start: bool = True,
 ):
     """MAP hyperparameter fit past the Cholesky N limit.
 
@@ -533,6 +572,15 @@ def fit_cg(
     device program = batched CG solve [r | probes] + SLQ logdet +
     Hutchinson gradient; the kernel matrix is never materialized, so
     N is bounded by O(row_chunk * N) workspace, not O(N^2).
+
+    ``warm_start`` (default on) carries each evaluation's CG solution
+    block device-resident into the next evaluation's initial guess
+    (Lin et al. 2024, arXiv:2405.18457): the probes are fixed and
+    L-BFGS steps move the system slowly, so most solves start far down
+    the convergence curve.  Solves still run to the same relative
+    tolerance — the objective values are unchanged up to ``cg_tol``;
+    only the iteration count drops.  Per-evaluation CG iteration
+    counts are attached to the result as ``res.cg_iters``.
 
     ``tol`` maps to L-BFGS-B's gradient tolerance; ``ftol`` (kept at
     scipy's tight default scale) governs the relative-decrease stop —
@@ -549,7 +597,20 @@ def fit_cg(
         raise ValueError("fit_cg requires an initial hyperparameter vector")
     hyp0 = np.asarray(hyp0, dtype=np.float64).ravel()
 
+    state = {"sol": None}
+    iter_counts = []  # device scalars; ONE packed pull at the end
+
     def fg(h):
+        if warm_start:
+            v, g, sol, iters = cg_nlml(
+                spec, h, X, y, s2, key=key, compute_grad=True,
+                tol=cg_tol, row_chunk=row_chunk, max_iter=max_iter,
+                n_probes=n_probes, n_lanczos=n_lanczos,
+                sol0=state["sol"], return_sol=True,
+            )
+            state["sol"] = sol
+            iter_counts.append(iters)
+            return v, g
         return cg_nlml(
             spec,
             h,
@@ -578,6 +639,8 @@ def fit_cg(
         method="L-BFGS-B",
         options={"maxiter": max_opt_iter, "ftol": ftol, "gtol": tol},
     )
+    if iter_counts:
+        res.cg_iters = np.asarray(jnp.stack(iter_counts))
     return res.x, res
 
 

@@ -301,3 +301,75 @@ def test_fit_cg_recovers_hyperparameters():
     # a nat of the Cholesky optimum.
     assert f_it_exact - f_chol < 1.0
     assert np.max(np.abs(hyp_it - np.asarray(xs[0]))) < 0.5
+
+
+def test_cg_warm_start_same_solution_fewer_iters():
+    """Warm-started cg_nlml (arXiv:2405.18457): at a nearby
+    hyperparameter the carried solution block cuts the CG iteration
+    count while the value/gradient agree with the cold solve to
+    solver tolerance."""
+    import jax
+
+    from gpyreg_tpu.ops.iterative import cg_nlml
+
+    rng = np.random.default_rng(7)
+    N, D = 384, 3
+    X = rng.uniform(-3, 3, (N, D))
+    y = np.sum(np.sin(X), 1, keepdims=True) + 0.1 * rng.normal(size=(N, 1))
+    spec = ModelSpec(
+        D=D, cov="se", mean="const",
+        noise_constant=True, noise_user=0, noise_rectified=False,
+    )
+    hyp = np.concatenate([0.1 * rng.normal(size=D), [0.0], [-1.5], [0.0]])
+    key = jax.random.key(3)
+    kw = dict(key=key, compute_grad=True, tol=1e-8, row_chunk=128,
+              n_probes=8, n_lanczos=32)
+
+    v0, g0, sol, it0 = cg_nlml(spec, hyp, X, y, sol0=None,
+                               return_sol=True, **kw)
+    # Small optimizer-like step.
+    hyp2 = hyp + 0.02 * rng.normal(size=hyp.shape)
+    v_warm, g_warm, _, it_warm = cg_nlml(spec, hyp2, X, y, sol0=sol,
+                                         return_sol=True, **kw)
+    v_cold, g_cold = cg_nlml(spec, hyp2, X, y, **kw)
+    assert abs(v_warm - v_cold) / abs(v_cold) < 1e-5
+    assert np.max(np.abs(g_warm - g_cold)) < 1e-3 * max(
+        1.0, np.max(np.abs(g_cold))
+    )
+    # The warm solve starts far down the convergence curve.
+    assert int(it_warm) < int(it0)
+
+
+def test_fit_cg_warm_start_matches_cold():
+    """fit_cg(warm_start=True) lands at the same optimum as the cold
+    driver (same stochastic objective up to cg_tol) and reports a
+    falling per-evaluation CG iteration profile."""
+    import jax
+
+    from gpyreg_tpu.ops.iterative import fit_cg
+
+    rng = np.random.default_rng(11)
+    N, D = 256, 2
+    X = rng.uniform(-3, 3, (N, D))
+    y = np.sum(np.sin(X), 1, keepdims=True) + 0.1 * rng.normal(size=(N, 1))
+    spec = ModelSpec(
+        D=D, cov="se", mean="const",
+        noise_constant=True, noise_user=0, noise_rectified=False,
+    )
+    hyp0 = np.array([0.3, 0.3, 0.2, -1.0, 0.0])
+    LB = np.full(5, -8.0)
+    UB = np.full(5, 8.0)
+    kw = dict(key=jax.random.key(2), row_chunk=128, n_probes=8,
+              n_lanczos=32, cg_tol=1e-8)
+
+    h_warm, res_warm = fit_cg(spec, X, y, hyp0=hyp0, LB=LB, UB=UB,
+                              warm_start=True, **kw)
+    h_cold, res_cold = fit_cg(spec, X, y, hyp0=hyp0, LB=LB, UB=UB,
+                              warm_start=False, **kw)
+    assert np.max(np.abs(h_warm - h_cold)) < 0.05
+    iters = res_warm.cg_iters
+    assert iters.shape[0] == res_warm.nfev
+    # The bulk of evaluations (small L-BFGS steps) must be cheaper
+    # than the cold first solve.
+    assert np.median(iters[1:]) < iters[0]
+    assert not hasattr(res_cold, "cg_iters")
