@@ -1735,6 +1735,7 @@ class GP:
             n_probes=int(options.get("cg_n_probes", 8)),
             n_lanczos=int(options.get("cg_n_lanczos", 32)),
             max_opt_iter=int(options.get("cg_max_opt_iter", 100)),
+            warm_start=bool(options.get("cg_warm_start", True)),
             **cg_opts,
         )
         spec = self._spec()
