@@ -238,3 +238,27 @@ def test_cg_fixed_probe_hyperposterior_sampling():
     v1 = float(jax.jit(log_f, static_argnums=())(hyp[0], *args))
     v2 = float(jax.jit(log_f)(hyp[0], *args))
     assert v1 == v2
+
+
+def test_cg_multisample_save_load_roundtrip(tmp_path):
+    """S fixed-probe hyperposterior samples survive save/load as S
+    matrix-free posteriors whose CG mixture prediction matches the
+    pre-save GP to CG tolerance."""
+    X, y = _data(N=150)
+    gp = _make_gp()
+    np.random.seed(8)
+    gp.fit(
+        X=X, y=y,
+        options=dict(CG_OPTS, n_samples=3, thin=2, burn=4),
+    )
+    assert len(gp.posteriors) == 3
+    rng = np.random.default_rng(9)
+    xs = rng.uniform(-3, 3, (15, 2))
+    mu0, s20 = gp.predict(xs)
+    gp.save(tmp_path / "gp_cg_multi.npz")
+    gp2 = gpr.GP.load(tmp_path / "gp_cg_multi.npz")
+    assert len(gp2.posteriors) == 3
+    assert all(p.matrix_free for p in gp2.posteriors)
+    mu1, s21 = gp2.predict(xs)
+    assert np.max(np.abs(mu0 - mu1)) < 1e-4
+    assert np.max(np.abs(s20 - s21)) < 1e-4
