@@ -79,7 +79,9 @@ def main():
                 elif k.endswith("_s"):
                     line[f"speedup_{k[:-2]}"] = round(r[k] / v, 2)
                 elif k.endswith("_s_mean"):
-                    line[f"speedup_{k[:-7]}"] = round(r[k] / v, 2)
+                    # Own suffix: must NOT collide with the median
+                    # headline key ("warm_refit_s" -> speedup_warm_refit)
+                    line[f"speedup_{k[:-7]}_mean"] = round(r[k] / v, 2)
         print(json.dumps(line), flush=True)
 
 

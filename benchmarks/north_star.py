@@ -31,6 +31,18 @@ N, D, M = 16384, 10, 100_000
 S_N, THIN = 8, 5  # 8 posterior samples, reference default thin=5
 
 
+def _flag_value(flag):
+    """Value following ``flag`` in argv; exits with a message (instead
+    of a late IndexError on this minutes-long workload) when the flag
+    is given bare."""
+    if flag not in sys.argv:
+        return None
+    i = sys.argv.index(flag)
+    if i + 1 >= len(sys.argv):
+        sys.exit(f"{flag} requires a value")
+    return sys.argv[i + 1]
+
+
 def make_data(seed=0):
     rng = np.random.default_rng(seed)
     X = rng.uniform(-3, 3, (N, D))
@@ -63,11 +75,17 @@ def tpu_side():
     # measured with these flags are reported as labeled option rows):
     #   --sampler NAME       e.g. hmc / mala / covsample
     #   --design-subset N    subset ranking of the 1024 candidates
-    for i, a in enumerate(sys.argv):
-        if a == "--sampler":
-            opts["sampler"] = sys.argv[i + 1]
-        if a == "--design-subset":
-            opts["design_subset"] = int(sys.argv[i + 1])
+    sampler = _flag_value("--sampler")
+    if sampler is not None:
+        opts["sampler"] = sampler
+    subset = _flag_value("--design-subset")
+    if subset is not None:
+        try:
+            opts["design_subset"] = int(subset)
+        except ValueError:
+            sys.exit(
+                f"--design-subset needs an integer, got {subset!r}"
+            )
 
     # Cold fit (includes every remote compile).
     gp = make_gp(np.float32)

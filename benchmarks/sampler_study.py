@@ -66,9 +66,11 @@ def main():
     samplers = ["slicesample", "covsample", "mala", "hmc"]
     if "--all" in sys.argv:
         samplers.append("eissample")
-    for i, a in enumerate(sys.argv):
-        if a == "--samplers":
-            samplers = sys.argv[i + 1].split(",")
+    if "--samplers" in sys.argv:
+        i = sys.argv.index("--samplers")
+        if i + 1 >= len(sys.argv):
+            sys.exit("--samplers requires a comma-separated list")
+        samplers = sys.argv[i + 1].split(",")
 
     X, y, xs = make_data()
     opts = {"n_samples": S_N, "thin": THIN, "opts_N": 3, "init_N": 1024}

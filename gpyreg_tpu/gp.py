@@ -163,6 +163,31 @@ class Posterior:
 _MXU_PREDICT_MIN_N = 8192
 _MXU_PREDICT_MIN_M = 1024
 
+def _design_chunk(rank_nr, B0):
+    """Memory-bounded design-eval vmap chunk: ~2 GB of
+    ``(chunk, rank_nr, rank_nr)`` f64 workspace, capped at the design
+    size and rounded down to a power of two (``chunk`` is a static
+    argument of the fused fit program).  ``rank_nr`` is the row count
+    the ranking program actually evaluates — the padded data rows, or
+    the ``design_subset`` size when subset ranking is active (sizing
+    from the full N would serialize the very evaluations the knob
+    exists to batch: chunk=1 at 16k)."""
+    raw = max(
+        1,
+        min(int(B0), 2**31 // max(1, int(rank_nr) ** 2 * 8 * 3)),
+    )
+    return 1 << (int(raw).bit_length() - 1)
+
+
+# Matrix-free (CG) hyperposterior chains segment far earlier than the
+# Cholesky paths' SEG_MIN_N: every chain evaluation is a full CG+SLQ
+# program (up to max_iter panel matvecs), so a monolithic burn+sample
+# chain dispatch crosses the TPU runtime's ~6-minute execution watchdog
+# at a fraction of the Cholesky N (estimated ~400 s monolithic at
+# N=4096 with the default max_iter=500).  Above this true-N threshold
+# the chain runs one sweep per dispatch.
+_CG_SAMPLE_SEG_MIN_N = 2048
+
 
 @lru_cache(maxsize=None)
 def _predict_chunked_fn(
@@ -1840,17 +1865,28 @@ class GP:
                 int(np.random.randint(0, 2**31 - 1))
             )
             # Every chain evaluation is a full CG+SLQ program: one
-            # sweep per watchdog-safe dispatch segment at large N.
-            seg = (
-                1
-                if X.shape[0] >= _map_optimize.SEG_MIN_N
-                else None
-            )
+            # sweep per watchdog-safe dispatch segment (the gate is far
+            # below the Cholesky paths' SEG_MIN_N — see
+            # _CG_SAMPLE_SEG_MIN_N).  The floor of this protection is
+            # ONE sweep (~hyp_N coordinate moves, each ~2-8 CG+SLQ
+            # evaluations): at very large N keep a single sweep under
+            # the ~6-min budget by capping options["cg_max_iter"] /
+            # loosening options["cg_sample_tol"].
+            seg = 1 if X.shape[0] >= _CG_SAMPLE_SEG_MIN_N else None
+            # Same zero-width repair as the exact path (a dimension
+            # whose plausible bounds clamp together must not abort the
+            # chain after the expensive MAP phase).
+            widths_cg = np.asarray(PUB - PLB, dtype=np.float64)
+            idx0 = widths_cg == 0
+            if np.any(idx0):
+                widths_cg[idx0] = np.minimum(
+                    1.0, (UB - LB)[idx0]
+                )
             sampling_result, _ = _device_slice.sample(
                 log_f,
                 np.asarray(hyp_opt, dtype=np.float64),
                 mc_key,
-                widths=np.asarray(PUB - PLB, dtype=np.float64),
+                widths=widths_cg,
                 LB=LB,
                 UB=UB,
                 n_samples=s_N * thin,
@@ -2306,15 +2342,13 @@ class GP:
             # 'chunk' is a static argument of the fused program, and a
             # value that tracked the true N would recompile the largest
             # program in fit() at every refit of a growing dataset.
+            # With design_subset the ranking program's workspace is the
+            # SUBSET size (fixed by the option, so no recompile churn) —
+            # sizing the chunk from the full N would serialize the very
+            # evaluations the knob exists to batch (chunk=1 at 16k).
             obj_args_nr = obj_args[0].shape[0]
-            raw = max(
-                1,
-                min(
-                    design.shape[0],
-                    2**31 // max(1, obj_args_nr * obj_args_nr * 8 * 3),
-                ),
-            )
-            chunk = 1 << (int(raw).bit_length() - 1)
+            rank_nr = design_nr if design_nr is not None else obj_args_nr
+            chunk = _design_chunk(rank_nr, design.shape[0])
             # Above SEG_MIN_N padded rows the one-dispatch fused program
             # exceeds the TPU runtime's ~6-minute per-dispatch execution
             # watchdog; switch to bounded dispatches (map_optimize.py).

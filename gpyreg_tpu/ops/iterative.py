@@ -192,6 +192,33 @@ def _pad_rows(X, row_chunk):
     )
 
 
+def _pad_panel_batch(Xj, yj, s2j, row_chunk):
+    """Mask-pad ``(X, y[, s2])`` to a whole number of ``row_chunk``
+    panels — the ONE construction every matrix-free entry point shares.
+
+    Padded rows duplicate the last X row and carry ``y = 0``,
+    ``s2 = 1``; with the ``n_real`` row mask applied by the panel
+    matvec the padded operator is block-diagonal ``[[A, 0], [0, I]]``,
+    so the quadratic term (zero padded residual), the log-determinant
+    (log 1 = 0 per padded row) and the trace estimator are all exact.
+    Returns ``(Xp, yp, s2p, n_real)``; ``n_real`` is ``None`` when no
+    padding was needed (shapes are trace-static, so callers branch on
+    it in Python).
+    """
+    Xp, N = _pad_rows(Xj, row_chunk)
+    if Xp.shape[0] == N:
+        return Xj, yj, s2j, None
+    pad = Xp.shape[0] - N
+    dtype = Xj.dtype
+    yp = jnp.concatenate([yj, jnp.zeros((pad, 1), dtype)])
+    s2p = (
+        None
+        if s2j is None
+        else jnp.concatenate([s2j, jnp.ones((pad, 1), dtype)])
+    )
+    return Xp, yp, s2p, jnp.asarray(N, dtype=jnp.int32)
+
+
 def lanczos_tridiag(matvec, Z, n_steps: int):
     """Batched Lanczos tridiagonalization with full reorthogonalization.
 
@@ -314,21 +341,12 @@ def cg_nlml(
     Xj = jnp.asarray(X)
     dtype = Xj.dtype
     N = Xj.shape[0]
-    # Mask-padded rows make any N work with a fixed panel size: the
-    # padded operator is block-diagonal [[A, 0], [0, I]], so the
-    # quadratic term (zero padded residual), the log-determinant
-    # (log 1 = 0 per padded row) and the trace estimator are all exact.
+    # Mask-padded rows make any N work with a fixed panel size (see
+    # _pad_panel_batch for the exactness argument).
     row_chunk = int(min(row_chunk, N))
     yj = jnp.asarray(y, dtype=dtype)
     s2j = None if s2 is None else jnp.asarray(s2, dtype=dtype)
-    n_real = None
-    if N % row_chunk:
-        Xj, _ = _pad_rows(Xj, row_chunk)
-        pad = Xj.shape[0] - N
-        yj = jnp.concatenate([yj, jnp.zeros((pad, 1), dtype)])
-        if s2j is not None:
-            s2j = jnp.concatenate([s2j, jnp.ones((pad, 1), dtype)])
-        n_real = jnp.asarray(N, dtype=jnp.int32)
+    Xj, yj, s2j, n_real = _pad_panel_batch(Xj, yj, s2j, row_chunk)
     fn = _cg_nlml_fn(spec, bool(compute_grad), int(row_chunk),
                      int(max_iter), int(n_probes), int(n_lanczos),
                      s2 is not None, n_real is not None,
@@ -511,21 +529,12 @@ def cg_log_post_raw(
         Xj = jnp.asarray(X)
         dtype = Xj.dtype
         N = Xj.shape[0]
-        # Mask-pad to a whole number of row panels (same construction
-        # as the cg_nlml host wrapper; shapes are trace-static).
+        # Mask-pad to a whole number of row panels (the shared
+        # construction of the cg_nlml host wrapper).
         rc = int(min(row_chunk, N))
         yj = jnp.asarray(y, dtype=dtype)
         s2j = None if s2 is None else jnp.asarray(s2, dtype=dtype)
-        n_real = None
-        if N % rc:
-            Xj, _ = _pad_rows(Xj, rc)
-            pad = Xj.shape[0] - N
-            yj = jnp.concatenate([yj, jnp.zeros((pad, 1), dtype)])
-            if s2j is not None:
-                s2j = jnp.concatenate(
-                    [s2j, jnp.ones((pad, 1), dtype)]
-                )
-            n_real = jnp.asarray(N, dtype=jnp.int32)
+        Xj, yj, s2j, n_real = _pad_panel_batch(Xj, yj, s2j, rc)
         nl = _cg_nlml_impl(
             spec, False, rc, max_iter, n_probes, n_lanczos,
             has_s2, n_real is not None, hyp, Xj, yj, key,
@@ -755,12 +764,8 @@ def cg_predict(
     # Pad N to the panel size (padded rows duplicate the last row; their
     # alpha entries are solved but unused: cross-covariances below are
     # computed against the TRUE X only).
-    Xp, N_true = _pad_rows(Xj, row_chunk)
-    if Xp.shape[0] != N_true:
-        pad = Xp.shape[0] - N_true
-        yj = jnp.concatenate([yj, jnp.zeros((pad, 1), dtype)])
-        if s2j is not None:
-            s2j = jnp.concatenate([s2j, jnp.ones((pad, 1), dtype)])
+    N_true = Xj.shape[0]
+    Xp, yj, s2j, _ = _pad_panel_batch(Xj, yj, s2j, row_chunk)
     # NOTE: padding duplicates rows, making K singular without noise —
     # but CG solves (K + sn2 I), and the padded residual (y - m) rows
     # are the only contamination.  Zero them exactly:

@@ -262,3 +262,66 @@ def test_cg_multisample_save_load_roundtrip(tmp_path):
     mu1, s21 = gp2.predict(xs)
     assert np.max(np.abs(mu0 - mu1)) < 1e-4
     assert np.max(np.abs(s20 - s21)) < 1e-4
+
+
+def test_cg_sampling_zero_width_dimension():
+    """A dimension whose plausible bounds clamp together (PLB == PUB
+    inside a user LB < UB window) must not abort the fixed-probe chain
+    after the expensive MAP phase: the CG path repairs zero widths the
+    way the exact path does."""
+    X, y = _data(N=120)
+    gp = _make_gp()
+    # y is O(1): a [100, 110] mean_const window clamps the recommended
+    # plausible range to the single point 100 -> slice width 0 before
+    # the repair, while LB=100 < UB=110 keeps the dimension free.
+    gp.set_bounds({
+        "covariance_log_lengthscale": None,
+        "covariance_log_outputscale": None,
+        "noise_log_scale": None,
+        "mean_const": (100.0, 110.0),
+    })
+    np.random.seed(11)
+    hyp, _res, sr = gp.fit(
+        X=X, y=y, options=dict(CG_OPTS, n_samples=2, thin=1, burn=2)
+    )
+    assert hyp.shape[0] == 2
+    assert np.all(hyp[:, -1] >= 100.0) and np.all(hyp[:, -1] <= 110.0)
+    assert sr is not None and np.all(np.isfinite(sr["f_vals"]))
+
+
+def test_cg_sampling_segment_gate(monkeypatch):
+    """Matrix-free chains engage one-sweep-per-dispatch segmentation at
+    _CG_SAMPLE_SEG_MIN_N — far below the Cholesky paths' SEG_MIN_N,
+    because every chain evaluation is a full CG+SLQ program (a
+    monolithic chain dispatch would cross the TPU ~6-min watchdog at a
+    fraction of the Cholesky N)."""
+    from gpyreg_tpu import gp as gp_mod
+    from gpyreg_tpu.inference import device_slice
+
+    seen = {}
+    real = device_slice.sample
+
+    def spy(*a, **k):
+        seen["seg"] = k.get("seg_sweeps")
+        return real(*a, **k)
+
+    monkeypatch.setattr(device_slice, "sample", spy)
+
+    X, y = _data(N=120)
+    sample_opts = dict(CG_OPTS, n_samples=2, thin=1, burn=2)
+
+    # Above the gate: one sweep per dispatch (bit-identical chain).
+    monkeypatch.setattr(gp_mod, "_CG_SAMPLE_SEG_MIN_N", 64)
+    gp = _make_gp()
+    np.random.seed(12)
+    hyp_seg, _res, _sr = gp.fit(X=X, y=y, options=dict(sample_opts))
+    assert seen["seg"] == 1
+
+    # Below the gate: the monolithic chain program.
+    monkeypatch.setattr(gp_mod, "_CG_SAMPLE_SEG_MIN_N", 10_000)
+    gp2 = _make_gp()
+    np.random.seed(12)
+    hyp_mono, _res, _sr = gp2.fit(X=X, y=y, options=dict(sample_opts))
+    assert seen["seg"] is None
+    # Segmentation must not change the chain (device-carried state).
+    np.testing.assert_allclose(hyp_seg, hyp_mono, rtol=0, atol=1e-12)

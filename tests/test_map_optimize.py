@@ -211,3 +211,20 @@ def test_gp_fit_design_subset_matches_full_ranking_fit():
         X=X, y=y, options={**opts, "design_subset": 10_000}
     )
     np.testing.assert_allclose(hyp_i, hyp_f, atol=1e-12)
+
+
+def test_design_chunk_sized_by_ranking_rows():
+    """The design-eval vmap chunk follows the rows the RANKING program
+    evaluates: with design_subset active the subset size governs the
+    workspace, not the full padded N (which would serialize the subset
+    evaluations the knob exists to batch — chunk=1 at 16k)."""
+    from gpyreg_tpu.gp import _design_chunk
+
+    # Full-N sizing at north-star scale: one candidate at a time.
+    assert _design_chunk(16384, 1024) == 1
+    # Subset ranking at the same scale batches wide.
+    assert _design_chunk(4096, 1024) == 4
+    assert _design_chunk(1024, 1024) == 64
+    # Small problems cap at the design size and stay a power of two.
+    assert _design_chunk(64, 1024) == 1024
+    assert _design_chunk(64, 100) == 64
