@@ -651,7 +651,7 @@ def _quad_fns(spec: ModelSpec):
     mean_axes = (0, 0, None, None, None, None)
     var_axes = (0, 0, 0, 0, None, None, None, None)
 
-    def _packed_var(branch, axes=var_axes):
+    def _packed_var_raw(branch, axes=var_axes):
         # Mean and variance stacked into one (2, s, M) output: one
         # device->host pull per call (fixed tunnel latency per transfer;
         # same treatment as _predict_fns._packed_multi).
@@ -661,7 +661,7 @@ def _quad_fns(spec: ModelSpec):
             F, J = vm(*args)
             return jnp.stack([F, J])
 
-        return jax.jit(f)
+        return f
 
     def mixed_var_one(flag, hyp, alpha, L, mult, X, n_real, mu, sigma):
         # Both parametrization branches in one program, where-selected
@@ -670,14 +670,61 @@ def _quad_fns(spec: ModelSpec):
         F_i, J_i = inv_var_one(hyp, alpha, L, mult, X, n_real, mu, sigma)
         return jnp.where(flag, F_c, F_i), jnp.where(flag, J_c, J_i)
 
+    # Raw (vmapped, unjitted) callables double as shard_map bodies for
+    # the mesh-sharded quad path (_quad_sharded_fn).
+    mean_vm = jax.vmap(mean_one, in_axes=mean_axes)
+    chol_packed = _packed_var_raw(chol_var_one)
+    inv_packed = _packed_var_raw(inv_var_one)
+    mixed_packed = _packed_var_raw(mixed_var_one, (0,) + var_axes)
+
     return {
-        "mean": jax.jit(jax.vmap(mean_one, in_axes=mean_axes)),
+        "mean": jax.jit(mean_vm),
         "chol_var": jax.jit(jax.vmap(chol_var_one, in_axes=var_axes)),
         "inv_var": jax.jit(jax.vmap(inv_var_one, in_axes=var_axes)),
-        "chol_var_packed": _packed_var(chol_var_one),
-        "inv_var_packed": _packed_var(inv_var_one),
-        "mixed_var_packed": _packed_var(mixed_var_one, (0,) + var_axes),
+        "chol_var_packed": jax.jit(chol_packed),
+        "inv_var_packed": jax.jit(inv_packed),
+        "mixed_var_packed": jax.jit(mixed_packed),
+        "mean_raw": mean_vm,
+        "chol_var_packed_raw": chol_packed,
+        "inv_var_packed_raw": inv_packed,
+        "mixed_var_packed_raw": mixed_packed,
     }
+
+
+@lru_cache(maxsize=None)
+def _quad_sharded_fn(spec: ModelSpec, key: str, mesh):
+    """Bayesian quadrature with the INTEGRATION-POINT axis sharded over a
+    device mesh (PyVBMC's ELBO hot path, reference
+    gaussian_process.py:1818-1981): each device holds the replicated
+    padded posterior factors and integrates its own slab of N(mu, sigma)
+    measures.  Zero per-point collectives — like _predict_sharded_fn.
+
+    ``key`` is one of 'mean', 'chol_var_packed', 'inv_var_packed',
+    'mixed_var_packed'; mu/sigma rows must be padded to the mesh size.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    raw = _quad_fns(spec)[key + "_raw"]
+    # mu and sigma are always the two trailing args; everything before
+    # them (hyps/factors/X/n_real [+ flags]) is replicated.
+    n_args = {
+        "mean": 6,
+        "chol_var_packed": 8,
+        "inv_var_packed": 8,
+        "mixed_var_packed": 9,
+    }[key]
+    in_specs = (P(),) * (n_args - 2) + (P("batch", None),) * 2
+    out_specs = (
+        P(None, "batch") if key == "mean" else P(None, None, "batch")
+    )
+    sharded = shard_map(
+        raw, mesh=mesh, in_specs=in_specs, out_specs=out_specs
+    )
+    return jax.jit(sharded)
 
 
 class GP:
@@ -1840,7 +1887,6 @@ class GP:
             # docstring): the frozen probe key makes the chain target a
             # deterministic surrogate of the posterior.
             from .inference import device_slice as _device_slice
-            from .inference import map_optimize as _map_optimize
 
             thin = int(options.get("thin", 5))
             burn = int(options.get("burn", thin * s_N))
@@ -3433,7 +3479,8 @@ class GP:
         # Whole sample batch in one device dispatch per parametrization
         # group (the reference loops samples on the host with SciPy
         # solves; this is PyVBMC's ELBO hot path).
-        qfns = _quad_fns(self._spec())
+        spec = self._spec()
+        qfns = _quad_fns(spec)
         get_stacked, _, X_use, n_real = self._posterior_arrays()
         # Integration points and hyps stay host-side (uploads fold into
         # the dispatch; eager jnp.asarray costs a tunnel round trip).
@@ -3442,6 +3489,30 @@ class GP:
         hyps_all = np.stack([p.hyp for p in self.posteriors]).astype(
             self.dtype
         )
+
+        # Multi-chip: shard the integration points over the mesh, padded
+        # to the device count (factors replicated — the predict design).
+        mesh = self.mesh
+        if mesh is not None:
+            ndev = int(mesh.devices.size)
+            if sigmah.shape[0] == 1 and N_star > 1:
+                sigmah = np.ascontiguousarray(
+                    np.broadcast_to(sigmah, (N_star, sigmah.shape[1]))
+                )
+            Mp = -(-N_star // ndev) * ndev
+            if Mp > N_star:
+                muh = np.concatenate(
+                    [muh, np.repeat(muh[-1:], Mp - N_star, axis=0)]
+                )
+                sigmah = np.concatenate(
+                    [sigmah, np.repeat(sigmah[-1:], Mp - N_star, axis=0)]
+                )
+
+        def _quad_call(key, *args):
+            if mesh is None:
+                return qfns[key](*args)
+            out = _quad_sharded_fn(spec, key, mesh)(*args)
+            return out[..., :N_star]  # drop mesh padding
 
         F = np.zeros((N_star, N_s))
         if compute_var:
@@ -3479,13 +3550,16 @@ class GP:
                     call_args = (flags_arr,) + call_args
                 else:
                     key = "chol_var_packed" if flag else "inv_var_packed"
-                packed = np.asarray(qfns[key](*call_args), dtype=np.float64)
+                packed = np.asarray(
+                    _quad_call(key, *call_args), dtype=np.float64
+                )
                 for j, i in enumerate(idxs):
                     F[:, i] = packed[0, j]
                     F_var[:, i] = packed[1, j]
         else:
             idxs = list(range(N_s))
-            F_b = qfns["mean"](
+            F_b = _quad_call(
+                "mean",
                 hyps_all,
                 get_stacked("alpha", idxs),
                 X_use,
