@@ -238,7 +238,11 @@ def smoothbox_ppf(q, sigma, a, b):
                 sp.stats.norm.ppf(qv * Z, loc=a, scale=sigma),
                 a + (qv * Z - 0.5) * (sigma * _SQRT_2PI),
             ],
-            sp.stats.norm.ppf(qv * Z - plateau, loc=b, scale=sigma),
+            # 1 - Z*(1-q) == q*Z - plateau exactly in real arithmetic,
+            # but stays exact at q=1 (-> +inf) and keeps precision in
+            # the upper tail (reference f_min_fill.py:335-337 relies on
+            # C*q - (C-1) cancelling to 1.0 there).
+            sp.stats.norm.ppf(1.0 - Z * (1.0 - qv), loc=b, scale=sigma),
         )
     return x if np.ndim(q) else float(x)
 
@@ -278,6 +282,7 @@ def smoothbox_student_t_ppf(q, df, sigma, a, b):
                 sp.stats.t.ppf(qv * Z, df, loc=a, scale=sigma),
                 a + (qv * Z - 0.5) / peak,
             ],
-            sp.stats.t.ppf(qv * Z - plateau, df, loc=b, scale=sigma),
+            # Upper-tail form exact at q=1 (see smoothbox_ppf).
+            sp.stats.t.ppf(1.0 - Z * (1.0 - qv), df, loc=b, scale=sigma),
         )
     return x if np.ndim(q) else float(x)

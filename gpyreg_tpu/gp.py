@@ -2989,6 +2989,45 @@ class GP:
         return -self._objective(hyp)
 
     # ------------------------------------------------------------------
+    # Reference-private-API shims.  The reference's own test suite
+    # reaches its name-mangled internals directly (testing/
+    # test_gaussian_process.py:338-385) — partly because the public
+    # ``log_likelihood(compute_grad=True)`` is broken upstream (negates
+    # a tuple).  Exposing the same mangled names with the same sign
+    # conventions lets that suite run against this package unchanged.
+    # ------------------------------------------------------------------
+
+    def __compute_nlZ(self, hyp, compute_grad, compute_prior):
+        """Negative log marginal likelihood (minus log prior when
+        ``compute_prior``); reference gaussian_process.py:1520-1538."""
+        out = (
+            self.log_posterior(hyp, compute_grad)
+            if compute_prior
+            else self.log_likelihood(hyp, compute_grad)
+        )
+        if compute_grad:
+            return -out[0], -np.asarray(out[1])
+        return -out
+
+    def __compute_log_priors(self, hyp, compute_grad):
+        """Log hyperprior (and gradient); reference
+        gaussian_process.py:1275-1466."""
+        from .core.priors import log_prior as _log_prior
+
+        hyp = np.asarray(hyp, dtype=np.float64).reshape(-1)
+        _, _, _, _, pack = self._device()
+        if pack is None:
+            if compute_grad:
+                return 0.0, np.zeros(hyp.shape)
+            return 0.0
+        if compute_grad:
+            v, g = jax.value_and_grad(lambda h: _log_prior(pack, h))(
+                jnp.asarray(hyp)
+            )
+            return float(v), np.asarray(g)
+        return float(_log_prior(pack, jnp.asarray(hyp)))
+
+    # ------------------------------------------------------------------
     # Prediction
     # ------------------------------------------------------------------
 

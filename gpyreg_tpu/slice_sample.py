@@ -87,6 +87,13 @@ class SliceSampler:
             self.base_widths = None
             self.widths = (self.UB - self.LB) / 2
         else:
+            if np.iscomplexobj(np.asarray(widths)):
+                # Match the reference's validation message for non-real
+                # widths (slice_sample.py:152-156).
+                raise ValueError(
+                    "The widths vector needs to be all positive real "
+                    "numbers."
+                )
             self.widths = as_bound(widths, np.nan)
             self.base_widths = self.widths.copy()
         self.widths = np.where(np.isinf(self.widths), 10.0, self.widths)

@@ -147,8 +147,20 @@ def test_vectorized_functions_match_reference_pointwise():
     ppf_v = smoothbox_ppf(qs, sigma, a, b)
     tppf_v = smoothbox_student_t_ppf(qs, df, sigma, a, b)
     for i, q in enumerate(qs):
-        assert abs(ppf_v[i] - r_ppf(q, sigma, a, b)) < 1e-10
-        assert abs(tppf_v[i] - r_tppf(q, df, sigma, a, b)) < 1e-10
+        # Deep upper tail: our 1 - Z*(1-q) argument deliberately
+        # deviates from the reference's cancellation-prone
+        # C*q - (C-1) by <= 1 ulp of the ARGUMENT, which the steep
+        # tail quantile amplifies (reference ppf(1.0) can even return
+        # finite); allow the amplified ulp there, bit-level elsewhere.
+        tail = 1e-7 if q > 0.999 else 1e-10
+        assert abs(ppf_v[i] - r_ppf(q, sigma, a, b)) < tail
+        assert abs(tppf_v[i] - r_tppf(q, df, sigma, a, b)) < tail
+    # Exact limits (the reference's own test_smoothbox.py:62-68, which
+    # the pre-fix argument form failed for some (sigma, a, b)).
+    assert smoothbox_ppf(0.0, sigma, a, b) == -np.inf
+    assert smoothbox_ppf(1.0, sigma, a, b) == np.inf
+    assert smoothbox_student_t_ppf(0.0, df, sigma, a, b) == -np.inf
+    assert smoothbox_student_t_ppf(1.0, df, sigma, a, b) == np.inf
 
     for B, w in (
         ([-3.0, -1.0, 1.0, 3.0], 0.5),
