@@ -452,14 +452,16 @@ def segment_plan(nr, B0, opts_N, max_iter, nr_design=None):
     return design_seg, iter_seg
 
 
-def sweep_segment_plan(nr, n_dims):
+def sweep_segment_plan(nr, n_dims, chains=1):
     """Sweeps-per-dispatch budget for the device slice/MALA chains at
     padded row count ``nr``; None below SEG_MIN_N (monolithic chain is
     safe).  A slice sweep evaluates the NLML ~8 times per non-fixed
-    hyperparameter dimension (bracket + shrinkage, empirical mean)."""
+    hyperparameter dimension (bracket + shrinkage, empirical mean).
+    ``chains`` scales the budget for batched multi-chain sweeps (each
+    eval is a B-batched Cholesky, ~B x the device time of one)."""
     if nr < SEG_MIN_N:
         return None
-    per_sweep = _per_eval_s(nr) * 8.0 * max(1, n_dims)
+    per_sweep = _per_eval_s(nr) * 8.0 * max(1, n_dims) * max(1, chains)
     return int(np.clip(_DISPATCH_BUDGET_S / per_sweep, 1, 512))
 
 

