@@ -1,0 +1,141 @@
+"""Converged north star via chain-parallel MCMC (VERDICT r4 item 2).
+
+The round-3 headline north-star fit reports exit_flag=-2 (max R-hat >
+1.1 from a single chain's split diagnostics at 8 samples x thin 5) —
+the reference would report the same, but a framework claiming to beat
+it should also show what a CONVERGED hyperposterior costs.  This runs
+the exact north-star workload (N=16384, D=10 ARD-SE; same data seeds
+as benchmarks/north_star.py) through ``fit(n_chains=8)``: 8 chains
+from the MAP point, batched into one program (each chain sweep shares
+one B=8 batched Cholesky per eval), cross-chain Gelman-Rubin R-hat.
+
+Protocol: one cold fit pays the remote compiles, then warm rows at
+escalating burn-in until max R-hat < 1.1 (exit_flag >= 0) or the row
+budget runs out.  Each row prints one JSON line as it completes.
+
+Usage: python benchmarks/north_star_chains.py [--smoke]
+       [--chains B] [--budget-min M]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N, D = 16384, 10
+S_N, THIN, B = 8, 5, 8
+BURNS = [40, 120, 360]  # default = thin * n_samples, then escalate
+
+
+def make_data(seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(-3, 3, (N, D))
+    y = (
+        np.sum(np.sin(X[:, :3]), axis=1, keepdims=True)
+        + 0.5 * np.sum(X[:, 3:5] ** 2, axis=1, keepdims=True) / 3.0
+        + 0.1 * rng.normal(size=(N, 1))
+    )
+    return X, y
+
+
+def main():
+    global N, B
+    if "--smoke" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        N = 256
+    if "--chains" in sys.argv:
+        B = int(sys.argv[sys.argv.index("--chains") + 1])
+    budget_min = 150.0
+    if "--budget-min" in sys.argv:
+        budget_min = float(sys.argv[sys.argv.index("--budget-min") + 1])
+    t_start = time.perf_counter()
+
+    import gpyreg_tpu as gpr
+
+    X, y = make_data()
+
+    gp = gpr.GP(
+        D=D,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+        dtype=np.float32,
+    )
+
+    def run(burn, seed, label):
+        opts = {
+            "n_samples": S_N,
+            "thin": THIN,
+            "opts_N": 3,
+            "init_N": 1024,
+            "n_chains": B,
+            "burn": burn,
+        }
+        np.random.seed(seed)
+        t0 = time.perf_counter()
+        hyp, _, sr = gp.fit(X=X, y=y, options=opts)
+        wall = time.perf_counter() - t0
+        R = sr.get("R")
+        eff = sr.get("eff_N")
+        rec = {
+            "row": label,
+            "n_chains": B,
+            "burn": burn,
+            "fit_wall_s": round(wall, 1),
+            "timings_s": {
+                k: round(v, 1) for k, v in gp.fit_timings.items()
+            },
+            "exit_flag": sr["exit_flag"],
+            "max_R": None if R is None else round(float(np.max(R)), 3),
+            "min_eff_N": (
+                None if eff is None else round(float(np.min(eff)), 1)
+            ),
+            "hyp_mean": [round(float(v), 3) for v in np.mean(hyp, 0)],
+            "hyp_std": [round(float(v), 3) for v in np.std(hyp, 0)],
+        }
+        print(json.dumps(rec), flush=True)
+        return rec
+
+    # Cold run pays every remote compile (design/MAP programs are shared
+    # with the ordinary fit; the B-chain segments are new).
+    cold = run(BURNS[0], seed=0, label="cold")
+    per_sweep = cold["timings_s"].get("sample_s", 0.0) / max(
+        1, BURNS[0] + 2
+    )
+    converged = None
+    for burn in BURNS:
+        projected = per_sweep * (burn + 2) + 120.0
+        elapsed = (time.perf_counter() - t_start) / 60.0
+        if elapsed + projected / 60.0 > budget_min:
+            print(
+                json.dumps(
+                    {"skipped_burn": burn, "projected_s": round(projected)}
+                ),
+                flush=True,
+            )
+            break
+        rec = run(burn, seed=1 + burn, label=f"warm_burn{burn}")
+        if rec["exit_flag"] >= 0 or (
+            rec["max_R"] is not None and rec["max_R"] < 1.1
+        ):
+            converged = rec
+            break
+    print(
+        json.dumps(
+            {
+                "converged": converged is not None,
+                "row": None if converged is None else converged["row"],
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
