@@ -3396,12 +3396,6 @@ class GP:
             raise ValueError(
                 "Cannot calculate log predictive density without y_star."
             )
-        if return_lpd and self.outwarp is not None:
-            # Parity with the oracle: gplite_pred.m:107 errors here.
-            raise ValueError(
-                "Log predictive density is unsupported with output "
-                "warping."
-            )
 
         mu, s2 = self._group_predict(x_star, full=False)
         s2 = np.maximum(s2, 0)  # clamp numerical negatives
@@ -3421,7 +3415,37 @@ class GP:
                     (-1, 1),
                 )
 
-        if return_lpd and separate_samples:
+        if return_lpd and self.outwarp is not None:
+            # BEYOND the oracle (gplite_pred.m:107 errors here): under
+            # output warping the per-sample predictive is Gaussian in
+            # WARPED space, so the density of the original observation
+            # follows by change of variables,
+            #   lpd_s(y*) = log N(g_s(y*); mu_s, y_s2_s) + log g_s'(y*),
+            # with each sample's own warp hyperparameters.  The mixture
+            # reduction is the exact log-mean-density (a moment-matched
+            # single Gaussian is incoherent across samples here — each
+            # sample warps y* differently).
+            ow_N = self._outwarp_N()
+            lpd_s = np.zeros((x_star.shape[0], s_N))
+            for s in range(s_N):
+                hyp_ow = self.posteriors[s].hyp[-ow_N:]
+                yw, dw = self.outwarp.compute(
+                    hyp_ow, y_star, compute_grad=True
+                )
+                v = y_s2[:, s : s + 1]
+                lpd_s[:, s : s + 1] = (
+                    -0.5 * (yw - mu[:, s : s + 1]) ** 2 / v
+                    - 0.5 * np.log(2 * np.pi * v)
+                    + np.log(np.abs(dw))
+                )
+            if separate_samples:
+                lpd = lpd_s
+            else:
+                lpd = np.reshape(
+                    sp.special.logsumexp(lpd_s, axis=1) - np.log(s_N),
+                    (-1, 1),
+                )
+        elif return_lpd and separate_samples:
             lpd = -0.5 * (y_star - mu) ** 2 / y_s2 - 0.5 * np.log(
                 2 * np.pi * y_s2
             )
@@ -3461,7 +3485,9 @@ class GP:
                 mu = np.reshape(mu, (-1, 1))
                 s2 = np.reshape(s2, (-1, 1))
 
-            if return_lpd and add_noise:
+            if return_lpd and self.outwarp is not None:
+                pass  # already the exact mixture density (above)
+            elif return_lpd and add_noise:
                 lpd = -0.5 * (y_star - mu) ** 2 / s2 - 0.5 * np.log(
                     2 * np.pi * s2
                 )

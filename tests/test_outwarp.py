@@ -197,13 +197,69 @@ def test_fit_and_predict_with_outwarp():
     xs = np.linspace(-3, 3, 30)[:, None]
     mu, s2 = gp.predict(xs)
     assert np.all(np.isfinite(mu)) and np.all(s2 >= 0)
+    # lpd IS supported under warping (change of variables; beyond the
+    # oracle, which errors at gplite_pred.m:107) — see
+    # test_outwarp_lpd_is_proper_density for correctness.
+    _, _, lpd = gp.predict(xs, y_star=np.zeros((30, 1)), return_lpd=True)
+    assert lpd.shape == (30, 1) and np.all(np.isfinite(lpd))
     # Unsupported combinations raise (oracle parity).
-    with pytest.raises(ValueError):
-        gp.predict(xs, y_star=np.zeros((30, 1)), return_lpd=True)
     with pytest.raises(ValueError):
         gp.predict_full(xs)
     with pytest.raises(ValueError):
         gp.quad(np.zeros((2, 1)), np.ones((2, 1)))
+
+
+def test_outwarp_lpd_is_proper_density():
+    """The warped-GP log predictive density is a PROPER density in the
+    original y space: exp(lpd) integrates to 1 over y* (this pins the
+    change-of-variables Jacobian), and the mixture reduction equals the
+    log-mean of the per-sample densities."""
+    rng = np.random.default_rng(8)
+    N, D = 35, 1
+    X = rng.uniform(-3, 3, (N, D))
+    y = np.sin(X)
+    y[y < -0.3] = -0.3 - 4.0 * (-0.3 - y[y < -0.3])
+    gp = gpr.GP(
+        D=D,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+        outwarp=NegativePower(),
+    )
+    gp.X, gp.y = X, y
+    hyp = np.array(
+        [
+            [0.1, 0.2, -1.5, 0.0, -0.3, 0.5],
+            [0.2, 0.1, -1.3, 0.1, -0.2, 0.3],
+        ]
+    )
+    gp.update(hyp=hyp)
+    x0 = np.array([[0.7]])
+    # Integrate the predictive density over a wide y grid (the warp
+    # stretches the lower tail, so go far down).
+    ys = np.linspace(-40.0, 8.0, 20001)[:, None]
+    lpd = np.array(
+        [
+            gp.predict(
+                x0, y_star=ys[i : i + 1], return_lpd=True
+            )[2][0, 0]
+            for i in range(0, ys.shape[0], 100)
+        ]
+    )
+    grid = ys[::100, 0]
+    mass = np.trapezoid(np.exp(lpd), grid)
+    assert abs(mass - 1.0) < 2e-2, mass
+
+    # Mixture lpd == log-mean of per-sample densities.
+    y_star = np.array([[-1.2]])
+    _, _, lpd_mix = gp.predict(x0, y_star=y_star, return_lpd=True)
+    _, _, lpd_sep = gp.predict(
+        x0, y_star=y_star, return_lpd=True, separate_samples=True
+    )
+    from scipy.special import logsumexp
+
+    expected = logsumexp(np.asarray(lpd_sep).ravel()) - np.log(2)
+    assert np.isclose(float(lpd_mix), float(expected), atol=1e-12)
 
 
 def test_predict_quantile_with_outwarp():
