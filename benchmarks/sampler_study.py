@@ -18,7 +18,9 @@ same MAP start, same widths), and reports:
 Samplers: slicesample (reference default), covsample (gplite
 random-direction slice, gplite_train.m:392-407), mala
 (gplite_train.m:409-431, Nhyp-scaled counts), hmc
-(gplite_train.m:433-447, 10 leapfrog steps).  'eissample' (2(D+1)
+(gplite_train.m:433-447, 10 leapfrog steps), slicelite
+(gplite_train.m:359-390; its warm repeat exercises the ESS
+warm-refit shortcut).  'eissample' (2(D+1)
 walkers, every walker moves per iteration) is behind --all: at N=16384
 its batched evals are compute-bound so a full run costs about as much
 as slicesample.
@@ -63,7 +65,7 @@ def main():
 
     import gpyreg_tpu as gpr
 
-    samplers = ["slicesample", "covsample", "mala", "hmc"]
+    samplers = ["slicesample", "covsample", "mala", "hmc", "slicelite"]
     if "--all" in sys.argv:
         samplers.append("eissample")
     if "--samplers" in sys.argv:

@@ -1886,8 +1886,6 @@ class GP:
             # Fixed-probe hyperposterior chain (see the method
             # docstring): the frozen probe key makes the chain target a
             # deterministic surrogate of the posterior.
-            from .inference import device_slice as _device_slice
-
             thin = int(options.get("thin", 5))
             burn = int(options.get("burn", thin * s_N))
             _, _, _, _, pack = self._device()
