@@ -1,0 +1,176 @@
+"""Matrix-free (fixed-probe) hyperposterior sampling, measured at scale.
+
+VERDICT r3 #5: the round-3 capability — MCMC over the determinant-free
+CG+SLQ surrogate posterior (ops/iterative.cg_log_post_raw), fully
+Bayesian past the Cholesky limit — had no measured TPU wall-clock.
+This produces:
+
+  A. N=65,536 (f32, one chip; the 65k^2 kernel matrix would be 17 GB):
+     ``gp.fit(method='cg', n_samples=S)`` — wall-clock per phase, the
+     S collected samples' spread, and predictive sanity on held-out
+     points.  One sweep per watchdog-safe dispatch segment.
+  B. NLML fidelity at a Cholesky-feasible N (8,192): the frozen-probe
+     surrogate log-posterior evaluated at perturbations of the MAP
+     point vs the exact Cholesky NLML — the bias the chain actually
+     targets (expected <1% of the NLML scale at defaults,
+     tests/test_iterative.py pins the estimator).
+
+Usage: python benchmarks/matrix_free_sampling.py [--smoke] [--skip-a]
+Prints one JSON line per part.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_A, D, S_N, THIN = 65536, 4, 4, 2
+N_B = 8192
+
+CG_OPTS = {
+    "method": "cg",
+    "cg_row_chunk": 2048,
+    "cg_n_probes": 8,
+    "cg_n_lanczos": 24,
+    "cg_tol": 1e-4,
+    "cg_max_iter": 300,
+    "cg_max_opt_iter": 40,
+    "cg_init_N": 8,
+    "cg_predict_tol": 1e-5,
+    "tol_opt": 1e-5,
+}
+
+
+def make_gp(gpr, D):
+    return gpr.GP(
+        D=D,
+        covariance=gpr.covariance_functions.SquaredExponential(),
+        mean=gpr.mean_functions.ConstantMean(),
+        noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+        dtype=np.float32,
+    )
+
+
+def main():
+    global N_A, N_B
+    if "--smoke" in sys.argv:
+        os.environ["GPYREG_TPU_NO_COMPILE_CACHE"] = "1"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        N_A, N_B = 1024, 512
+
+    import gpyreg_tpu as gpr
+
+    rng = np.random.default_rng(0)
+
+    # ---- Part A: 65k fit + fixed-probe hyperposterior chain ----
+    if "--skip-a" not in sys.argv:
+        X = rng.normal(size=(N_A, D))
+        y = np.sum(np.sin(X), axis=1, keepdims=True) + 0.1 * rng.normal(
+            size=(N_A, 1)
+        )
+        xs = rng.normal(size=(512, D))
+        gp = make_gp(gpr, D)
+        hyp0 = np.concatenate([np.full(D, 0.5), [0.0], [-1.0], [0.0]])
+        t0 = time.perf_counter()
+        hyp, res, sr = gp.fit(
+            X=X,
+            y=y,
+            hyp0=hyp0,
+            options={
+                **CG_OPTS,
+                "n_samples": S_N,
+                "thin": THIN,
+                "burn": S_N * THIN,
+            },
+        )
+        wall = time.perf_counter() - t0
+        mu, s2 = gp.predict(xs)
+        assert np.all(np.isfinite(mu)) and np.all(np.isfinite(s2))
+        print(
+            json.dumps(
+                {
+                    "part": "A_65k_sampling",
+                    "N": N_A,
+                    "S": S_N,
+                    "thin": THIN,
+                    "fit_wall_s": round(wall, 1),
+                    "timings_s": {
+                        k: round(v, 1)
+                        for k, v in gp.fit_timings.items()
+                    },
+                    "n_sweeps": 2 * S_N * THIN,
+                    "hyp_mean": [
+                        round(float(v), 3) for v in np.mean(hyp, 0)
+                    ],
+                    "hyp_std": [
+                        round(float(v), 3) for v in np.std(hyp, 0)
+                    ],
+                    "exit_flag": None if sr is None else sr["exit_flag"],
+                }
+            ),
+            flush=True,
+        )
+
+    # ---- Part B: surrogate-vs-exact NLML fidelity at feasible N ----
+    import jax
+
+    from gpyreg_tpu.core.nlml import get_fns
+    from gpyreg_tpu.ops import iterative as it
+
+    Xb = rng.normal(size=(N_B, D))
+    yb = np.sum(np.sin(Xb), axis=1, keepdims=True) + 0.1 * rng.normal(
+        size=(N_B, 1)
+    )
+    gpb = make_gp(gpr, D)
+    hyp0 = np.concatenate([np.full(D, 0.3), [0.0], [-1.0], [0.0]])
+    hyp_b, _, _ = gpb.fit(X=Xb, y=yb, hyp0=hyp0, options=dict(CG_OPTS))
+    spec = gpb._spec()
+    log_f, _ = it.cg_log_post_raw(
+        spec,
+        CG_OPTS["cg_tol"],
+        CG_OPTS["cg_row_chunk"],
+        CG_OPTS["cg_max_iter"],
+        CG_OPTS["cg_n_probes"],
+        CG_OPTS["cg_n_lanczos"],
+        False,
+        False,
+    )
+    fns = get_fns(spec, False, False)
+    key = jax.random.key(7)
+    Xf = Xb.astype(np.float32)
+    yf = yb.astype(np.float32)
+    errs, npp = [], []
+    base = np.ravel(hyp_b)
+    for i in range(8):
+        h = base + 0.05 * rng.normal(size=base.shape)
+        sur = -float(log_f(h, Xf, yf, key))  # surrogate NLML
+        exact = float(fns["nlz"](h, Xf, yf))
+        errs.append(abs(sur - exact) / abs(exact))
+        npp.append(abs(sur - exact) / N_B)
+    print(
+        json.dumps(
+            {
+                "part": "B_fidelity",
+                "N": N_B,
+                "n_points": len(errs),
+                "nlml_rel_err_max": float(f"{max(errs):.3e}"),
+                "nlml_rel_err_mean": float(
+                    f"{float(np.mean(errs)):.3e}"
+                ),
+                "nlml_err_nats_per_point_max": float(
+                    f"{max(npp):.3e}"
+                ),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
