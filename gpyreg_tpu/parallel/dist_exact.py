@@ -230,11 +230,23 @@ def _scaled_model(spec, hyp, X, y, s2, n_real, Np):
 
 
 @lru_cache(maxsize=None)
-def _fit_fn(spec: ModelSpec, mesh: Mesh, Np: int, b: int, has_s2: bool):
+def _fit_fn(
+    spec: ModelSpec,
+    mesh: Mesh,
+    Np: int,
+    b: int,
+    has_s2: bool,
+    jitter: float = 0.0,
+):
     """Jitted distributed build + factor + alpha + NLML.
 
     Returns (L slab [sharded], alpha [sharded], sW [replicated],
-    nlml [replicated]).
+    nlml [replicated]).  ``jitter`` is an optional constant added to
+    the unit diagonal of B (B = I + sW K sW has eigenvalues >= 1 in
+    exact arithmetic — K is PSD — so 0.0 is safe except for f32
+    rounding at extreme N/conditioning; a failed factorization
+    propagates NaN to nlml rather than escalating, matching
+    nlz_design's single-attempt contract, core/nlml.py:137-163).
     """
     ndev = int(mesh.devices.size)
     rows_local = Np // ndev
@@ -260,7 +272,9 @@ def _fit_fn(spec: ModelSpec, mesh: Mesh, Np: int, b: int, has_s2: bool):
         eye_loc = (jnp.arange(Np)[None, :] == row_global[:, None]).astype(
             B_loc.dtype
         )
-        slab = B_loc + eye_loc
+        # jitter only on REAL rows: the padded identity blocks must
+        # stay exactly I (their log-diag contribution must be 0).
+        slab = B_loc + (1.0 + jitter * mask_loc[:, None]) * eye_loc
 
         slab = _dist_cholesky_inplace(slab, row0, rows_local, b, nb, Np)
 
@@ -409,14 +423,22 @@ def _pad_rows(A, Np, fill_row=None):
 
 
 def dist_exact_fit(spec: ModelSpec, mesh: Mesh, hyp, X, y, s2=None,
-                   b: int = 512):
+                   b: int = 512, jitter: float = 0.0):
     """Build + factor the scaled kernel matrix row-sharded over ``mesh``
     and return a :class:`DistExactPosterior` (with exact ``nlml``).
 
     N is padded to a multiple of ``n_devices * b`` with inert identity
     rows (exact — see ``_scaled_model``).  Per-device HBM: one
-    (N/P, N) slab plus one (N, b) gathered panel.
+    (N/P, N) slab plus one (N, b) gathered panel.  ``jitter`` (optional
+    diagonal stabilizer, see :func:`_fit_fn`) defaults to 0 — B's
+    eigenvalues are >= 1 by construction.
     """
+    if spec.outwarp is not None:
+        raise ValueError(
+            "The distributed exact tier does not support output "
+            "warping; use the replicated path (core/nlml) for warped "
+            "models."
+        )
     X = np.asarray(X)
     y = np.asarray(y)
     N = X.shape[0]
@@ -425,7 +447,7 @@ def dist_exact_fit(spec: ModelSpec, mesh: Mesh, hyp, X, y, s2=None,
     Np, rows_local, _ = plan(N, ndev, b)
     Xp = _pad_rows(X, Np)
     yp = _pad_rows(y, Np, fill_row=np.zeros((1, y.shape[1])))
-    fn = _fit_fn(spec, mesh, Np, b, s2 is not None)
+    fn = _fit_fn(spec, mesh, Np, b, s2 is not None, float(jitter))
     args = [np.asarray(hyp), Xp, yp, np.int32(N)]
     if s2 is not None:
         args.append(_pad_rows(s2, Np, fill_row=np.ones((1, 1))))
@@ -436,9 +458,11 @@ def dist_exact_fit(spec: ModelSpec, mesh: Mesh, hyp, X, y, s2=None,
 
 
 def dist_exact_nlml(spec: ModelSpec, mesh: Mesh, hyp, X, y, s2=None,
-                    b: int = 512):
+                    b: int = 512, jitter: float = 0.0):
     """Exact NLML with the kernel matrix sharded over the mesh."""
-    return float(dist_exact_fit(spec, mesh, hyp, X, y, s2, b).nlml)
+    return float(
+        dist_exact_fit(spec, mesh, hyp, X, y, s2, b, jitter).nlml
+    )
 
 
 def dist_exact_predict(post: DistExactPosterior, xs, chunk: int = 1024):

@@ -171,6 +171,45 @@ def test_plan_alignment():
     assert rows_local % 32 == 0
 
 
+def test_dist_outwarp_refused():
+    spec = ModelSpec(
+        D=2, cov="se", mean="const", noise_constant=True,
+        noise_user=0, noise_rectified=False, outwarp="negpow",
+    )
+    X, y, _, _ = _data(64, 2)
+    with pytest.raises(ValueError, match="output"):
+        de.dist_exact_fit(spec, MESH, np.zeros(spec.hyp_N), X, y)
+
+
+def test_dist_jitter_stabilizer():
+    """jitter inflates the diagonal of B: the NLML matches the dense
+    oracle with the same inflation."""
+    D, N = 2, 96
+    spec = ModelSpec(
+        D=D, cov="se", mean="zero", noise_constant=True,
+        noise_user=0, noise_rectified=False,
+    )
+    X, y, _, _ = _data(N, D, seed=11)
+    hyp = _hyp(spec, seed=12)
+    jit = 1e-3
+    post = de.dist_exact_fit(spec, MESH, hyp, X, y, b=16, jitter=jit)
+    hyp_j = jnp.asarray(hyp)
+    hyp_cov, hyp_noise, _ = spec.split_hyp(hyp_j)
+    sn2 = float(noise_variance(spec, hyp_noise, y, None, X.dtype))
+    sW = np.full(N, sn2**-0.5)
+    K = np.asarray(cov_matrix(spec, hyp_cov, X))
+    B = (1 + jit) * np.eye(N) + sW[:, None] * K * sW[None, :]
+    L = np.linalg.cholesky(B)
+    z = np.linalg.solve(L, sW[:, None] * y)
+    ref = (
+        0.5 * float(z.T @ z)
+        + float(np.sum(np.log(np.diag(L))))
+        + 0.5 * N * np.log(sn2)
+        + 0.5 * N * np.log(2 * np.pi)
+    )
+    assert float(post.nlml) == pytest.approx(ref, rel=1e-12)
+
+
 def test_dist_factor_is_sharded():
     """The L slab and alpha actually live sharded over the mesh (the
     point of the path: per-device footprint N^2/P)."""
