@@ -27,7 +27,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N, D = 16384, 10
-S_N, THIN, B = 8, 5, 8
+# B=2 chains: the B-chain batched eval holds ~4-5 live copies of the
+# (B, N, N) array (K build, jitter-retry carry, factor, NaN check) —
+# measured 41 GB at B=8 vs the v5e's 15.75 GB HBM (r4 OOM log), and a
+# 16k Cholesky already saturates the MXU so batching chains buys
+# convergence structure, not wall-clock.  2 chains x split = 4
+# sequences for the Gelman-Rubin diagnostic (Stan's default strength).
+S_N, THIN, B = 8, 5, 2
 BURNS = [40, 120, 360]  # default = thin * n_samples, then escalate
 
 

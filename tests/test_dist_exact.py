@@ -163,6 +163,32 @@ def test_dist_predict_chunking():
     assert np.max(np.abs(s21 - s22)) < 1e-12
 
 
+def test_dist_f32_fast_path():
+    """f32 (the TPU fast-path dtype) stays conditioning-bounded close
+    to the f64 oracle — B = I + sW K sW has eigenvalues >= 1, so the
+    factorization itself is stable; tolerance reflects f32 rounding in
+    the O(N) trailing-update accumulation."""
+    D, N = 3, 384
+    spec = ModelSpec(
+        D=D, cov="se", mean="const", noise_constant=True,
+        noise_user=0, noise_rectified=False,
+    )
+    X, y, xs, _ = _data(N, D, seed=13)
+    hyp = _hyp(spec, seed=14)
+    post = de.dist_exact_fit(
+        spec, MESH, hyp, X.astype(np.float32), y.astype(np.float32),
+        b=16,
+    )
+    ref = float(nlz(spec, hyp, X, y, None))
+    assert float(post.nlml) == pytest.approx(ref, rel=2e-4)
+    _, mu_ref, s2_ref = _dense_oracle(spec, hyp, X, y, None, xs)
+    mu, s2 = de.dist_exact_predict(post, xs.astype(np.float32))
+    assert np.max(np.abs(mu - mu_ref)) < 5e-3 * max(
+        1.0, float(np.max(np.abs(mu_ref)))
+    )
+    assert np.max(np.abs(s2 - s2_ref)) < 5e-3
+
+
 def test_plan_alignment():
     Np, rows_local, nb = de.plan(1000, 8, 32)
     assert Np % (8 * 32) == 0 and Np >= 1000
