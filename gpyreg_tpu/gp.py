@@ -163,6 +163,15 @@ class Posterior:
 _MXU_PREDICT_MIN_N = 8192
 _MXU_PREDICT_MIN_M = 1024
 
+def _chain_batch_hbm_estimate(n_chains, n_padded, itemsize, n_dev=1):
+    """Worst-case device memory of the chain-parallel batched MCMC
+    eval: ~5 live copies of the per-device (B, N, N) kernel array
+    (build temp, jitter-retry carry, factor, NaN-check, single-lane
+    convert — the round-4 OOM log measured 41.03 GB at B=8, N=16384,
+    f32, matching 5*8*16384^2*4 = 42.9 GB to fragmentation)."""
+    return 5 * -(-n_chains // n_dev) * n_padded**2 * itemsize
+
+
 def _design_chunk(rank_nr, B0):
     """Memory-bounded design-eval vmap chunk: ~2 GB of
     ``(chunk, rank_nr, rank_nr)`` f64 workspace, capped at the design
@@ -2683,9 +2692,37 @@ class GP:
             # Burn-in is per-chain work: every chain must adapt its
             # widths and forget the start over the FULL burn window
             # (only the collection phase is divisible across chains).
-            # The chains are vmapped, so the full burn costs roughly
-            # one chain's burn in wall-clock.
+            # The chains are vmapped: at small N the lanes fill the
+            # chip and the burn costs ~one chain's wall-clock; at large
+            # N a single Cholesky already saturates the MXU, so the
+            # batch buys convergence structure (independent chains for
+            # cross-chain R-hat), not per-sweep speed.
             burn_per = burn_in
+            # HBM sizing: the batched eval holds ~5 live copies of the
+            # (B, N, N) kernel array (build, jitter-retry carry,
+            # factor, NaN check — measured 41 GB at B=8, N=16384 on a
+            # 15.75 GB v5e).  Warn before XLA's opaque OOM; a mesh
+            # divides the batch across devices.
+            n_dev = 1 if self.mesh is None else int(
+                self.mesh.devices.size
+            )
+            est = _chain_batch_hbm_estimate(
+                B, obj_args[0].shape[0], self.dtype.itemsize, n_dev
+            )
+            try:
+                hbm = jax.devices()[0].memory_stats()["bytes_limit"]
+            except Exception:
+                hbm = 16e9
+            if est > hbm:
+                warnings.warn(
+                    f"n_chains={B} at N={obj_args[0].shape[0]} needs "
+                    f"~{est / 1e9:.0f} GB HBM (>{hbm / 1e9:.1f} GB): "
+                    "the batched chain eval will likely OOM — use "
+                    "fewer chains (2 fits a 16 GB chip at N=16384), a "
+                    "larger mesh, or sequential fits with distinct "
+                    "seeds (independent chains compose for R-hat).",
+                    stacklevel=2,
+                )
             chain_x, chain_f = _device_slice.sample_chains(
                 fns["log_post_raw"],
                 np.tile(np.reshape(hyp_start, (1, -1)), (B, 1)),

@@ -497,3 +497,19 @@ def test_gp_fit_chain_parallel_non_divisible(gp_data):
     assert hyp8.shape[0] == 8
     assert sr8["R"] is not None and np.all(np.isfinite(sr8["R"]))
     assert np.all(np.isfinite(sr8["eff_N"]))
+
+
+def test_chain_batch_hbm_estimate():
+    """The chain-parallel HBM sizing formula matches the round-4 OOM
+    measurement (41.03 GB used at B=8, N=16384, f32 on a 15.75 GB v5e)
+    and scales down with mesh size."""
+    from gpyreg_tpu.gp import _chain_batch_hbm_estimate
+
+    est = _chain_batch_hbm_estimate(8, 16384, 4)
+    assert 38e9 < est < 46e9
+    # B=2 fits a 16 GB chip (the converged north-star configuration).
+    assert _chain_batch_hbm_estimate(2, 16384, 4) < 15.75e9
+    # A mesh divides the batch.
+    assert _chain_batch_hbm_estimate(8, 16384, 4, n_dev=4) == (
+        _chain_batch_hbm_estimate(2, 16384, 4)
+    )
