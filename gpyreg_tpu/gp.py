@@ -2699,51 +2699,69 @@ class GP:
             # cross-chain R-hat), not per-sweep speed.
             burn_per = burn_in
             # HBM sizing: the batched eval holds ~5 live copies of the
-            # (B, N, N) kernel array (build, jitter-retry carry,
-            # factor, NaN check — measured 41 GB at B=8, N=16384 on a
-            # 15.75 GB v5e).  Warn before XLA's opaque OOM; a mesh
-            # divides the batch across devices.
+            # per-device (B_g, N, N) kernel array (build, jitter-retry
+            # carry, factor, NaN check — measured 41 GB at B=8,
+            # N=16384, f32 on a 15.75 GB v5e).  A batch that cannot
+            # fit runs as sequential GROUPS with independent keys:
+            # independent chains compose exactly for cross-chain R-hat
+            # (and at large N one Cholesky already saturates the MXU,
+            # so grouping costs no per-sweep throughput).
             n_dev = 1 if self.mesh is None else int(
                 self.mesh.devices.size
             )
-            est = _chain_batch_hbm_estimate(
-                B, obj_args[0].shape[0], self.dtype.itemsize, n_dev
+            per_chain = _chain_batch_hbm_estimate(
+                1, obj_args[0].shape[0], self.dtype.itemsize
             )
             try:
                 hbm = jax.devices()[0].memory_stats()["bytes_limit"]
             except Exception:
                 hbm = 16e9
-            if est > hbm:
+            g_max = (
+                max(1, int((0.85 * hbm) // max(per_chain, 1))) * n_dev
+            )
+            n_groups = -(-B // g_max)
+            if n_groups > 1:
                 warnings.warn(
-                    f"n_chains={B} at N={obj_args[0].shape[0]} needs "
-                    f"~{est / 1e9:.0f} GB HBM (>{hbm / 1e9:.1f} GB): "
-                    "the batched chain eval will likely OOM — use "
-                    "fewer chains (2 fits a 16 GB chip at N=16384), a "
-                    "larger mesh, or sequential fits with distinct "
-                    "seeds (independent chains compose for R-hat).",
+                    f"n_chains={B} at N={obj_args[0].shape[0]} "
+                    f"exceeds device memory as one batch "
+                    f"(~{per_chain * B / n_dev / 1e9:.0f} GB needed, "
+                    f"{hbm / 1e9:.1f} GB available): running "
+                    f"{n_groups} sequential groups of <= "
+                    f"{g_max} chains.",
                     stacklevel=2,
                 )
-            chain_x, chain_f = _device_slice.sample_chains(
-                fns["log_post_raw"],
-                np.tile(np.reshape(hyp_start, (1, -1)), (B, 1)),
-                key,
-                widths=widths,
-                LB=LB,
-                UB=UB,
-                n_samples=n_per,
-                thin=1,
-                burn=burn_per,
-                f_args=obj_args,
-                mesh=self.mesh,
-                seg_sweeps=_map_optimize.sweep_segment_plan(
-                    obj_args[0].shape[0],
-                    1 if slice_move == "rd" else int(np.size(hyp_start)),
-                    chains=B,
-                ),
-                move=slice_move,
+            g = -(-B // n_groups)
+            group_sizes = [g] * (n_groups - 1) + [B - g * (n_groups - 1)]
+            group_keys = (
+                [key] if n_groups == 1
+                else list(jax.random.split(key, n_groups))
             )
-            chain_x = np.asarray(chain_x)  # (B, n_per, D)
-            chain_f = np.asarray(chain_f)
+            parts_x, parts_f = [], []
+            for b_i, key_i in zip(group_sizes, group_keys):
+                cx_i, cf_i = _device_slice.sample_chains(
+                    fns["log_post_raw"],
+                    np.tile(np.reshape(hyp_start, (1, -1)), (b_i, 1)),
+                    key_i,
+                    widths=widths,
+                    LB=LB,
+                    UB=UB,
+                    n_samples=n_per,
+                    thin=1,
+                    burn=burn_per,
+                    f_args=obj_args,
+                    mesh=self.mesh,
+                    seg_sweeps=_map_optimize.sweep_segment_plan(
+                        obj_args[0].shape[0],
+                        1 if slice_move == "rd"
+                        else int(np.size(hyp_start)),
+                        chains=b_i,
+                    ),
+                    move=slice_move,
+                )
+                parts_x.append(np.asarray(cx_i))
+                parts_f.append(np.asarray(cf_i))
+            chain_x = np.concatenate(parts_x, axis=0)  # (B, n_per, D)
+            chain_f = np.concatenate(parts_f, axis=0)
             # Interleave iteration-major so thinning strides across all
             # chains evenly.
             samples = chain_x.transpose(1, 0, 2).reshape(

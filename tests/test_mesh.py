@@ -513,3 +513,43 @@ def test_chain_batch_hbm_estimate():
     assert _chain_batch_hbm_estimate(8, 16384, 4, n_dev=4) == (
         _chain_batch_hbm_estimate(2, 16384, 4)
     )
+
+
+def test_chain_groups_compose(monkeypatch):
+    """When the chain batch exceeds device memory, fit runs sequential
+    groups with independent keys and composes them for R-hat; forcing
+    one-chain groups must still produce a full multi-chain result."""
+    import gpyreg_tpu as gpr
+    import gpyreg_tpu.gp as gpmod
+
+    monkeypatch.setattr(
+        gpmod, "_chain_batch_hbm_estimate", lambda *a, **k: 1e18
+    )
+    np.random.seed(0)
+    X = np.random.uniform(-3, 3, (40, 2))
+    y = np.sin(np.sum(X, 1))[:, None]
+    gp = gpr.GP(
+        2,
+        gpr.covariance_functions.SquaredExponential(),
+        gpr.mean_functions.ConstantMean(),
+        gpr.noise_functions.GaussianNoise(constant_add=True),
+    )
+    with pytest.warns(UserWarning, match="sequential groups"):
+        hyp, _, sr = gp.fit(
+            X=X,
+            y=y,
+            options={
+                "n_samples": 4,
+                "opts_N": 1,
+                "init_N": 16,
+                "n_chains": 4,
+                "thin": 2,
+                "burn": 4,
+            },
+        )
+    assert sr["n_chains"] == 4
+    assert hyp.shape[0] == 4
+    assert sr["R"] is not None and np.all(np.isfinite(sr["R"]))
+    assert np.all(np.isfinite(sr["f_vals"]))
+    mu, s2 = gp.predict(np.random.uniform(-3, 3, (8, 2)))
+    assert np.all(np.isfinite(mu)) and np.all(np.asarray(s2) >= 0)
