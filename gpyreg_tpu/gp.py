@@ -2107,6 +2107,16 @@ class GP:
           gplite_train.m:392-407), 'eissample' (ensemble slice),
           'mala', 'hmc', or 'laplace' (MAP only) — the MATLAB
           oracle's sampler menu (gplite_train.m:41,318-447).
+        - ``n_chains``: run the hyperposterior MCMC as this many
+          independent chains batched into one device program (sharded
+          across the mesh when one is set; sequential memory-sized
+          groups when the batch exceeds device HBM — see
+          ``_chain_batch_hbm_estimate``).  Cross-chain Gelman-Rubin
+          R-hat replaces the single-chain split diagnostic.
+          ``chain_start_jitter`` (default 0.1) overdisperses the
+          non-first chains' starts by that fraction of the slice
+          widths, clipped to bounds (0 = all chains start at the MAP
+          point).
         - ``outwarp_fun``: attach an output-warping function at fit
           time (the MATLAB oracle's OutwarpFun train option,
           gplite_train.m:39; the Python reference accepts but ignores
@@ -2736,11 +2746,30 @@ class GP:
                 [key] if n_groups == 1
                 else list(jax.random.split(key, n_groups))
             )
+            starts = np.tile(np.reshape(hyp_start, (1, -1)), (B, 1))
+            # Overdispersed starts (the Gelman-Rubin prerequisite:
+            # chains started identically make R-hat optimistic).
+            # Chain 0 stays at the MAP point; the rest jitter by a
+            # fraction of the slice widths, clipped to bounds.  The
+            # posterior at large N is far narrower than the plausible
+            # box, so 0.1 widths is genuinely overdispersed.
+            start_jit = float(options.get("chain_start_jitter", 0.1))
+            if B > 1 and start_jit > 0:
+                jrng = np.random.default_rng(
+                    int(np.random.randint(0, 2**31 - 1))
+                )
+                pert = (
+                    start_jit
+                    * np.asarray(widths, dtype=np.float64)
+                    * jrng.standard_normal((B - 1, starts.shape[1]))
+                )
+                starts[1:] = np.clip(starts[1:] + pert, LB, UB)
             parts_x, parts_f = [], []
+            off = 0
             for b_i, key_i in zip(group_sizes, group_keys):
                 cx_i, cf_i = _device_slice.sample_chains(
                     fns["log_post_raw"],
-                    np.tile(np.reshape(hyp_start, (1, -1)), (b_i, 1)),
+                    starts[off : off + b_i],
                     key_i,
                     widths=widths,
                     LB=LB,
@@ -2760,6 +2789,7 @@ class GP:
                 )
                 parts_x.append(np.asarray(cx_i))
                 parts_f.append(np.asarray(cf_i))
+                off += b_i
             chain_x = np.concatenate(parts_x, axis=0)  # (B, n_per, D)
             chain_f = np.concatenate(parts_f, axis=0)
             # Interleave iteration-major so thinning strides across all
