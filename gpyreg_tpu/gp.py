@@ -2533,6 +2533,21 @@ class GP:
             return hyp_start, optimize_result, None
 
         ## Slice sampling of the hyperposterior.
+        # Release the PREVIOUS fit's device posterior factors first:
+        # nothing below reads them and update(hyp=samples) rebuilds
+        # them at the end of this fit, but left alive they co-reside
+        # with the chain program's ~5 live (B, N, N) temps — at
+        # N=16384, 8 stale samples are ~8 GB of the 15.75 GB HBM, and
+        # the warm 2-chain refit OOMed (r4 RESOURCE_EXHAUSTED) until
+        # this release.
+        self._stack_cache = {}
+        if self.posteriors is not None:
+            for _p in self.posteriors:
+                _p.alpha = None
+                _p.sW = None
+                _p.L = None
+                _p.sn2_mult = None
+                _p.L_chol = None
         eff_s_N = s_N * thin
         if sampler_name not in (
             "slicesample",
