@@ -53,7 +53,7 @@ from gpyreg_tpu.parallel import mesh as pmesh  # noqa: E402
 D, M, B_PANEL = 8, 256, 512
 
 
-def run(N, check_single):
+def run(N, check_single, algorithm="masked_full"):
     rng = np.random.default_rng(0)
     X = rng.uniform(-3, 3, (N, D)).astype(np.float32)
     y = (
@@ -69,7 +69,9 @@ def run(N, check_single):
     mesh = pmesh.make_mesh(8)
 
     t0 = time.perf_counter()
-    post = de.dist_exact_fit(spec, mesh, hyp, X, y, b=B_PANEL)
+    post = de.dist_exact_fit(
+        spec, mesh, hyp, X, y, b=B_PANEL, algorithm=algorithm
+    )
     nlml = float(post.nlml)  # value pull = sync
     fit_s = time.perf_counter() - t0
 
@@ -80,6 +82,7 @@ def run(N, check_single):
     rec = {
         "N": N,
         "b": B_PANEL,
+        "algorithm": algorithm,
         "devices": 8,
         "dist_nlml": round(nlml, 3),
         "fit_s": round(fit_s, 1),
@@ -171,8 +174,9 @@ def main():
         tpu_overhead()
         return
     run(16384, check_single=True)
+    run(16384, check_single=False, algorithm="two_level")
     if "--big" in sys.argv:
-        run(32768, check_single=False)
+        run(32768, check_single=False, algorithm="two_level")
 
 
 if __name__ == "__main__":

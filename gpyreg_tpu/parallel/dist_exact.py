@@ -138,6 +138,99 @@ def _dist_cholesky_inplace(slab, row0, rows_local, b, nb, Np):
     return jnp.where(colsN <= row_global[:, None], slab, 0.0)
 
 
+def _dist_cholesky_two_level(slab, row0, rows_local, b, Np, ndev):
+    """Two-level distributed blocked Cholesky (opt-in, see
+    :func:`dist_exact_fit` ``algorithm='two_level'``).
+
+    The single-level loop's full-width masked trailing update costs
+    ~Np^3/P flops per device (3x the ideal Np^3/(3P)).  Here the inner
+    panel loop confines updates to one device-row WINDOW (width
+    W = Np/P, a static shape), and after each window a strip loop
+    applies its final L columns to the static trailing block — per
+    device ~Np^3*(1/(2P) + 1/P^2) flops (1.87x ideal at P=8) and ~P x
+    less where-mask write traffic.  Cost: ~2P compiled loop bodies
+    instead of 1 (minutes of extra remote compile at 16k+ on the
+    tunnel, seconds on CPU); identical result to rounding.
+    """
+    W = rows_local
+    npan = W // b
+    row_global = row0 + jnp.arange(rows_local)
+    rowN = jnp.arange(Np)[:, None]
+
+    for k in range(ndev):
+        w0 = k * W
+        wend = w0 + W
+        colsW = w0 + jnp.arange(W)[None, :]
+
+        def panel_body(j, slab, w0=w0, colsW=colsW, wend=wend):
+            c0 = w0 + j * b
+            col_loc = lax.dynamic_slice(
+                slab, _idx(0, c0), (rows_local, b)
+            )
+            col_full = lax.all_gather(col_loc, _AXIS, axis=0, tiled=True)
+            diag = lax.dynamic_slice(col_full, _idx(c0, 0), (b, b))
+            Ljj = lax.linalg.cholesky(diag, symmetrize_input=False)
+            T = solve_triangular(
+                Ljj, jnp.swapaxes(col_full, 0, 1), lower=True
+            )
+            T = jnp.swapaxes(T, 0, 1)
+            emb = lax.dynamic_update_slice(
+                jnp.zeros((Np, b), dtype=slab.dtype), Ljj, _idx(c0, 0)
+            )
+            Lcol = jnp.where(
+                rowN < c0, 0.0, jnp.where(rowN < c0 + b, emb, T)
+            )
+            Lcol_loc = lax.dynamic_slice(
+                Lcol, _idx(row0, 0), (rows_local, b)
+            )
+            Lwin = lax.dynamic_slice(Lcol, _idx(w0, 0), (W, b))
+            upd = jnp.matmul(
+                Lcol_loc,
+                jnp.swapaxes(Lwin, 0, 1),
+                precision=lax.Precision.HIGHEST,
+            )
+            win = slab[:, w0:wend]
+            win = jnp.where(colsW >= c0 + b, win - upd, win)
+            slab = slab.at[:, w0:wend].set(win)
+            return lax.dynamic_update_slice(slab, Lcol_loc, _idx(0, c0))
+
+        slab = lax.fori_loop(0, npan, panel_body, slab)
+
+        t0 = wend
+        if t0 < Np:
+            Tw = Np - t0
+
+            def strip_body(s, slab, w0=w0, t0=t0, Tw=Tw):
+                c0 = w0 + s * b
+                cols_strip = c0 + jnp.arange(b)[None, :]
+                Lcol_loc = lax.dynamic_slice(
+                    slab, _idx(0, c0), (rows_local, b)
+                )
+                # Rows above the strip's diagonal hold stale
+                # partially-updated A values (the strict upper
+                # triangle is only zeroed at the very end).
+                Lcol_loc = jnp.where(
+                    row_global[:, None] >= cols_strip, Lcol_loc, 0.0
+                )
+                Lcol_full = lax.all_gather(
+                    Lcol_loc, _AXIS, axis=0, tiled=True
+                )
+                Ltail = lax.dynamic_slice(
+                    Lcol_full, _idx(t0, 0), (Tw, b)
+                )
+                upd = jnp.matmul(
+                    Lcol_loc,
+                    jnp.swapaxes(Ltail, 0, 1),
+                    precision=lax.Precision.HIGHEST,
+                )
+                return slab.at[:, t0:].set(slab[:, t0:] - upd)
+
+            slab = lax.fori_loop(0, npan, strip_body, slab)
+
+    colsN = jnp.arange(Np)[None, :]
+    return jnp.where(colsN <= row_global[:, None], slab, 0.0)
+
+
 def _dist_solve_lower(slab, rhs_loc, row0, rows_local, b, nb):
     """Distributed forward substitution ``L z = rhs`` (all row-sharded).
 
@@ -237,6 +330,7 @@ def _fit_fn(
     b: int,
     has_s2: bool,
     jitter: float = 0.0,
+    algorithm: str = "masked_full",
 ):
     """Jitted distributed build + factor + alpha + NLML.
 
@@ -276,7 +370,14 @@ def _fit_fn(
         # stay exactly I (their log-diag contribution must be 0).
         slab = B_loc + (1.0 + jitter * mask_loc[:, None]) * eye_loc
 
-        slab = _dist_cholesky_inplace(slab, row0, rows_local, b, nb, Np)
+        if algorithm == "two_level":
+            slab = _dist_cholesky_two_level(
+                slab, row0, rows_local, b, Np, ndev
+            )
+        else:
+            slab = _dist_cholesky_inplace(
+                slab, row0, rows_local, b, nb, Np
+            )
 
         r_loc = lax.dynamic_slice(r, _idx(row0, 0), (rows_local, 1))
         rhs_loc = sW_loc[:, None] * r_loc
@@ -423,7 +524,8 @@ def _pad_rows(A, Np, fill_row=None):
 
 
 def dist_exact_fit(spec: ModelSpec, mesh: Mesh, hyp, X, y, s2=None,
-                   b: int = 512, jitter: float = 0.0):
+                   b: int = 512, jitter: float = 0.0,
+                   algorithm: str = "masked_full"):
     """Build + factor the scaled kernel matrix row-sharded over ``mesh``
     and return a :class:`DistExactPosterior` (with exact ``nlml``).
 
@@ -431,7 +533,11 @@ def dist_exact_fit(spec: ModelSpec, mesh: Mesh, hyp, X, y, s2=None,
     rows (exact — see ``_scaled_model``).  Per-device HBM: one
     (N/P, N) slab plus one (N, b) gathered panel.  ``jitter`` (optional
     diagonal stabilizer, see :func:`_fit_fn`) defaults to 0 — B's
-    eigenvalues are >= 1 by construction.
+    eigenvalues are >= 1 by construction.  ``algorithm``:
+    'masked_full' (default; one compiled loop body, full-width masked
+    trailing updates, ~3x ideal flops) or 'two_level' (window+strip
+    loops, ~1.9x ideal flops at P=8, ~2P compiled bodies — see
+    :func:`_dist_cholesky_two_level`).
     """
     if spec.outwarp is not None:
         raise ValueError(
@@ -447,7 +553,11 @@ def dist_exact_fit(spec: ModelSpec, mesh: Mesh, hyp, X, y, s2=None,
     Np, rows_local, _ = plan(N, ndev, b)
     Xp = _pad_rows(X, Np)
     yp = _pad_rows(y, Np, fill_row=np.zeros((1, y.shape[1])))
-    fn = _fit_fn(spec, mesh, Np, b, s2 is not None, float(jitter))
+    if algorithm not in ("masked_full", "two_level"):
+        raise ValueError(f"Unknown algorithm {algorithm!r}")
+    fn = _fit_fn(
+        spec, mesh, Np, b, s2 is not None, float(jitter), algorithm
+    )
     args = [np.asarray(hyp), Xp, yp, np.int32(N)]
     if s2 is not None:
         args.append(_pad_rows(s2, Np, fill_row=np.ones((1, 1))))

@@ -163,6 +163,45 @@ def test_dist_predict_chunking():
     assert np.max(np.abs(s21 - s22)) < 1e-12
 
 
+@pytest.mark.parametrize("N,b", [(512, 32), (500, 16), (130, 16)])
+def test_dist_two_level_algorithm(N, b):
+    """The two-level window+strip Cholesky (~1.9x-ideal flops) matches
+    the single-level masked-full loop and the oracle."""
+    D = 3
+    spec = ModelSpec(
+        D=D, cov="se", mean="const", noise_constant=True,
+        noise_user=0, noise_rectified=False,
+    )
+    X, y, xs, _ = _data(N, D, seed=21)
+    hyp = _hyp(spec, seed=22)
+    p1 = de.dist_exact_fit(spec, MESH, hyp, X, y, b=b)
+    p2 = de.dist_exact_fit(
+        spec, MESH, hyp, X, y, b=b, algorithm="two_level"
+    )
+    assert float(p2.nlml) == pytest.approx(float(p1.nlml), rel=1e-13)
+    assert np.max(
+        np.abs(np.asarray(p1.alpha) - np.asarray(p2.alpha))
+    ) < 1e-12
+    ref = float(nlz(spec, hyp, X, y, None))
+    assert float(p2.nlml) == pytest.approx(ref, rel=1e-12)
+    mu1, s21 = de.dist_exact_predict(p1, xs)
+    mu2, s22 = de.dist_exact_predict(p2, xs)
+    assert np.max(np.abs(mu1 - mu2)) < 1e-12
+    assert np.max(np.abs(s21 - s22)) < 1e-12
+
+
+def test_dist_unknown_algorithm_refused():
+    spec = ModelSpec(
+        D=2, cov="se", mean="zero", noise_constant=True,
+        noise_user=0, noise_rectified=False,
+    )
+    X, y, _, _ = _data(64, 2)
+    with pytest.raises(ValueError, match="algorithm"):
+        de.dist_exact_fit(
+            spec, MESH, np.zeros(spec.hyp_N), X, y, algorithm="nope"
+        )
+
+
 def test_dist_f32_fast_path():
     """f32 (the TPU fast-path dtype) stays conditioning-bounded close
     to the f64 oracle — B = I + sW K sW has eigenvalues >= 1, so the
