@@ -9,12 +9,19 @@ as benchmarks/north_star.py) through ``fit(n_chains=8)``: 8 chains
 from the MAP point, batched into one program (each chain sweep shares
 one B=8 batched Cholesky per eval), cross-chain Gelman-Rubin R-hat.
 
-Protocol: one cold fit pays the remote compiles, then warm rows at
-escalating burn-in until max R-hat < 1.1 (exit_flag >= 0) or the row
-budget runs out.  Each row prints one JSON line as it completes.
+Protocol (r4 final): B=2 chains, burn=80, thin=40 -> each chain
+collects 160 post-burn sweeps; the cross-chain SPLIT R-hat (each chain
+halved -> 4 sequences of 80) has ~0.94 power to show max R-hat < 1.1
+over the 13 hyperparameters when the chains ARE mixed.  The earlier
+escalating-burn protocol (burn 40/120/360 at thin 5) could not
+converge even in principle: with 2 chains x 20 consecutive draws the
+between-chain variance has 1 degree of freedom and P(max R-hat < 1.1
+over 13 dims | perfect mixing) ~ 0.08 — the observed max R-hat 1.27 /
+1.38 rows were diagnostic noise, not burn-in failure.  One JSON line
+per row; a warm repeat runs if the budget allows.
 
 Usage: python benchmarks/north_star_chains.py [--smoke]
-       [--chains B] [--budget-min M]
+       [--chains B] [--burn B] [--thin T] [--budget-min M]
 """
 
 import json
@@ -33,8 +40,8 @@ N, D = 16384, 10
 # 16k Cholesky already saturates the MXU so batching chains buys
 # convergence structure, not wall-clock.  2 chains x split = 4
 # sequences for the Gelman-Rubin diagnostic (Stan's default strength).
-S_N, THIN, B = 8, 5, 2
-BURNS = [40, 120, 360]  # default = thin * n_samples, then escalate
+S_N, THIN, B = 8, 40, 2
+BURN = 80
 
 
 def make_data(seed=0):
@@ -49,7 +56,7 @@ def make_data(seed=0):
 
 
 def main():
-    global N, B
+    global N, B, THIN, BURN
     if "--smoke" in sys.argv:
         import jax
 
@@ -57,7 +64,11 @@ def main():
         N = 256
     if "--chains" in sys.argv:
         B = int(sys.argv[sys.argv.index("--chains") + 1])
-    budget_min = 150.0
+    if "--burn" in sys.argv:
+        BURN = int(sys.argv[sys.argv.index("--burn") + 1])
+    if "--thin" in sys.argv:
+        THIN = int(sys.argv[sys.argv.index("--thin") + 1])
+    budget_min = 180.0
     if "--budget-min" in sys.argv:
         budget_min = float(sys.argv[sys.argv.index("--budget-min") + 1])
     t_start = time.perf_counter()
@@ -110,33 +121,36 @@ def main():
 
     # Cold run pays every remote compile (design/MAP programs are shared
     # with the ordinary fit; the B-chain segments are new).
-    cold = run(BURNS[0], seed=0, label="cold")
-    per_sweep = cold["timings_s"].get("sample_s", 0.0) / max(
-        1, BURNS[0] + 2
+    cold = run(BURN, seed=0, label=f"cold_burn{BURN}_thin{THIN}")
+    converged = cold["exit_flag"] >= 0 or (
+        cold["max_R"] is not None and cold["max_R"] < 1.1
     )
-    converged = None
-    for burn in BURNS:
-        projected = per_sweep * (burn + 2) + 120.0
-        elapsed = (time.perf_counter() - t_start) / 60.0
-        if elapsed + projected / 60.0 > budget_min:
-            print(
-                json.dumps(
-                    {"skipped_burn": burn, "projected_s": round(projected)}
-                ),
-                flush=True,
-            )
-            break
-        rec = run(burn, seed=1 + burn, label=f"warm_burn{burn}")
-        if rec["exit_flag"] >= 0 or (
-            rec["max_R"] is not None and rec["max_R"] < 1.1
-        ):
-            converged = rec
-            break
+    rows = [cold]
+    elapsed = (time.perf_counter() - t_start) / 60.0
+    projected = cold["fit_wall_s"] / 60.0
+    if converged and elapsed + projected < budget_min:
+        # Warm repeat: the converged cost without the remote compiles,
+        # comparable to the single-chain warm north-star row.
+        rows.append(
+            run(BURN, seed=1, label=f"warm_burn{BURN}_thin{THIN}")
+        )
+    elif not converged and elapsed + 1.6 * projected < budget_min:
+        # One escalation: triple the burn-in (R-hat genuinely > 1.1
+        # means the chains still remember their starts).
+        rows.append(
+            run(3 * BURN, seed=1, label=f"warm_burn{3 * BURN}_thin{THIN}")
+        )
+    best = [
+        r
+        for r in rows
+        if r["exit_flag"] >= 0
+        or (r["max_R"] is not None and r["max_R"] < 1.1)
+    ]
     print(
         json.dumps(
             {
-                "converged": converged is not None,
-                "row": None if converged is None else converged["row"],
+                "converged": bool(best),
+                "row": best[-1]["row"] if best else None,
             }
         ),
         flush=True,

@@ -2820,8 +2820,28 @@ class GP:
             )
             f_vals = f_vals - log_priors
             if options.get("sampler_diagnostics", True) and B >= 2:
-                R = gelman_rubin(chain_x)
-                eff_N = effective_n(chain_x)
+                # Cross-chain SPLIT R-hat (Stan practice; each chain's
+                # draws split in half -> 2B sequences).  Plain
+                # cross-chain R-hat over 2 chains estimates the
+                # between-chain variance with ONE degree of freedom:
+                # even perfectly mixed chains then fail max R-hat <
+                # 1.1 across D dims most of the time (chi^2_1 noise).
+                # Splitting doubles the sequences (3+ dof at B=2) and
+                # additionally detects within-chain nonstationarity.
+                # Reference diagnostics: slice_sample.py:701-836 (the
+                # reference splits its single chain the same way).
+                half = chain_x.shape[1] // 2
+                if half >= 2:
+                    split_x = np.concatenate(
+                        [chain_x[:, :half], chain_x[:, half : 2 * half]],
+                        axis=0,
+                    )
+                else:
+                    # < 4 draws per chain: halves would be length-1
+                    # sequences (within-chain variance undefined).
+                    split_x = chain_x
+                R = gelman_rubin(split_x)
+                eff_N = effective_n(split_x)
                 if np.any(R > 1.5):
                     exit_flag = -3
                 elif np.any(R > 1.1):

@@ -553,3 +553,56 @@ def test_chain_groups_compose(monkeypatch):
     assert np.all(np.isfinite(sr["f_vals"]))
     mu, s2 = gp.predict(np.random.uniform(-3, 3, (8, 2)))
     assert np.all(np.isfinite(mu)) and np.all(np.asarray(s2) >= 0)
+
+def test_chain_split_rhat_classification(monkeypatch):
+    """The chain-parallel diagnostic is the cross-chain SPLIT R-hat:
+    iid (perfectly mixed) synthetic chains must classify as converged
+    (exit_flag 1), chains stuck at distinct constants as diverged.
+    Plain 2-chain unsplit R-hat fails the first property ~90% of the
+    time over 13 dims (1-dof between-chain variance)."""
+    import gpyreg_tpu as gpr
+    from gpyreg_tpu.inference import device_slice as ds
+
+    np.random.seed(3)
+    X = np.random.uniform(-3, 3, (30, 2))
+    y = np.sin(np.sum(X, 1))[:, None]
+    gp = gpr.GP(
+        2,
+        gpr.covariance_functions.SquaredExponential(),
+        gpr.mean_functions.ConstantMean(),
+        gpr.noise_functions.GaussianNoise(constant_add=True),
+    )
+
+    def make_fake(kind):
+        def fake(log_f, x0s, key, **kw):
+            B = x0s.shape[0]
+            n = kw["n_samples"]
+            D = x0s.shape[1]
+            rng = np.random.default_rng(0)
+            if kind == "iid":
+                cx = x0s[:, None, :] * 0 + rng.standard_normal((B, n, D))
+            else:  # stuck: each chain glued to its own constant
+                cx = np.tile(
+                    np.arange(B, dtype=float)[:, None, None], (1, n, D)
+                ) + 1e-6 * rng.standard_normal((B, n, D))
+            return cx, np.zeros((B, n))
+
+        return fake
+
+    opts = {
+        "n_samples": 8,
+        "thin": 8,  # n_per = 32 draws/chain -> split sequences of 16
+        "opts_N": 0,
+        "init_N": 0,
+        "n_chains": 2,
+        "burn": 2,
+    }
+    monkeypatch.setattr(ds, "sample_chains", make_fake("iid"))
+    _, _, sr = gp.fit(X=X, y=y, options=opts)
+    assert sr["exit_flag"] == 1, (sr["exit_flag"], np.max(sr["R"]))
+    assert np.max(sr["R"]) < 1.1
+
+    monkeypatch.setattr(ds, "sample_chains", make_fake("stuck"))
+    _, _, sr = gp.fit(X=X, y=y, options=opts)
+    assert sr["exit_flag"] <= -2
+    assert np.max(sr["R"]) > 1.1
