@@ -20,8 +20,15 @@ over 13 dims | perfect mixing) ~ 0.08 — the observed max R-hat 1.27 /
 1.38 rows were diagnostic noise, not burn-in failure.  One JSON line
 per row; a warm repeat runs if the budget allows.
 
+``--chain-thin k`` collects every k-th sweep inside each chain (same
+320 kept draws, k× the sweeps): the cold row's min eff_N 23.7 of 320
+sits just under the reference's kept/10 = 32 exit bar (worst-dim
+autocorrelation time ~13.5 kept draws vs the <=10 demanded), so k=2
+halves the kept-draw autocorrelation and clears exit_flag >= 0.
+
 Usage: python benchmarks/north_star_chains.py [--smoke]
-       [--chains B] [--burn B] [--thin T] [--budget-min M]
+       [--chains B] [--burn B] [--thin T] [--chain-thin K]
+       [--budget-min M] [--one-row]
 """
 
 import json
@@ -42,6 +49,7 @@ N, D = 16384, 10
 # sequences for the Gelman-Rubin diagnostic (Stan's default strength).
 S_N, THIN, B = 8, 40, 2
 BURN = 80
+CHAIN_THIN = 1
 
 
 def make_data(seed=0):
@@ -56,7 +64,7 @@ def make_data(seed=0):
 
 
 def main():
-    global N, B, THIN, BURN
+    global N, B, THIN, BURN, CHAIN_THIN
     if "--smoke" in sys.argv:
         import jax
 
@@ -68,6 +76,8 @@ def main():
         BURN = int(sys.argv[sys.argv.index("--burn") + 1])
     if "--thin" in sys.argv:
         THIN = int(sys.argv[sys.argv.index("--thin") + 1])
+    if "--chain-thin" in sys.argv:
+        CHAIN_THIN = int(sys.argv[sys.argv.index("--chain-thin") + 1])
     budget_min = 180.0
     if "--budget-min" in sys.argv:
         budget_min = float(sys.argv[sys.argv.index("--budget-min") + 1])
@@ -94,6 +104,8 @@ def main():
             "n_chains": B,
             "burn": burn,
         }
+        if CHAIN_THIN > 1:
+            opts["chain_thin"] = CHAIN_THIN
         np.random.seed(seed)
         t0 = time.perf_counter()
         hyp, _, sr = gp.fit(X=X, y=y, options=opts)
@@ -104,6 +116,7 @@ def main():
             "row": label,
             "n_chains": B,
             "burn": burn,
+            "chain_thin": CHAIN_THIN,
             "fit_wall_s": round(wall, 1),
             "timings_s": {
                 k: round(v, 1) for k, v in gp.fit_timings.items()
@@ -119,9 +132,16 @@ def main():
         print(json.dumps(rec), flush=True)
         return rec
 
+    suffix = f"_cthin{CHAIN_THIN}" if CHAIN_THIN > 1 else ""
+    if "--one-row" in sys.argv:
+        # One labeled row (e.g. the warm converged run after the cold
+        # row already landed): warm-vs-cold is whatever the persistent
+        # compile cache holds.
+        run(BURN, seed=1, label=f"warm_burn{BURN}_thin{THIN}{suffix}")
+        return
     # Cold run pays every remote compile (design/MAP programs are shared
     # with the ordinary fit; the B-chain segments are new).
-    cold = run(BURN, seed=0, label=f"cold_burn{BURN}_thin{THIN}")
+    cold = run(BURN, seed=0, label=f"cold_burn{BURN}_thin{THIN}{suffix}")
     converged = cold["exit_flag"] >= 0 or (
         cold["max_R"] is not None and cold["max_R"] < 1.1
     )

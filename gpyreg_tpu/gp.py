@@ -2116,7 +2116,12 @@ class GP:
           ``chain_start_jitter`` (default 0.1) overdisperses the
           non-first chains' starts by that fraction of the slice
           widths, clipped to bounds (0 = all chains start at the MAP
-          point).
+          point).  ``chain_thin`` (default 1) collects every k-th
+          sweep inside each chain: the kept-draw count (and hence the
+          diagnostic sample size) is unchanged, but each kept draw is
+          k sweeps apart, cutting its autocorrelation time ~k× — the
+          lever for clearing the reference's eff_N >= kept/10 bar
+          (slice_sample.py:632-639) when the R-hat already passes.
         - ``outwarp_fun``: attach an output-warping function at fit
           time (the MATLAB oracle's OutwarpFun train option,
           gplite_train.m:39; the Python reference accepts but ignores
@@ -2779,6 +2784,11 @@ class GP:
                     * jrng.standard_normal((B - 1, starts.shape[1]))
                 )
                 starts[1:] = np.clip(starts[1:] + pert, LB, UB)
+            # In-chain thinned collection: same kept-draw count (the
+            # diagnostics' sample size), each draw chain_thin sweeps
+            # apart — the autocorrelation-time lever for the eff_N
+            # exit criterion (docstring above).
+            chain_thin = max(1, int(options.get("chain_thin", 1)))
             parts_x, parts_f = [], []
             off = 0
             for b_i, key_i in zip(group_sizes, group_keys):
@@ -2790,7 +2800,7 @@ class GP:
                     LB=LB,
                     UB=UB,
                     n_samples=n_per,
-                    thin=1,
+                    thin=chain_thin,
                     burn=burn_per,
                     f_args=obj_args,
                     mesh=self.mesh,

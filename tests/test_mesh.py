@@ -606,3 +606,54 @@ def test_chain_split_rhat_classification(monkeypatch):
     _, _, sr = gp.fit(X=X, y=y, options=opts)
     assert sr["exit_flag"] <= -2
     assert np.max(sr["R"]) > 1.1
+
+
+def test_chain_thin_in_chain_collection(monkeypatch):
+    """``chain_thin`` collects every k-th sweep inside each chain: the
+    kept-draw count (and so the diagnostics' sample size) is unchanged,
+    only the in-chain stride passed to sample_chains changes.  This is
+    the autocorrelation-time lever for the reference's eff_N >= kept/10
+    exit criterion (slice_sample.py:632-639)."""
+    import gpyreg_tpu as gpr
+    from gpyreg_tpu.inference import device_slice as ds
+
+    seen = {}
+    real = ds.sample_chains
+
+    def recording(log_f, x0s, key, **kw):
+        seen["thin"] = kw["thin"]
+        seen["n_samples"] = kw["n_samples"]
+        return real(log_f, x0s, key, **kw)
+
+    monkeypatch.setattr(ds, "sample_chains", recording)
+    np.random.seed(11)
+    X = np.random.uniform(-3, 3, (30, 2))
+    y = np.sin(np.sum(X, 1))[:, None]
+    gp = gpr.GP(
+        2,
+        gpr.covariance_functions.SquaredExponential(),
+        gpr.mean_functions.ConstantMean(),
+        gpr.noise_functions.GaussianNoise(constant_add=True),
+    )
+    opts = {
+        "n_samples": 4,
+        "thin": 4,
+        "opts_N": 1,
+        "init_N": 16,
+        "n_chains": 2,
+        "burn": 4,
+        "chain_thin": 3,
+    }
+    hyp, _, sr = gp.fit(X=X, y=y, options=opts)
+    # Same kept draws per chain as chain_thin=1 (eff_s_N/B = 8)...
+    assert seen["n_samples"] == 8
+    # ...but collected at an in-chain stride of 3 sweeps.
+    assert seen["thin"] == 3
+    assert hyp.shape[0] == 4 and sr["n_chains"] == 2
+    assert sr["R"] is not None and np.all(np.isfinite(sr["R"]))
+    assert np.all(np.isfinite(sr["eff_N"]))
+
+    # Default: stride 1 (every sweep kept, post-hoc thinning only).
+    del opts["chain_thin"]
+    gp.fit(X=X, y=y, options=opts)
+    assert seen["thin"] == 1
