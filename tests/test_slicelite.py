@@ -125,3 +125,26 @@ def test_slicelite_log_p_reference_alias():
     hyp2, opt_res2, sr2 = gp2.fit(X=X, y=y, hyp0=hyp1, options=opts)
     assert opt_res2 is None
     assert sr2["ess_frac"] > 0.5
+
+
+def test_slicelite_warm_refit_memory_groups(monkeypatch):
+    """The warm-refit chains hit the same ~5x(B,N,N) live-copy HBM wall
+    as fit(n_chains=...): s_N=8 at N=16384 f32 needs ~41 GB as one
+    batch (measured compile-time OOM, round-4).  Forcing one-chain
+    groups must produce the same-shaped, finite refit result."""
+    import gpyreg_tpu.gp as gpmod
+
+    gp, X, y = _make()
+    hyp1, _, _ = gp.fit(X=X, y=y, options=dict(_OPTS))
+    monkeypatch.setattr(
+        gpmod, "_chain_batch_hbm_estimate", lambda *a, **k: 1e18
+    )
+    with pytest.warns(UserWarning, match="sequential groups"):
+        hyp2, opt_res2, sr2 = gp.fit(X=X, y=y, options=dict(_OPTS))
+    assert opt_res2 is None  # the shortcut still fired
+    assert sr2["ess_frac"] > 0.5
+    assert hyp2.shape == hyp1.shape
+    assert np.all(np.isfinite(hyp2))
+    assert np.all(np.isfinite(sr2["f_vals"]))
+    mu, s2 = gp.predict(np.random.uniform(-3, 3, (8, 2)))
+    assert np.all(np.isfinite(mu)) and np.all(s2 > 0)
