@@ -2545,14 +2545,7 @@ class GP:
         # N=16384, 8 stale samples are ~8 GB of the 15.75 GB HBM, and
         # the warm 2-chain refit OOMed (r4 RESOURCE_EXHAUSTED) until
         # this release.
-        self._stack_cache = {}
-        if self.posteriors is not None:
-            for _p in self.posteriors:
-                _p.alpha = None
-                _p.sW = None
-                _p.L = None
-                _p.sn2_mult = None
-                _p.L_chol = None
+        self._release_posterior_factors()
         eff_s_N = s_N * thin
         if sampler_name not in (
             "slicesample",
@@ -2896,6 +2889,22 @@ class GP:
     # slicelite warm-refit machinery (gplite_train.m:178-197, 359-390)
     # ------------------------------------------------------------------
 
+    def _release_posterior_factors(self):
+        """Free the previous fit's device posterior factors (same field
+        semantics as clean(), keeping hyp).  Called before a sampling
+        phase whose chain program needs the HBM: at N=16384 f32, 8
+        stale samples pin ~8 GB of a 15.75 GB chip next to the chain
+        eval's ~5 live (B, N, N) temps (r4 RESOURCE_EXHAUSTED, twice —
+        the standard phase and the slicelite warm refit)."""
+        self._stack_cache = {}
+        if self.posteriors is not None:
+            for _p in self.posteriors:
+                _p.alpha = None
+                _p.sW = None
+                _p.L = None
+                _p.sn2_mult = None
+                _p.L_chol = None
+
     def _chain_group_plan(self, B, n_padded, key):
         """Split B parallel chains into sequential device-memory-sized
         groups with independent keys.
@@ -3055,7 +3064,11 @@ class GP:
         # sample_chains (VERDICT r3 Weak #4) — no silent degradation.
         # Memory-sized sequential groups (the same ~5×(B,N,N) live-copy
         # wall as fit(n_chains=...): s_N=8 chains at N=16384 f32 need
-        # ~41 GB as one batch — compile-time OOM on a 16 GB chip).
+        # ~41 GB as one batch — compile-time OOM on a 16 GB chip), and
+        # the previous fit's device factors released first (they pin
+        # ~8 GB at 16k×8 samples; update(hyp=samples) below rebuilds
+        # them).
+        self._release_posterior_factors()
         mesh = self.mesh
         group_sizes, group_keys = self._chain_group_plan(
             s_N, obj_args[0].shape[0], key
