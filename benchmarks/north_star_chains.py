@@ -81,6 +81,9 @@ def main():
     budget_min = 180.0
     if "--budget-min" in sys.argv:
         budget_min = float(sys.argv[sys.argv.index("--budget-min") + 1])
+    seed1 = 1
+    if "--seed" in sys.argv:
+        seed1 = int(sys.argv[sys.argv.index("--seed") + 1])
     t_start = time.perf_counter()
 
     import gpyreg_tpu as gpr
@@ -137,7 +140,7 @@ def main():
         # One labeled row (e.g. the warm converged run after the cold
         # row already landed): warm-vs-cold is whatever the persistent
         # compile cache holds.
-        run(BURN, seed=1, label=f"warm_burn{BURN}_thin{THIN}{suffix}")
+        run(BURN, seed=seed1, label=f"warm_burn{BURN}_thin{THIN}{suffix}")
         return
     # Cold run pays every remote compile (design/MAP programs are shared
     # with the ordinary fit; the B-chain segments are new).
