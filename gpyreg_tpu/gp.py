@@ -1898,11 +1898,24 @@ class GP:
             thin = int(options.get("thin", 5))
             burn = int(options.get("burn", thin * s_N))
             _, _, _, _, pack = self._device()
+            # The chain's CG budget is separately tunable: the frozen
+            # probes make the surrogate a deterministic function of the
+            # hyperparameters at ANY tolerance, so loose per-eval CG
+            # (cg_sample_tol / cg_sample_max_iter) trades a small,
+            # MEASURABLE NLML bias (benchmarks/matrix_free_sampling.py
+            # part B pins it) for per-eval wall-clock — mandatory at
+            # very large N, where a tight-CG sweep cannot fit a
+            # watchdog-safe dispatch (~6 min device-time kill; a 65k
+            # eval at tol 1e-4 runs 100+ panel-rebuild matvec passes).
             log_f, _prior_raw = _iterative.cg_log_post_raw(
                 spec,
                 float(options.get("cg_sample_tol", fit_opts["cg_tol"])),
                 cg_opts["row_chunk"],
-                cg_opts["max_iter"],
+                int(
+                    options.get(
+                        "cg_sample_max_iter", cg_opts["max_iter"]
+                    )
+                ),
                 fit_opts["n_probes"],
                 fit_opts["n_lanczos"],
                 s2 is not None,
@@ -1935,6 +1948,13 @@ class GP:
                 widths_cg[idx0] = np.minimum(
                     1.0, (UB - LB)[idx0]
                 )
+            # Segmented chains also bound the shrink loop: a slice MOVE
+            # has unbounded eval count (the watchdog bounds device
+            # time, not moves), and at large N each CG eval is seconds
+            # — 48 shrink steps (vs the 256 safety default) caps the
+            # worst single move at ~50 evals while leaving ~5x the
+            # ~10-step practical shrink tail (on cap exit the move
+            # keeps the current point, the documented contract).
             sampling_result, _ = _device_slice.sample(
                 log_f,
                 np.asarray(hyp_opt, dtype=np.float64),
@@ -1945,6 +1965,11 @@ class GP:
                 n_samples=s_N * thin,
                 thin=1,
                 burn=burn,
+                max_shrink=int(
+                    options.get(
+                        "cg_sample_max_shrink", 48 if seg else 256
+                    )
+                ),
                 f_args=tuple(f_args),
                 seg_sweeps=seg,
             )

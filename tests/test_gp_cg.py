@@ -325,3 +325,56 @@ def test_cg_sampling_segment_gate(monkeypatch):
     assert seen["seg"] is None
     # Segmentation must not change the chain (device-carried state).
     np.testing.assert_allclose(hyp_seg, hyp_mono, rtol=0, atol=1e-12)
+
+
+def test_cg_sample_budget_options(monkeypatch):
+    """``cg_sample_tol`` / ``cg_sample_max_iter`` tune the CHAIN's
+    per-eval CG budget independently of the fit's, and segmented
+    chains default to a bounded shrink loop (48) — at very large N a
+    tight-CG sweep cannot fit a watchdog-safe dispatch (the 65k part-A
+    run died on the ~6-min device-time kill until these knobs)."""
+    from gpyreg_tpu import gp as gp_mod
+    from gpyreg_tpu.inference import device_slice
+    from gpyreg_tpu.ops import iterative
+
+    seen = {}
+    real_raw = iterative.cg_log_post_raw
+    real_sample = device_slice.sample
+
+    def spy_raw(spec, tol, row_chunk, max_iter, *a, **k):
+        seen["tol"], seen["max_iter"] = tol, max_iter
+        return real_raw(spec, tol, row_chunk, max_iter, *a, **k)
+
+    def spy_sample(*a, **k):
+        seen["max_shrink"] = k.get("max_shrink")
+        return real_sample(*a, **k)
+
+    monkeypatch.setattr(iterative, "cg_log_post_raw", spy_raw)
+    monkeypatch.setattr(device_slice, "sample", spy_sample)
+
+    X, y = _data(N=120)
+    opts = dict(
+        CG_OPTS,
+        n_samples=2,
+        thin=1,
+        burn=2,
+        cg_sample_tol=1e-2,
+        cg_sample_max_iter=7,
+    )
+    # Segmented (gate forced low): bounded shrink default.
+    monkeypatch.setattr(gp_mod, "_CG_SAMPLE_SEG_MIN_N", 64)
+    gp = _make_gp()
+    np.random.seed(3)
+    hyp, _res, _sr = gp.fit(X=X, y=y, options=dict(opts))
+    assert seen["tol"] == 1e-2 and seen["max_iter"] == 7
+    assert seen["max_shrink"] == 48
+    assert np.all(np.isfinite(hyp))
+
+    # Unsegmented: the 256 safety default (and fit-budget fallbacks).
+    monkeypatch.setattr(gp_mod, "_CG_SAMPLE_SEG_MIN_N", 10_000)
+    del opts["cg_sample_tol"], opts["cg_sample_max_iter"]
+    gp2 = _make_gp()
+    np.random.seed(3)
+    gp2.fit(X=X, y=y, options=dict(opts))
+    assert seen["tol"] == CG_OPTS["cg_tol"]
+    assert seen["max_shrink"] == 256
