@@ -1930,14 +1930,16 @@ class GP:
             mc_key = jax.random.key(
                 int(np.random.randint(0, 2**31 - 1))
             )
-            # Every chain evaluation is a full CG+SLQ program: one
-            # sweep per watchdog-safe dispatch segment (the gate is far
-            # below the Cholesky paths' SEG_MIN_N — see
-            # _CG_SAMPLE_SEG_MIN_N).  The floor of this protection is
-            # ONE sweep (~hyp_N coordinate moves, each ~2-8 CG+SLQ
-            # evaluations): at very large N keep a single sweep under
-            # the ~6-min budget by capping options["cg_max_iter"] /
-            # loosening options["cg_sample_tol"].
+            # Every chain evaluation is a full CG+SLQ program: above
+            # _CG_SAMPLE_SEG_MIN_N (far below the Cholesky paths'
+            # SEG_MIN_N) the chain runs ONE COORDINATE MOVE per
+            # watchdog-safe dispatch (device_slice seg_moves) — at 65k
+            # even a one-SWEEP dispatch exceeded the ~6-min device-time
+            # watchdog twice (a sweep is ~hyp_N moves x 1-48 evals,
+            # each eval seconds of panel-rebuild matvecs); a move is
+            # the only unit with a bounded eval count (<= 1 +
+            # max_shrink).  Tune per-eval cost via
+            # options["cg_sample_tol"] / ["cg_sample_max_iter"].
             seg = 1 if X.shape[0] >= _CG_SAMPLE_SEG_MIN_N else None
             # Same zero-width repair as the exact path (a dimension
             # whose plausible bounds clamp together must not abort the
@@ -1971,7 +1973,7 @@ class GP:
                     )
                 ),
                 f_args=tuple(f_args),
-                seg_sweeps=seg,
+                seg_moves=seg,
             )
             samples = np.asarray(sampling_result["samples"])
             hyp = samples[thin - 1 :: thin][:s_N]

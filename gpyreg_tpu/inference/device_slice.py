@@ -118,15 +118,14 @@ def diagnose(samples: np.ndarray):
     return exit_flag, R, eff_N
 
 
-def _sweep(
+def _dim_body_factory(
     logpdf, LB, UB, LB_out, UB_out, fixed, max_shrink, adapt, step_out=False
 ):
-    """One full coordinate sweep (random scan order).
-
-    Returns a function (state) -> (state, shrink_counts) where the widths
-    in the output state are adapted iff ``adapt``.
-    """
-    D = LB.shape[0]
+    """The coordinate-wise slice MOVE as a fori_loop body over a sweep
+    permutation: carry = (x, log_Px, widths, key, perm, shrinks), body
+    index j selects perm[j].  Shared by :func:`_sweep` (full sweeps)
+    and :func:`_move_chunk` (move-granularity bounded dispatches for
+    chains whose per-eval cost is seconds)."""
     MAX_STEP_OUT = 1024  # safety cap; -inf outside bounds ends the walk
 
     def do_dim(dd, x, log_Px, width, key):
@@ -259,6 +258,22 @@ def _sweep(
             perm,
             shrinks.at[dd].set(shrink),
         )
+
+    return dim_body
+
+
+def _sweep(
+    logpdf, LB, UB, LB_out, UB_out, fixed, max_shrink, adapt, step_out=False
+):
+    """One full coordinate sweep (random scan order).
+
+    Returns a function (state) -> (state, shrink_counts) where the widths
+    in the output state are adapted iff ``adapt``.
+    """
+    D = LB.shape[0]
+    dim_body = _dim_body_factory(
+        logpdf, LB, UB, LB_out, UB_out, fixed, max_shrink, adapt, step_out
+    )
 
     def sweep(state: SliceState):
         key, k_perm = jax.random.split(state.key)
@@ -412,6 +427,175 @@ def _make_sweeps(
 def _burn_half(move, burn):
     """First sweep index of the width-adaptation moment window."""
     return 0 if move == "rd" else burn // 2
+
+
+@partial(jax.jit, static_argnames=("D",))
+def _draw_perm(key, D: int):
+    """New sweep: split the chain key and draw the coordinate scan
+    order (the same construction as _sweep's in-program draw)."""
+    key, k_perm = jax.random.split(key)
+    return key, jax.random.permutation(k_perm, D)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "log_f", "k", "adapt", "max_shrink", "step_out", "log_prior"
+    ),
+)
+def _move_chunk(
+    log_f,
+    x,
+    log_Px,
+    widths,
+    key,
+    perm,
+    j0,
+    LB,
+    UB,
+    LB_out,
+    UB_out,
+    k: int,
+    adapt: bool,
+    max_shrink: int,
+    f_args,
+    step_out: bool,
+    log_prior,
+):
+    """``k`` coordinate moves of one sweep, starting at scan position
+    ``j0`` (traced — one compiled program per (k, adapt) serves every
+    position).  The unit of :func:`_run_chain_moveseg`'s bounded
+    dispatches: a MOVE costs at most ~(1 + max_shrink) density evals,
+    so for chains whose evals are full CG+SLQ programs (seconds each at
+    N ~ 65k) this is the only granularity that keeps a dispatch under
+    the TPU runtime's ~6-min device-time watchdog — sweep-level
+    segments bound sweeps, not evals."""
+    logpdf = _masked_log_f(log_f, LB, UB, f_args, log_prior)
+    fixed = LB == UB
+    dim_body = _dim_body_factory(
+        logpdf, LB, UB, LB_out, UB_out, fixed, max_shrink, adapt,
+        step_out,
+    )
+    D = x.shape[0]
+    shrinks = jnp.zeros((D,), dtype=jnp.int32)
+    j_end = jnp.minimum(j0 + k, D)
+    x, log_Px, widths, key, _, _ = lax.fori_loop(
+        j0, j_end, dim_body, (x, log_Px, widths, key, perm, shrinks)
+    )
+    return x, log_Px, widths, key
+
+
+def _run_chain_moveseg(
+    log_f,
+    state,
+    LB,
+    UB,
+    LB_out,
+    UB_out,
+    base_widths,
+    n_samples,
+    thin,
+    burn,
+    adaptive,
+    max_shrink,
+    f_args,
+    step_out,
+    log_prior,
+    seg_moves,
+):
+    """Move-granularity bounded-dispatch chain: the same coordinate-wise
+    sweep as :func:`_run_chain`, advanced ``seg_moves`` coordinate
+    moves per device dispatch, with sweep bookkeeping (scan-order draw,
+    burn-in moment window, end-of-burn 5*std width rule, sample
+    collection) driven from the host.
+
+    This exists for the matrix-free (CG+SLQ) chains at very large N:
+    one density eval is a multi-second device program that REBUILDS
+    kernel panels per matvec pass, so a full sweep — let alone a
+    sweep-level segment — exceeds the ~6-min dispatch watchdog
+    (measured: the 65k fixed-probe chain died twice before this).  The
+    ~0.1 s per-dispatch tunnel latency and the two per-sweep host
+    pulls (x, log_Px) are noise against multi-second moves.  The chain
+    law is _run_chain's (same move kernel via _dim_body_factory, same
+    per-sweep key split + permutation construction); the PRNG stream
+    differs from the monolithic program's only through the explicit
+    key threading, as with any distinct entry point.
+
+    Returns ``(state, packed)`` with :func:`_run_chain`'s packed-array
+    layout (row 0 = [init_log_Px, 0...]; rows 1.. = [f, log_prior, x]).
+    """
+    D = int(np.asarray(state.x).shape[-1])
+    state = _chain_init(log_f, state, LB, UB, f_args, log_prior)
+    init_log_Px = float(np.asarray(state.log_Px))
+    x, log_Px, widths, key = (
+        state.x, state.log_Px, state.widths, state.key,
+    )
+    half = burn // 2
+    s_sum = np.zeros((D,), dtype=np.float64)
+    s_sq = np.zeros((D,), dtype=np.float64)
+    eff_N = n_samples + (n_samples - 1) * (thin - 1)
+    xs, f_vals = [], []
+    for s in range(burn + eff_N):
+        in_burn = s < burn
+        key, perm = _draw_perm(key, D)
+        j0 = 0
+        while j0 < D:
+            x, log_Px, widths, key = _move_chunk(
+                log_f, x, log_Px, widths, key, perm,
+                np.int64(j0), LB, UB, LB_out, UB_out,
+                int(seg_moves), bool(adaptive and in_burn),
+                int(max_shrink), f_args, bool(step_out), log_prior,
+            )
+            j0 += int(seg_moves)
+        if in_burn:
+            if adaptive and s >= half:
+                xh = np.asarray(x, dtype=np.float64)
+                s_sum += xh
+                s_sq += xh**2
+            if adaptive and s == burn - 1:
+                # End-of-burn 5*std rule — through the same jitted
+                # device function the sweep-segmented runner uses (a
+                # host-numpy mirror is NOT bit-equivalent: XLA fuses
+                # s_sq/n - (s_sum/n)^2 with FMA, keeping the exact
+                # x^2-rounding residue that numpy rounds to 0, and the
+                # residue decides the where(new>0) branch).
+                st_w = _adapt_widths_j(
+                    SliceState(
+                        x=x, log_Px=log_Px, widths=widths, key=key
+                    ),
+                    s_sum,
+                    s_sq,
+                    np.float64(burn - half),
+                    LB_out,
+                    UB_out,
+                    base_widths
+                    if base_widths is not None
+                    else np.zeros((D,), dtype=np.float64),
+                    base_widths is not None,
+                )
+                widths = st_w.widths
+        else:
+            xs.append(np.asarray(x, dtype=np.float64))
+            f_vals.append(float(np.asarray(log_Px)))
+    xs = np.stack(xs, axis=0)
+    f_vals = np.asarray(f_vals, dtype=np.float64)
+    samples = xs[::thin][:n_samples]
+    f_kept = f_vals[::thin][:n_samples]
+    if log_prior is not None:
+        lp = np.asarray(
+            jax.jit(jax.vmap(log_prior))(samples), dtype=np.float64
+        )
+    else:
+        lp = np.zeros_like(f_kept)
+    head = np.concatenate(
+        [[init_log_Px], np.zeros((D + 1,), dtype=np.float64)]
+    )[None, :]
+    body = np.concatenate(
+        [f_kept[:, None], lp[:, None], samples], axis=1
+    )
+    packed = np.concatenate([head, body], axis=0)
+    state = SliceState(x=x, log_Px=log_Px, widths=widths, key=key)
+    return state, packed
 
 
 @partial(
@@ -696,6 +880,15 @@ def _adapt_widths(
     return state._replace(widths=new_widths)
 
 
+# Jitted twin for host-driven segmentation (_run_chain_moveseg): the
+# eager op-by-op evaluation is NOT bit-equivalent to the compiled rule
+# (XLA fuses s_sq/n - (s_sum/n)^2 with FMA; the residue matters when
+# the moment window is degenerate) and costs per-op tunnel latency.
+_adapt_widths_j = partial(jax.jit, static_argnames=("has_base",))(
+    _adapt_widths
+)
+
+
 def _pack_chain_impl(
     init_log_Px, xs_blocks, lp_blocks, thin: int, n_samples: int, log_prior
 ):
@@ -971,6 +1164,7 @@ def sample(
     diagnostics: bool = True,
     display: str = "off",
     seg_sweeps: int = None,
+    seg_moves: int = None,
     move: str = "cw",
 ):
     """Draw ``n_samples`` (thinned) samples from ``log_f`` on device.
@@ -996,6 +1190,13 @@ def sample(
     (bit-identical chain; see :func:`_run_chain_segmented`) — required
     at large N, where the monolithic chain program exceeds the TPU
     runtime's per-dispatch execution watchdog.
+
+    ``seg_moves`` (cw only, overrides ``seg_sweeps``) bounds the number
+    of coordinate MOVES per dispatch (see :func:`_run_chain_moveseg`)
+    — required when a single density eval is itself a multi-second
+    device program (matrix-free CG+SLQ at N ~ 65k), where even a
+    one-sweep dispatch exceeds the watchdog.  Not bit-identical to the
+    monolithic chain (distinct PRNG threading), same chain law.
 
     ``move`` selects the transition operator: 'cw' (default) is the
     reference's coordinate-wise sweep; 'rd' is one random-direction
@@ -1072,7 +1273,30 @@ def sample(
 
     LB_out = np.nextafter(LB, -np.inf)
     UB_out = np.nextafter(UB, np.inf)
-    if seg_sweeps is not None:
+    if seg_moves is not None:
+        if move != "cw":
+            raise ValueError(
+                "seg_moves segmentation supports the 'cw' move only."
+            )
+        state, packed = _run_chain_moveseg(
+            log_f,
+            state,
+            LB,
+            UB,
+            LB_out,
+            UB_out,
+            base_widths,
+            int(n_samples),
+            int(thin),
+            int(burn),
+            bool(adaptive),
+            int(max_shrink),
+            f_args,
+            bool(step_out),
+            log_prior,
+            int(seg_moves),
+        )
+    elif seg_sweeps is not None:
         state, packed = _run_chain_segmented(
             log_f,
             state,

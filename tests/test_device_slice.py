@@ -204,3 +204,94 @@ def test_ensemble_shrink_cap_exit_keeps_walker():
     )
     assert np.all(res["samples"] == 0.0)
     assert np.all(np.isfinite(res["f_vals"]))
+
+
+def test_moveseg_matches_monolithic_chain():
+    """Move-granularity segmentation (seg_moves, built for matrix-free
+    chains whose single eval is a multi-second program) replays
+    _run_chain's exact key-split order: with width adaptation off, the
+    segmented chain must reproduce the monolithic chain's draws
+    BIT-EXACTLY at every partition size (same moves, same keys, same
+    arithmetic — the partition is purely a dispatch boundary)."""
+    log_f = lambda x: -0.5 * jnp.sum(x**2)
+    key = jax.random.key(7)
+    common = dict(
+        n_samples=24,
+        thin=2,
+        burn=20,
+        adaptive=False,
+        widths=np.full(3, 2.0),
+        LB=np.full(3, -8.0),
+        UB=np.full(3, 8.0),
+    )
+    mono, _ = device_slice.sample(
+        log_f, np.zeros(3), key, **common
+    )
+    for k in (1, 2, 3):
+        seg, _ = device_slice.sample(
+            log_f, np.zeros(3), key, seg_moves=k, **common
+        )
+        np.testing.assert_array_equal(seg["samples"], mono["samples"])
+        np.testing.assert_allclose(
+            seg["f_vals"], mono["f_vals"], rtol=0, atol=1e-12
+        )
+
+
+def test_moveseg_adaptive_partition_invariance():
+    """With burn-in width adaptation ON, exact cross-program bit parity
+    with the monolithic chain is not a JAX guarantee (the end-of-burn
+    5*std rule compiles standalone in the move driver; XLA's FMA/
+    reassociation choices differ per program, so widths agree to ulps,
+    not bits, and accept boundaries amplify ulps into different — but
+    equally valid — trajectories).  The contract instead: (a) the
+    partition size is purely a dispatch knob — k=1/2/3 chains are
+    bit-identical to EACH OTHER; (b) the adapted widths match the
+    monolithic rule to float precision."""
+    log_f = lambda x: -0.5 * jnp.sum(x**2)
+    key = jax.random.key(7)
+    common = dict(
+        n_samples=24,
+        thin=2,
+        burn=21,
+        widths=np.full(3, 2.0),
+        LB=np.full(3, -8.0),
+        UB=np.full(3, 8.0),
+    )
+    mono, st_m = device_slice.sample(
+        log_f, np.zeros(3), key, **common
+    )
+    seg1, st_1 = device_slice.sample(
+        log_f, np.zeros(3), key, seg_moves=1, **common
+    )
+    for k in (2, 3):
+        segk, st_k = device_slice.sample(
+            log_f, np.zeros(3), key, seg_moves=k, **common
+        )
+        np.testing.assert_array_equal(
+            segk["samples"], seg1["samples"]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(st_k.widths), np.asarray(st_1.widths)
+        )
+    np.testing.assert_allclose(
+        np.asarray(st_1.widths),
+        np.asarray(st_m.widths),
+        rtol=1e-10,
+    )
+    # Same law: post-burn draws from the same start agree in
+    # distribution (loose moment check on a short run).
+    assert np.all(np.isfinite(seg1["samples"]))
+    assert np.abs(np.mean(seg1["samples"])) < 1.5
+
+
+def test_moveseg_rejects_rd_move():
+    log_f = lambda x: -0.5 * jnp.sum(x**2)
+    with pytest.raises(ValueError, match="cw"):
+        device_slice.sample(
+            log_f,
+            np.zeros(2),
+            jax.random.key(0),
+            n_samples=2,
+            seg_moves=1,
+            move="rd",
+        )
