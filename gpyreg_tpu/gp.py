@@ -197,6 +197,28 @@ def _design_chunk(rank_nr, B0):
 # the chain runs one sweep per dispatch.
 _CG_SAMPLE_SEG_MIN_N = 2048
 
+# Above this true N the fixed-probe chain is driven from the HOST at
+# one EVALUATION per dispatch (the reference-parity SliceSampler over
+# the jitted CG+SLQ log-posterior).  Move-granularity segments bound
+# the EVAL COUNT of a dispatch (<= 1 + max_shrink) but not its device
+# time: at N=65536 one eval is a seconds-to-tens-of-seconds program
+# (every CG matvec pass rebuilds the 65k^2 kernel panels), so a single
+# wide-interval burn-in move exceeded the ~6-min device watchdog (r4,
+# third crash).  A single evaluation is the only robustly bounded
+# dispatch unit; the ~0.1 s per-dispatch tunnel overhead is noise
+# against seconds-scale evals, and the unbounded reference shrink loop
+# becomes safe again (no max_shrink cap exits distorting the chain).
+_CG_SAMPLE_HOST_MIN_N = 32768
+
+
+@lru_cache(maxsize=None)
+def _jit_by_identity(fn):
+    """One jit wrapper per raw callable identity: keeps the host-driven
+    chain's compiled eval program shared across warm refits (the same
+    invariant the device samplers get by taking the raw callable as a
+    static jit arg — see core/nlml.get_fns)."""
+    return jax.jit(fn)
+
 
 @lru_cache(maxsize=None)
 def _predict_chunked_fn(
@@ -1930,16 +1952,16 @@ class GP:
             mc_key = jax.random.key(
                 int(np.random.randint(0, 2**31 - 1))
             )
-            # Every chain evaluation is a full CG+SLQ program: above
-            # _CG_SAMPLE_SEG_MIN_N (far below the Cholesky paths'
-            # SEG_MIN_N) the chain runs ONE COORDINATE MOVE per
-            # watchdog-safe dispatch (device_slice seg_moves) — at 65k
-            # even a one-SWEEP dispatch exceeded the ~6-min device-time
-            # watchdog twice (a sweep is ~hyp_N moves x 1-48 evals,
-            # each eval seconds of panel-rebuild matvecs); a move is
-            # the only unit with a bounded eval count (<= 1 +
-            # max_shrink).  Tune per-eval cost via
-            # options["cg_sample_tol"] / ["cg_sample_max_iter"].
+            # Every chain evaluation is a full CG+SLQ program.  Three
+            # dispatch tiers: monolithic below _CG_SAMPLE_SEG_MIN_N;
+            # ONE COORDINATE MOVE per dispatch (device_slice seg_moves,
+            # bounded at <= 1 + max_shrink evals) up to
+            # _CG_SAMPLE_HOST_MIN_N; and ONE EVALUATION per dispatch
+            # (host-driven reference-parity chain) above it, where a
+            # single move's device time can exceed the ~6-min watchdog.
+            # Tune per-eval cost via options["cg_sample_tol"] /
+            # ["cg_sample_max_iter"]; force a tier with
+            # options["cg_sample_driver"] = "host" | "device".
             seg = 1 if X.shape[0] >= _CG_SAMPLE_SEG_MIN_N else None
             # Same zero-width repair as the exact path (a dimension
             # whose plausible bounds clamp together must not abort the
@@ -1957,24 +1979,65 @@ class GP:
             # worst single move at ~50 evals while leaving ~5x the
             # ~10-step practical shrink tail (on cap exit the move
             # keeps the current point, the documented contract).
-            sampling_result, _ = _device_slice.sample(
-                log_f,
-                np.asarray(hyp_opt, dtype=np.float64),
-                mc_key,
-                widths=widths_cg,
-                LB=LB,
-                UB=UB,
-                n_samples=s_N * thin,
-                thin=1,
-                burn=burn,
-                max_shrink=int(
-                    options.get(
-                        "cg_sample_max_shrink", 48 if seg else 256
-                    )
-                ),
-                f_args=tuple(f_args),
-                seg_moves=seg,
+            driver = str(options.get("cg_sample_driver", "auto"))
+            use_host = driver == "host" or (
+                driver == "auto"
+                and X.shape[0] >= _CG_SAMPLE_HOST_MIN_N
             )
+            if use_host:
+                # Eval-granularity segmentation (see
+                # _CG_SAMPLE_HOST_MIN_N): the reference-parity host
+                # sampler drives the chain, each log-posterior
+                # evaluation its own watchdog-safe dispatch.  Same
+                # result-dict contract as the device sampler.
+                f_jit = _jit_by_identity(log_f)
+                f_args_t = tuple(f_args)
+
+                def _host_log_f(h):
+                    return float(
+                        np.asarray(
+                            f_jit(
+                                np.asarray(h, dtype=np.float64),
+                                *f_args_t,
+                            )
+                        )
+                    )
+
+                slicer = SliceSampler(
+                    _host_log_f,
+                    np.ravel(np.asarray(hyp_opt, dtype=np.float64)),
+                    widths_cg,
+                    LB,
+                    UB,
+                    {
+                        "display": options.get("display", "off"),
+                        "diagnostics": options.get(
+                            "sampler_diagnostics", True
+                        ),
+                    },
+                )
+                sampling_result = slicer.sample(
+                    s_N * thin, thin=1, burn=burn
+                )
+            else:
+                sampling_result, _ = _device_slice.sample(
+                    log_f,
+                    np.asarray(hyp_opt, dtype=np.float64),
+                    mc_key,
+                    widths=widths_cg,
+                    LB=LB,
+                    UB=UB,
+                    n_samples=s_N * thin,
+                    thin=1,
+                    burn=burn,
+                    max_shrink=int(
+                        options.get(
+                            "cg_sample_max_shrink", 48 if seg else 256
+                        )
+                    ),
+                    f_args=tuple(f_args),
+                    seg_moves=seg,
+                )
             samples = np.asarray(sampling_result["samples"])
             hyp = samples[thin - 1 :: thin][:s_N]
             f_vals = np.asarray(

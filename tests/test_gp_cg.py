@@ -388,3 +388,61 @@ def test_cg_sample_budget_options(monkeypatch):
     gp2.fit(X=X, y=y, options=dict(opts))
     assert seen["tol"] == CG_OPTS["cg_tol"]
     assert seen["max_shrink"] == 256
+
+
+def test_cg_sampling_host_driver(monkeypatch):
+    """Above _CG_SAMPLE_HOST_MIN_N (or on cg_sample_driver='host') the
+    fixed-probe chain is driven from the HOST at one EVALUATION per
+    dispatch: move-granularity segments bound a dispatch's eval count
+    but not its device time, and at 65k a single wide-interval burn-in
+    move crossed the ~6-min TPU watchdog (r4, third crash).  The
+    reference-parity SliceSampler drives the jitted CG+SLQ
+    log-posterior; the device sampler must NOT be called, and the
+    result keeps the sampling_result contract."""
+    from gpyreg_tpu import gp as gp_mod
+    from gpyreg_tpu.inference import device_slice
+
+    calls = {"device": 0}
+    real = device_slice.sample
+
+    def spy(*a, **k):
+        calls["device"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(device_slice, "sample", spy)
+
+    X, y = _data(N=120)
+    opts = dict(
+        CG_OPTS, n_samples=2, thin=1, burn=2, cg_sample_driver="host"
+    )
+    gp = _make_gp()
+    np.random.seed(7)
+    hyp, _res, sr = gp.fit(X=X, y=y, options=dict(opts))
+    assert calls["device"] == 0
+    assert hyp.shape == (2, gp._spec().hyp_N)
+    assert np.all(np.isfinite(hyp))
+    for field in ("samples", "f_vals", "exit_flag", "log_priors"):
+        assert field in sr
+    assert np.all(np.isfinite(sr["f_vals"]))
+    # The posterior store took the host-driven samples.
+    mu, s2 = gp.predict(X[:16])
+    assert np.all(np.isfinite(mu)) and np.all(np.isfinite(s2))
+
+    # The auto gate selects the host driver purely on N.
+    monkeypatch.setattr(gp_mod, "_CG_SAMPLE_HOST_MIN_N", 64)
+    del opts["cg_sample_driver"]
+    gp2 = _make_gp()
+    np.random.seed(7)
+    hyp2, _res, _sr = gp2.fit(X=X, y=y, options=dict(opts))
+    assert calls["device"] == 0
+    assert np.all(np.isfinite(hyp2))
+    # Same law as the device chain: samples stay in the MAP region.
+    assert np.max(np.abs(hyp2 - hyp)) < 1.0
+
+    # And cg_sample_driver='device' forces the device tiers back on.
+    gp3 = _make_gp()
+    np.random.seed(7)
+    gp3.fit(
+        X=X, y=y, options=dict(opts, cg_sample_driver="device")
+    )
+    assert calls["device"] == 1
