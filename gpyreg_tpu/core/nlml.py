@@ -30,11 +30,22 @@ from functools import lru_cache
 import jax
 import jax.numpy as jnp
 
+from .._config import CHOL_MAX_TRIES
 from ..ops.linalg import chol_solve, jittered_cholesky, quad_logdet
 from .model import ModelSpec, cov_matrix, mean_value, noise_variance
 from .priors import log_prior
 
 _LOG_2PI = math.log(2.0 * math.pi)
+
+
+def _cov_masked(spec: ModelSpec, hyp_cov, X, mask):
+    """Masked kernel matrix (the padded-bucket zeroing of
+    :func:`assemble`, factored out so the chain path's jitter-retry
+    body can REBUILD K instead of carrying it across the loop)."""
+    K = cov_matrix(spec, hyp_cov, X)
+    if mask is not None:
+        K = K * (mask[:, None] * mask[None, :])
+    return K
 
 
 def assemble(spec: ModelSpec, hyp, X, y, s2, n_real=None):
@@ -70,12 +81,11 @@ def assemble(spec: ModelSpec, hyp, X, y, s2, n_real=None):
 
     sn2 = noise_variance(spec, hyp_noise, y, s2_eff, X.dtype)
     m = mean_value(spec, hyp_mean, X)[:, None]
-    K = cov_matrix(spec, hyp_cov, X)
+    K = _cov_masked(spec, hyp_cov, X, mask)
     sn2_vec = jnp.broadcast_to(jnp.reshape(sn2, (-1,)), (N,))
     r = y_eff - m
 
     if mask is not None:
-        K = K * (mask[:, None] * mask[None, :])
         sn2_vec = jnp.where(mask > 0, sn2_vec, 1.0)
         # where, not multiply: a warped padded row can be non-finite
         # (g(0) = -inf at extreme hyperparameters) and inf*0 = NaN.
@@ -125,6 +135,80 @@ def nlz(spec: ModelSpec, hyp, X, y, s2, n_real=None):
     N = X.shape[0]
     K, sn2_vec, r, _, log_jac = assemble(spec, hyp, X, y, s2, n_real)
     quad, logdet_half, mult = quad_logdet(K, sn2_vec, r)
+    if n_real is None:
+        n_eff = N
+    else:
+        n_pad = N - n_real
+        logdet_half = logdet_half - 0.5 * n_pad * jnp.log(mult)
+        n_eff = n_real
+    return 0.5 * quad + logdet_half + 0.5 * n_eff * _LOG_2PI - log_jac
+
+
+def nlz_chain(spec: ModelSpec, hyp, X, y, s2, n_real=None):
+    """Forward-only NLML with a minimal live-buffer schedule for
+    chain-batched MCMC evaluation (``fit(options={"n_chains": B})``).
+
+    Same value as :func:`nlz` — bit-identical when the first
+    factorization succeeds, identical multiplier/attempt semantics on
+    retry (reference gaussian_process.py:2413-2421) — but scheduled so
+    far fewer live (B, N, N) buffers exist under vmap:
+
+    - the jitter-escalation body REBUILDS the masked kernel matrix from
+      ``hyp`` (~6.9 ms at N=16384 vs a ~69 ms factorization) instead of
+      carrying K across the loop, so K is dead after attempt 0;
+    - no ``lax.cond`` wrapper around the retry loop (under vmap the
+      cond lowers to a select that keeps BOTH branches' (B, N, N)
+      outputs live);
+    - NaN detection reads only the factor DIAGONAL (a failed pivot
+      always lands NaN on the diagonal and poisons every later one;
+      ``cov_matrix`` emits a symmetric K so strict-upper-only NaNs
+      cannot occur).
+
+    The general path (:func:`nlz` via ``quad_logdet``) held ~5 live
+    copies of the (B, N, N) array — the round-4 compile-time OOM log
+    measured 41.03 GB at B=8, N=16384 f32, capping chain parallelism
+    at B=2 on a 16 GB chip (BASELINE.md round-4; VERDICT r4 #2).
+    No gradient path: MCMC needs values only (grads go through
+    :func:`nlz`'s fused ``quad_logdet`` VJP).
+    """
+    N = X.shape[0]
+    hyp_t = jnp.asarray(hyp).astype(X.dtype)
+    hyp_cov = spec.split_hyp(hyp_t)[0]
+    mask = None
+    if n_real is not None:
+        mask = (jnp.arange(N) < n_real).astype(X.dtype)
+    K0, sn2_vec, r, _, log_jac = assemble(spec, hyp, X, y, s2, n_real)
+
+    def _L_of(mult, Kin):
+        G = Kin + mult * sn2_vec * jnp.eye(N, dtype=Kin.dtype)
+        return jax.lax.linalg.cholesky(G, symmetrize_input=False)
+
+    L0 = _L_of(jnp.asarray(1.0, dtype=X.dtype), K0)
+
+    def cond(carry):
+        _, L, i = carry
+        return jnp.logical_and(
+            jnp.any(jnp.isnan(jnp.diagonal(L))), i < CHOL_MAX_TRIES
+        )
+
+    def body(carry):
+        mult, _, i = carry
+        mult_new = mult * 10.0
+        L_new = _L_of(mult_new, _cov_masked(spec, hyp_cov, X, mask))
+        return mult_new, L_new, i + 1
+
+    mult, L, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.asarray(1.0, dtype=X.dtype),
+            L0,
+            jnp.asarray(1, dtype=jnp.int32),
+        ),
+    )
+    alpha = chol_solve(L, r)
+    quad = jnp.sum(r * alpha)
+    logdet_half = jnp.sum(jnp.log(jnp.diagonal(L)))
     if n_real is None:
         n_eff = N
     else:
@@ -254,6 +338,17 @@ def get_fns(
         """
         return -_obj(hyp, *args)
 
+    def _log_post_chain_raw(hyp, *args):
+        """Identity-stable log posterior on the memory-lean
+        :func:`nlz_chain` schedule — the gradient-free samplers' eval
+        (same value as ``log_post_raw``; ~3 instead of ~5 live
+        (B, N, N) buffers when vmapped over chains/walkers)."""
+        X, y, s2, n_real, pack = _split(args)
+        v = nlz_chain(spec, hyp, X, y, s2, n_real)
+        if pack is not None:
+            v = v - log_prior(pack, hyp)
+        return -v
+
     def _log_prior_raw(hyp, *args):
         """Log hyperprior alone (for samplers reporting per-sample
         log-prior values, reference slice_sample.py:281-284).  Takes the
@@ -271,6 +366,7 @@ def get_fns(
     post_axes = (0,) + (None,) * n_post_extra
     return {
         "log_post_raw": _log_post_raw,
+        "log_post_chain_raw": _log_post_chain_raw,
         "log_prior_raw": _log_prior_raw,
         "obj_raw": _obj,
         "obj_design_raw": _obj_design,

@@ -2628,14 +2628,6 @@ class GP:
             return hyp_start, optimize_result, None
 
         ## Slice sampling of the hyperposterior.
-        # Release the PREVIOUS fit's device posterior factors first:
-        # nothing below reads them and update(hyp=samples) rebuilds
-        # them at the end of this fit, but left alive they co-reside
-        # with the chain program's ~5 live (B, N, N) temps — at
-        # N=16384, 8 stale samples are ~8 GB of the 15.75 GB HBM, and
-        # the warm 2-chain refit OOMed (r4 RESOURCE_EXHAUSTED) until
-        # this release.
-        self._release_posterior_factors()
         eff_s_N = s_N * thin
         if sampler_name not in (
             "slicesample",
@@ -2646,6 +2638,15 @@ class GP:
             "hmc",
         ):
             raise ValueError("Unknown sampler!")
+        # Release the PREVIOUS fit's device posterior factors (after the
+        # option validation above — a bad 'sampler' must not leave a
+        # previously usable GP without factors): nothing below reads
+        # them and update(hyp=samples) rebuilds them at the end of this
+        # fit, but left alive they co-reside with the chain program's
+        # live (B, N, N) temps — at N=16384, 8 stale samples are ~8 GB
+        # of the 15.75 GB HBM, and the warm 2-chain refit OOMed
+        # (r4 RESOURCE_EXHAUSTED) until this release.
+        self._release_posterior_factors()
         # 'covsample' (gplite_train.m:392-407) is eissample_lite with a
         # single walker: one random-direction slice move per iteration
         # instead of a full coordinate sweep.  It runs through the
@@ -2760,7 +2761,7 @@ class GP:
             fns, obj_args = self._obj_args()
             key = jax.random.key(int(np.random.randint(0, 2**31 - 1)))
             sampling_result, _ = _ensemble_slice.sample(
-                fns["log_post_raw"],
+                fns["log_post_chain_raw"],
                 hyp_start,
                 key,
                 n_samples=eff_s_N,
@@ -2841,7 +2842,11 @@ class GP:
             off = 0
             for b_i, key_i in zip(group_sizes, group_keys):
                 cx_i, cf_i = _device_slice.sample_chains(
-                    fns["log_post_raw"],
+                    # Memory-lean forward (core.nlml.nlz_chain): ~3
+                    # instead of ~5 live (B, N, N) buffers per batched
+                    # eval — the thing that capped B at 2 on a 16 GB
+                    # chip at N=16384 (VERDICT r4 #2).
+                    fns["log_post_chain_raw"],
                     starts[off : off + b_i],
                     key_i,
                     widths=widths,
@@ -2926,7 +2931,7 @@ class GP:
                 int(np.random.randint(0, 2**31 - 1))
             )
             sampling_result, _ = _device_slice.sample(
-                fns["log_post_raw"],
+                fns["log_post_chain_raw"],
                 hyp_start,
                 key,
                 widths=widths,
@@ -3167,7 +3172,7 @@ class GP:
         off = 0
         for b_i, key_i in zip(group_sizes, group_keys):
             cx_i, cf_i = _device_slice.sample_chains(
-                fns["log_post_raw"],
+                fns["log_post_chain_raw"],
                 x0s[off : off + b_i],
                 key_i,
                 widths=widths_w,

@@ -559,7 +559,7 @@ def _run_chain_moveseg(
                 # s_sq/n - (s_sum/n)^2 with FMA, keeping the exact
                 # x^2-rounding residue that numpy rounds to 0, and the
                 # residue decides the where(new>0) branch).
-                st_w = _adapt_widths_j(
+                st_w = _adapt_widths(
                     SliceState(
                         x=x, log_Px=log_Px, widths=widths, key=key
                     ),
@@ -878,15 +878,6 @@ def _adapt_widths(
         )
     new_widths = jnp.where(new_widths > 0, new_widths, state.widths)
     return state._replace(widths=new_widths)
-
-
-# Jitted twin for host-driven segmentation (_run_chain_moveseg): the
-# eager op-by-op evaluation is NOT bit-equivalent to the compiled rule
-# (XLA fuses s_sq/n - (s_sum/n)^2 with FMA; the residue matters when
-# the moment window is degenerate) and costs per-op tunnel latency.
-_adapt_widths_j = partial(jax.jit, static_argnames=("has_base",))(
-    _adapt_widths
-)
 
 
 def _pack_chain_impl(

@@ -584,7 +584,7 @@ def dist_exact_predict(post: DistExactPosterior, xs, chunk: int = 1024):
     — the N-sized axes stay sharded) so one compiled program serves any
     M.
     """
-    xs = np.asarray(xs)
+    xs = np.atleast_2d(np.asarray(xs))
     M = xs.shape[0]
     chunk = min(chunk, -(-M // 64) * 64)
     fn = _predict_fn(post.spec, post.mesh, post.Np, post.b, chunk)
@@ -606,5 +606,7 @@ def dist_exact_predict(post: DistExactPosterior, xs, chunk: int = 1024):
         mus.append(np.asarray(mu))
         s2s.append(np.asarray(s2))
     mu = np.concatenate(mus)[:M]
-    s2 = np.concatenate(s2s)[:M]
+    # Clamp like GP.predict (gp.py) / reference gaussian_process.py:1770:
+    # at f32 kss - sum(V*V) rounds to tiny negatives near training data.
+    s2 = np.maximum(np.concatenate(s2s)[:M], 0.0)
     return mu, s2
