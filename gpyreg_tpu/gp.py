@@ -173,11 +173,25 @@ class Posterior:
 
 def _chain_batch_hbm_estimate(n_chains, n_padded, itemsize, n_dev=1):
     """Worst-case device memory of the chain-parallel batched MCMC
-    eval: ~5 live copies of the per-device (B, N, N) kernel array
-    (build temp, jitter-retry carry, factor, NaN-check, single-lane
-    convert — the round-4 OOM log measured 41.03 GB at B=8, N=16384,
-    f32, matching 5*8*16384^2*4 = 42.9 GB to fragmentation)."""
-    return 5 * -(-n_chains // n_dev) * n_padded**2 * itemsize
+    eval through the memory-lean ``core.nlml.nlz_chain`` schedule:
+    3.31 live copies of the per-device (B, N, N) kernel array per AOT
+    ``memory_analysis`` (kernel/factor pair at attempt 0 plus the
+    jitter-retry loop's rebuild+carry — benchmarks/chain_mem_analysis.py;
+    the retired general path held 4.56, and the round-4 OOM log
+    measured 41.03 GB at B=8, N=16384, f32 ~ 5 copies incl.
+    fragmentation).  The fit gate adds a flat fragmentation reserve on
+    top (``_CHAIN_HBM_RESERVE``) rather than a fractional headroom —
+    at 16 GB HBM a 15% fraction was refusing B=4 at N=16384 (14.2 GB
+    predicted, 15.75 available), the configuration the lean schedule
+    exists to enable."""
+    return int(
+        3.31 * -(-n_chains // n_dev) * n_padded**2 * itemsize
+    )
+
+
+# Flat HBM set-aside for allocator fragmentation + non-(N,N) buffers
+# when sizing chain groups (see _chain_batch_hbm_estimate).
+_CHAIN_HBM_RESERVE = 1.2e9
 
 
 def _design_chunk(rank_nr, B0):
@@ -2475,10 +2489,10 @@ class GP:
         """Split B parallel chains into sequential device-memory-sized
         groups with independent keys.
 
-        HBM sizing: the batched eval holds ~5 live copies of the
-        per-device (B_g, N, N) kernel array (build, jitter-retry
-        carry, factor, NaN check — measured 41 GB at B=8, N=16384,
-        f32 on a 15.75 GB v5e).  A batch that cannot fit runs as
+        HBM sizing: the batched eval holds 3.31 live copies of the
+        per-device (B_g, N, N) kernel array (attempt-0 kernel/factor
+        pair + the jitter-retry rebuild/carry — AOT-measured,
+        ``_chain_batch_hbm_estimate``).  A batch that cannot fit runs as
         sequential GROUPS: independent chains compose exactly for
         cross-chain R-hat (and at large N one Cholesky already
         saturates the MXU, so grouping costs no per-sweep throughput).
@@ -2494,7 +2508,10 @@ class GP:
             hbm = jax.devices()[0].memory_stats()["bytes_limit"]
         except Exception:
             hbm = 16e9
-        g_max = max(1, int((0.85 * hbm) // max(per_chain, 1))) * n_dev
+        g_max = (
+            max(1, int((hbm - _CHAIN_HBM_RESERVE) // max(per_chain, 1)))
+            * n_dev
+        )
         n_groups = -(-B // g_max)
         if n_groups > 1:
             warnings.warn(

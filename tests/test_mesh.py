@@ -500,15 +500,27 @@ def test_gp_fit_chain_parallel_non_divisible(gp_data):
 
 
 def test_chain_batch_hbm_estimate():
-    """The chain-parallel HBM sizing formula matches the round-4 OOM
-    measurement (41.03 GB used at B=8, N=16384, f32 on a 15.75 GB v5e)
-    and scales down with mesh size."""
-    from gpyreg_tpu.gp import _chain_batch_hbm_estimate
+    """The chain-parallel HBM sizing formula matches the lean
+    nlz_chain schedule's AOT measurement (3.31 live (B,N,N) copies,
+    benchmarks/chain_mem_analysis.py) and scales down with mesh size."""
+    from gpyreg_tpu.gp import (
+        _CHAIN_HBM_RESERVE,
+        _chain_batch_hbm_estimate,
+    )
 
     est = _chain_batch_hbm_estimate(8, 16384, 4)
-    assert 38e9 < est < 46e9
-    # B=2 fits a 16 GB chip (the converged north-star configuration).
-    assert _chain_batch_hbm_estimate(2, 16384, 4) < 15.75e9
+    assert 27e9 < est < 30e9  # 3.31 * 8 * 16384^2 * 4
+    # B=4 at N=16384 f32 now fits a 15.75 GB v5e as ONE batch — the
+    # round-5 target configuration the lean schedule exists to enable.
+    assert (
+        _chain_batch_hbm_estimate(4, 16384, 4) + _CHAIN_HBM_RESERVE
+        < 15.75e9
+    )
+    # B=8 still does not (needs ~28 GB): grouping must engage.
+    assert (
+        _chain_batch_hbm_estimate(8, 16384, 4) + _CHAIN_HBM_RESERVE
+        > 15.75e9
+    )
     # A mesh divides the batch.
     assert _chain_batch_hbm_estimate(8, 16384, 4, n_dev=4) == (
         _chain_batch_hbm_estimate(2, 16384, 4)
