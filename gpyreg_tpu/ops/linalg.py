@@ -197,6 +197,121 @@ def tri_inv(L, block: int = 256, precision=None):
     )
 
 
+def tri_inv_doubling(L, base: int = 256, precision=None):
+    """:func:`tri_inv` restructured as recursive DOUBLING: one batched
+    op per level instead of an unrolled tree of sibling ops.
+
+    The divide-and-conquer recursion of :func:`tri_inv` lowers to
+    2^k separate HLO matmuls/solves at depth k — at N=4096/block=1024
+    that is 4 base trsms and 6 off-diagonal matmuls dispatched
+    SEQUENTIALLY, each too small to fill the MXU.  Here every level's
+    independent sibling blocks run as ONE batched op:
+
+      level 0:  all N/base diagonal base blocks -> one batched trsm
+      level k:  all sibling pairs merge via  Bi = -W1 (L21 W0)
+                -> two batched (m, m) matmuls over N/(2m) lanes
+
+    so the op count is 1 + 2*log2(N/base) regardless of N, and every
+    matmul is a large batch.  Requires N = base * 2^j (the padded
+    buckets are powers of two); other shapes fall back to
+    :func:`tri_inv`.  Exact same arithmetic as tri_inv up to matmul
+    reassociation.
+    """
+    N = L.shape[-1]
+    nb = N // base
+    if N <= base or N % base or (nb & (nb - 1)):
+        return tri_inv(L, block=base, precision=precision)
+    hi = precision if precision is not None else lax.Precision.HIGHEST
+    batch = L.shape[:-2]
+
+    def _diag_blocks(m, lower_left=False):
+        """All (m, m) diagonal blocks of L as (..., N/m, m, m) — or,
+        with ``lower_left``, the (m, m) lower-left quadrant of every
+        (2m, 2m) diagonal block (the L21 merge operands)."""
+        k = N // m
+        L5 = L.reshape(batch + (k, m, k, m))
+        if lower_left:
+            # Pair rows (2i+1) with columns (2i): sub-diagonal of the
+            # (k, k) block grid restricted to odd-row/even-col.
+            L5 = L5[..., 1::2, :, ::2, :]
+        d = jnp.diagonal(L5, axis1=-4, axis2=-2)
+        return jnp.moveaxis(d, -1, -3)
+
+    D = _diag_blocks(base)
+    eye = jnp.broadcast_to(jnp.eye(base, dtype=L.dtype), D.shape)
+    W = solve_triangular(D, eye, lower=True)
+    m = base
+    while m < N:
+        k2 = N // (2 * m)
+        Wp = W.reshape(batch + (k2, 2, m, m))
+        W0 = Wp[..., 0, :, :]
+        W1 = Wp[..., 1, :, :]
+        L21 = _diag_blocks(m, lower_left=True)
+        Bi = -jnp.matmul(
+            W1, jnp.matmul(L21, W0, precision=hi), precision=hi
+        )
+        Z = jnp.zeros_like(Bi)
+        W = jnp.concatenate(
+            [
+                jnp.concatenate([W0, Z], axis=-1),
+                jnp.concatenate([Bi, W1], axis=-1),
+            ],
+            axis=-2,
+        )
+        m *= 2
+    return W.reshape(batch + (N, N))
+
+
+def tri_inv_gram(L, block: int = 1024, precision=None, doubling=True):
+    """``G^{-1} = L^{-T} L^{-1}`` directly from the lower factor, with
+    the top level of the inversion FUSED into the Gram product.
+
+    The composed pipeline (``sym_tri_product(tri_inv(L))``) materializes
+    the full W = L^{-1} (a concatenate write + re-read of the (N, N)
+    array) only to square it.  One level of the inverse's 2x2 block
+    identity applied to the Gram instead gives
+
+        W = [[Wa, 0], [Bi, Wc]],   Bi = -Wc (L21 Wa)
+        W^T W = [[Wa^T Wa + Bi^T Bi,  Bi^T Wc],
+                 [   (Bi^T Wc)^T,     Wc^T Wc ]]
+
+    so only the half-size inverses Wa/Wc and Bi are ever materialized,
+    the diagonal Gram blocks are half-size triangular-aware products,
+    and the full-size W round-trip through HBM disappears.  Used by the
+    fused NLML adjoint (:func:`quad_logdet`), where G^{-1} is the
+    dominant backward cost (VERDICT r4 #3).  ``doubling`` selects
+    :func:`tri_inv_doubling` for the half inverses.
+    """
+    N = L.shape[-1]
+    inv = tri_inv_doubling if doubling else tri_inv
+    inv_block = min(block, 256) if doubling else block
+    if N <= 2 * block:
+        W = inv(L, inv_block, precision)
+        return sym_tri_product(W, block, precision)
+    hi = precision if precision is not None else lax.Precision.HIGHEST
+    h = max(128, ((N // 2) + 127) // 128 * 128)
+    Wa = inv(L[..., :h, :h], inv_block, precision)
+    Wc = inv(L[..., h:, h:], inv_block, precision)
+    Bi = -jnp.matmul(
+        Wc,
+        jnp.matmul(L[..., h:, :h], Wa, precision=hi),
+        precision=hi,
+    )
+    BiT = jnp.swapaxes(Bi, -1, -2)
+    Gtl = sym_tri_product(Wa, block, precision) + jnp.matmul(
+        BiT, Bi, precision=hi
+    )
+    Gtr = jnp.matmul(BiT, Wc, precision=hi)
+    Gbr = sym_tri_product(Wc, block, precision)
+    return jnp.concatenate(
+        [
+            jnp.concatenate([Gtl, Gtr], axis=-1),
+            jnp.concatenate([jnp.swapaxes(Gtr, -1, -2), Gbr], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
 def sym_tri_product(W, block: int = 1024, precision=None):
     """``W^T W`` for a LOWER-triangular ``W``, exploiting the zeros.
 
@@ -271,6 +386,31 @@ def tri_lower_matmul(Wl, B, block: int = 2048, precision=None):
 # TPU; below it (and always in f64, the parity dtype) the two-trsm
 # adjoint is used.
 _VJP_MATMUL_MIN_N = 1024
+
+# G^{-1} evaluation strategy inside the f32 matmul-path NLML adjoint
+# (benchmarks/adjoint_bench.py measures all of them on the chip):
+#   compose    — tri_inv then sym_tri_product (the round-3 pipeline)
+#   gram       — tri_inv_gram w/ doubling half-inverses (round-5 default)
+#   gram_nodbl — tri_inv_gram w/ recursive half-inverses
+#   dense      — tri_inv_doubling + one dense W^T W matmul
+# Read at TRACE time: flip before building a fresh jitted program.
+_GINV_MODE = "compose"
+
+
+def _ginv_from_chol_f32(L):
+    """Explicit G^{-1} from the lower factor on the f32 matmul path,
+    dispatching on :data:`_GINV_MODE` (see benchmarks/adjoint_bench.py
+    for the measured comparison)."""
+    p = lax.Precision.HIGH
+    if _GINV_MODE == "gram":
+        return tri_inv_gram(L, block=1024, precision=p)
+    if _GINV_MODE == "gram_nodbl":
+        return tri_inv_gram(L, block=1024, precision=p, doubling=False)
+    if _GINV_MODE == "dense":
+        W = tri_inv_doubling(L, base=256, precision=p)
+        return jnp.matmul(jnp.swapaxes(W, -1, -2), W, precision=p)
+    W = tri_inv(L, block=1024, precision=p)
+    return sym_tri_product(W, block=1024, precision=p)
 
 
 def _cholesky_vjp_core(L, L_bar):
@@ -420,12 +560,8 @@ def _quad_logdet_bwd(res, cotangents):
         # bf16x3 (HIGH) accumulation throughout is the throughput sweet
         # spot (92 vs 55 evals/s for 256/HIGHEST end-to-end) and the
         # gradient error it adds (~1e-6 relative) is far below f32 fit
-        # tolerance.  The triangular-aware product drops ~2/3 of the
-        # flops vs the dense W^T W.
-        W = tri_inv(L, block=1024, precision=lax.Precision.HIGH)
-        G_inv = sym_tri_product(
-            W, block=1024, precision=lax.Precision.HIGH
-        )
+        # tolerance.  Strategy selected by _GINV_MODE (adjoint_bench.py).
+        G_inv = _ginv_from_chol_f32(L)
     else:
         # Chunked inverse (max_rhs-bounded): a single N-wide solve at
         # large N materializes huge XLA trsm temps — see

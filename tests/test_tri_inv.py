@@ -216,3 +216,67 @@ def test_jittered_cholesky_mixed_lanes_under_vmap():
 
     g = jax.grad(loss)(K)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+@pytest.mark.parametrize("N", [256, 512, 2048, 700])
+def test_tri_inv_doubling_matches_tri_inv(N):
+    """Recursive doubling == the unrolled recursion (700 exercises the
+    non-power-of-two fallback)."""
+    from gpyreg_tpu.ops.linalg import tri_inv_doubling
+
+    rng = np.random.default_rng(N)
+    L = _well_conditioned_lower(rng, N)
+    Wd = np.asarray(tri_inv_doubling(jnp.asarray(L), base=256))
+    np.testing.assert_allclose(
+        Wd @ L, np.eye(N), rtol=0, atol=1e-9 * N
+    )
+
+
+def test_tri_inv_doubling_batched():
+    from gpyreg_tpu.ops.linalg import tri_inv_doubling
+
+    rng = np.random.default_rng(7)
+    Lb = np.stack(
+        [_well_conditioned_lower(rng, 512) for _ in range(3)]
+    )
+    Wb = np.asarray(tri_inv_doubling(jnp.asarray(Lb), base=128))
+    for i in range(3):
+        np.testing.assert_allclose(
+            Wb[i] @ Lb[i], np.eye(512), rtol=0, atol=1e-8
+        )
+
+
+@pytest.mark.parametrize("doubling", [True, False])
+@pytest.mark.parametrize("N", [512, 4096, 900])
+def test_tri_inv_gram_matches_composition(N, doubling):
+    """tri_inv_gram == sym_tri_product(tri_inv(.)) == L^-T L^-1."""
+    from gpyreg_tpu.ops.linalg import tri_inv_gram
+
+    rng = np.random.default_rng(N)
+    L = _well_conditioned_lower(rng, N)
+    G = np.asarray(
+        tri_inv_gram(jnp.asarray(L), block=512, doubling=doubling)
+    )
+    W = np.linalg.inv(L)
+    np.testing.assert_allclose(G, W.T @ W, rtol=0, atol=1e-12 * N)
+
+
+def test_ginv_mode_strategies_agree():
+    """Every _GINV_MODE strategy computes the same G^{-1} (f64 CPU —
+    the f32 TPU throughput comparison is benchmarks/adjoint_bench.py)."""
+    from gpyreg_tpu.ops import linalg as LA
+
+    rng = np.random.default_rng(3)
+    L = jnp.asarray(_well_conditioned_lower(rng, 1024))
+    ref = None
+    old = LA._GINV_MODE
+    try:
+        for mode in ("compose", "gram", "gram_nodbl", "dense"):
+            LA._GINV_MODE = mode
+            got = np.asarray(LA._ginv_from_chol_f32(L))
+            if ref is None:
+                ref = got
+            else:
+                np.testing.assert_allclose(got, ref, rtol=0, atol=1e-10)
+    finally:
+        LA._GINV_MODE = old
