@@ -28,6 +28,7 @@ import scipy as sp
 import jax
 import jax.numpy as jnp
 
+from . import _compile_log
 from . import covariance_functions as _cov_mod
 from . import mean_functions as _mean_mod
 from .core.model import ModelSpec, cov_matrix, mean_value
@@ -40,11 +41,10 @@ from .f_min_fill import (
     smoothbox_student_t_cdf,
 )
 from .formatting import full_repr
+from .inference import cg_fit as _cg_fit
 from .inference import device_slice as _device_slice
-from .inference import ensemble_slice as _ensemble_slice
-from .inference import hmc as _hmc
-from .inference import mala as _mala
 from .inference import map_optimize as _map_optimize
+from .inference import sampling as _sampling
 from .ops.linalg import neg_inverse_from_chol, robust_cholesky
 from .serving import (  # noqa: F401 (re-exported for tests/back-compat)
     _MXU_PREDICT_MIN_M,
@@ -60,7 +60,6 @@ from .serving import (  # noqa: F401 (re-exported for tests/back-compat)
     _scaled_upper_batch,
     _sw_batch,
 )
-from .slice_sample import SliceSampler, effective_n, gelman_rubin
 
 from functools import lru_cache
 from jax.scipy.linalg import solve_triangular as _jsolve_tri
@@ -1274,291 +1273,6 @@ class GP:
     # Fitting
     # ------------------------------------------------------------------
 
-    def _fit_cg_path(
-        self, hyp0, LB, UB, PLB, PUB, options, tol_opt, s_N, _t_start,
-        _trace_dir
-    ):
-        """Matrix-free MAP fit through the BBMM stack (called from
-        ``fit(options={"method": "cg"})`` after data/bounds resolution).
-
-        Past the Cholesky N limit the kernel matrix is never
-        materialized: the L-BFGS-B objective is the stochastic
-        CG+SLQ NLML (ops/iterative.py cg_nlml, common random numbers)
-        and the stored posterior is a matrix-free tag whose CG weight
-        vector is solved lazily at the first predict.
-
-        Hyperposterior sampling IS available here when the caller asks
-        for it explicitly (``n_samples`` spelled out in options): the
-        device slice chain runs on a FIXED-PROBE surrogate posterior —
-        one frozen SLQ/Hutchinson probe key for the whole chain (common
-        random numbers), so the target is deterministic and its
-        log-density error is the estimator error (<1% at defaults) —
-        the determinant-free fully-Bayesian construction
-        (ops/iterative.cg_log_post_raw, cf. arXiv:2412.20884).  The
-        reference's DEFAULT n_samples=10 is not honored silently (each
-        chain evaluation is a full CG+SLQ program): it warns and runs
-        MAP-only unless the caller opts in.
-        """
-        from .ops import iterative as _iterative
-
-        sample_requested = s_N > 0 and "n_samples" in options
-        if s_N > 0 and not sample_requested:
-            # The reference contract defaults to n_samples=10; never
-            # downgrade it silently just because the caller didn't
-            # spell out a sampling option.
-            warnings.warn(
-                'fit(options={"method": "cg"}) samples only on '
-                f"explicit request: skipping the default n_samples="
-                f"{s_N} hyperposterior sampling (pass n_samples in "
-                "options to run the fixed-probe chain, or 0 to "
-                "acknowledge MAP-only).",
-                stacklevel=3,
-            )
-        cg_opts = {
-            "row_chunk": int(options.get("cg_row_chunk", 1024)),
-            "max_iter": int(options.get("cg_max_iter", 500)),
-        }
-        fit_opts = dict(
-            cg_tol=float(options.get("cg_tol", 1e-5)),
-            n_probes=int(options.get("cg_n_probes", 8)),
-            n_lanczos=int(options.get("cg_n_lanczos", 32)),
-            max_opt_iter=int(options.get("cg_max_opt_iter", 100)),
-            warm_start=bool(options.get("cg_warm_start", True)),
-            **cg_opts,
-        )
-        spec = self._spec()
-        hyp0_2d = np.atleast_2d(np.asarray(hyp0, dtype=np.float64))
-        X = np.asarray(self.X, dtype=self.dtype)
-        y = np.asarray(self.y, dtype=self.dtype)
-        s2 = None if self.s2 is None else np.asarray(
-            self.s2, dtype=self.dtype
-        )
-
-        # Small Sobol design ranked by a loose-tolerance CG objective:
-        # the mid-plausible default start often sits on a flat plateau
-        # where L-BFGS-B stalls (the exact path's 1024-wide design plays
-        # the same role, reference f_min_fill.py:175; here every
-        # evaluation is a CG+SLQ program, so the budget is small).
-        init_N = int(options.get("cg_init_N", 16))
-        key = jax.random.key(int(options.get("cg_seed", 0)))
-        hyp0 = hyp0_2d[0]
-        if init_N > 1:
-            self.hyper_priors["df"][
-                np.isnan(self.hyper_priors["df"])
-            ] = options.get("df_base", 7)
-            design = build_design(
-                hyp0_2d, LB, UB, PLB, PUB, self.hyper_priors,
-                init_N, options.get("init_method", "sobol"),
-            )
-            vals = np.array(
-                [
-                    _iterative.cg_nlml(
-                        spec, h, X, y, s2, key=key,
-                        tol=1e-3,
-                        row_chunk=cg_opts["row_chunk"],
-                        max_iter=cg_opts["max_iter"],
-                        n_probes=fit_opts["n_probes"],
-                        n_lanczos=fit_opts["n_lanczos"],
-                    )
-                    for h in design
-                ]
-            )
-            finite = np.isfinite(vals)
-            if np.any(finite):
-                hyp0 = design[
-                    np.argmin(np.where(finite, vals, np.inf))
-                ]
-        self.fit_timings["design_s"] = time.perf_counter() - _t_start
-
-        hyp_opt, res = _iterative.fit_cg(
-            spec,
-            X,
-            y,
-            s2=s2,
-            hyp0=hyp0,
-            LB=LB,
-            UB=UB,
-            key=key,
-            tol=float(options.get("tol_opt", tol_opt)),
-            **fit_opts,
-        )
-        self.fit_timings["optimize_s"] = (
-            time.perf_counter() - _t_start
-            - self.fit_timings["design_s"]
-        )
-
-        # Serving options for the stored matrix-free posterior.
-        self._infer_method = "cg"
-        self._cg_options = {
-            "tol": float(options.get("cg_predict_tol", 1e-6)),
-            "test_chunk": int(options.get("cg_test_chunk", 1024)),
-            "precond_rank": int(options.get("cg_precond_rank", 0)),
-            **cg_opts,
-        }
-
-        sampling_result = None
-        hyp = np.reshape(hyp_opt, (1, -1))
-        if sample_requested:
-            # Fixed-probe hyperposterior chain (see the method
-            # docstring): the frozen probe key makes the chain target a
-            # deterministic surrogate of the posterior.
-            thin = int(options.get("thin", 5))
-            burn = int(options.get("burn", thin * s_N))
-            _, _, _, _, pack = self._device()
-            # The chain's CG budget is separately tunable: the frozen
-            # probes make the surrogate a deterministic function of the
-            # hyperparameters at ANY tolerance, so loose per-eval CG
-            # (cg_sample_tol / cg_sample_max_iter) trades a small,
-            # MEASURABLE NLML bias (benchmarks/matrix_free_sampling.py
-            # part B pins it) for per-eval wall-clock — mandatory at
-            # very large N, where a tight-CG sweep cannot fit a
-            # watchdog-safe dispatch (~6 min device-time kill; a 65k
-            # eval at tol 1e-4 runs 100+ panel-rebuild matvec passes).
-            log_f, _prior_raw = _iterative.cg_log_post_raw(
-                spec,
-                float(options.get("cg_sample_tol", fit_opts["cg_tol"])),
-                cg_opts["row_chunk"],
-                int(
-                    options.get(
-                        "cg_sample_max_iter", cg_opts["max_iter"]
-                    )
-                ),
-                fit_opts["n_probes"],
-                fit_opts["n_lanczos"],
-                s2 is not None,
-                pack is not None,
-            )
-            f_args = [X, y]
-            if s2 is not None:
-                f_args.append(s2)
-            if pack is not None:
-                f_args.append(pack)
-            f_args.append(key)  # the FROZEN probe key (design/MAP key)
-            mc_key = jax.random.key(
-                int(np.random.randint(0, 2**31 - 1))
-            )
-            # Every chain evaluation is a full CG+SLQ program.  Three
-            # dispatch tiers: monolithic below _CG_SAMPLE_SEG_MIN_N;
-            # ONE COORDINATE MOVE per dispatch (device_slice seg_moves,
-            # bounded at <= 1 + max_shrink evals) up to
-            # _CG_SAMPLE_HOST_MIN_N; and ONE EVALUATION per dispatch
-            # (host-driven reference-parity chain) above it, where a
-            # single move's device time can exceed the ~6-min watchdog.
-            # Tune per-eval cost via options["cg_sample_tol"] /
-            # ["cg_sample_max_iter"]; force a tier with
-            # options["cg_sample_driver"] = "host" | "device".
-            seg = 1 if X.shape[0] >= _CG_SAMPLE_SEG_MIN_N else None
-            # Same zero-width repair as the exact path (a dimension
-            # whose plausible bounds clamp together must not abort the
-            # chain after the expensive MAP phase).
-            widths_cg = np.asarray(PUB - PLB, dtype=np.float64)
-            idx0 = widths_cg == 0
-            if np.any(idx0):
-                widths_cg[idx0] = np.minimum(
-                    1.0, (UB - LB)[idx0]
-                )
-            # Segmented chains also bound the shrink loop: a slice MOVE
-            # has unbounded eval count (the watchdog bounds device
-            # time, not moves), and at large N each CG eval is seconds
-            # — 48 shrink steps (vs the 256 safety default) caps the
-            # worst single move at ~50 evals while leaving ~5x the
-            # ~10-step practical shrink tail (on cap exit the move
-            # keeps the current point, the documented contract).
-            driver = str(options.get("cg_sample_driver", "auto"))
-            use_host = driver == "host" or (
-                driver == "auto"
-                and X.shape[0] >= _CG_SAMPLE_HOST_MIN_N
-            )
-            if use_host:
-                # Eval-granularity segmentation (see
-                # _CG_SAMPLE_HOST_MIN_N): the reference-parity host
-                # sampler drives the chain, each log-posterior
-                # evaluation its own watchdog-safe dispatch.  Same
-                # result-dict contract as the device sampler.
-                f_jit = _jit_by_identity(log_f)
-                f_args_t = tuple(f_args)
-
-                def _host_log_f(h):
-                    return float(
-                        np.asarray(
-                            f_jit(
-                                np.asarray(h, dtype=np.float64),
-                                *f_args_t,
-                            )
-                        )
-                    )
-
-                slicer = SliceSampler(
-                    _host_log_f,
-                    np.ravel(np.asarray(hyp_opt, dtype=np.float64)),
-                    widths_cg,
-                    LB,
-                    UB,
-                    {
-                        "display": options.get("display", "off"),
-                        "diagnostics": options.get(
-                            "sampler_diagnostics", True
-                        ),
-                    },
-                )
-                sampling_result = slicer.sample(
-                    s_N * thin, thin=1, burn=burn
-                )
-            else:
-                sampling_result, _ = _device_slice.sample(
-                    log_f,
-                    np.asarray(hyp_opt, dtype=np.float64),
-                    mc_key,
-                    widths=widths_cg,
-                    LB=LB,
-                    UB=UB,
-                    n_samples=s_N * thin,
-                    thin=1,
-                    burn=burn,
-                    max_shrink=int(
-                        options.get(
-                            "cg_sample_max_shrink", 48 if seg else 256
-                        )
-                    ),
-                    f_args=tuple(f_args),
-                    seg_moves=seg,
-                )
-            samples = np.asarray(sampling_result["samples"])
-            hyp = samples[thin - 1 :: thin][:s_N]
-            f_vals = np.asarray(
-                sampling_result["f_vals"]
-            ).ravel()[thin - 1 :: thin][:s_N]
-            # The chain targets the log posterior; split the prior out
-            # of f_vals per the sampling_result contract (the prior is
-            # kernel-independent, so the exact-path bundle serves).
-            fns_e, obj_args_e = self._obj_args()
-            log_priors = self._sample_log_priors(
-                hyp, fns_e, obj_args_e
-            )
-            sampling_result["samples"] = hyp
-            sampling_result["f_vals"] = (
-                f_vals - log_priors
-            ).reshape(-1, 1)
-            sampling_result["log_priors"] = log_priors
-        self.fit_timings["sample_s"] = (
-            time.perf_counter() - _t_start
-            - self.fit_timings["design_s"]
-            - self.fit_timings["optimize_s"]
-        )
-
-        self.update(hyp=hyp)
-        self.fit_timings["posterior_s"] = (
-            time.perf_counter() - _t_start
-            - self.fit_timings["design_s"]
-            - self.fit_timings["optimize_s"]
-            - self.fit_timings["sample_s"]
-        )
-        if _trace_dir:
-            import jax.profiler as _jprof
-
-            _jprof.stop_trace()
-        return hyp, res, sampling_result
-
     def _require_factors(self, what: str):
         """Raise for operations that need explicit O(N^2) posterior
         factors when the stored posteriors are matrix-free (CG)."""
@@ -1651,6 +1365,16 @@ class GP:
         LB[i_sn] = min(floor, UB[i_sn])
         return LB
 
+    def _finish_compile_log(self):
+        """Record this fit's XLA compile count/time into fit_timings
+        (delta vs the snapshot taken at fit entry).  MUST run after
+        the phase timings — several phases compute themselves as
+        wall - sum(fit_timings.values())."""
+        n, s = _compile_log.snapshot()
+        n0, s0 = getattr(self, "_compile_base", (n, s))
+        self.fit_timings["n_compiles"] = n - n0
+        self.fit_timings["compile_s"] = round(s - s0, 3)
+
     def fit(
         self,
         X: np.ndarray = None,
@@ -1734,6 +1458,10 @@ class GP:
         # Real phase timing (the reference's timers are vestigial,
         # gaussian_process.py:1094-1228) + optional jax.profiler trace.
         self.fit_timings = {}
+        # Compile accounting (VERDICT r4 #7): remote compiles are
+        # minutes-scale at 16k shapes; every exit path records the
+        # fit's compile bill in fit_timings (see _compile_log).
+        self._compile_base = _compile_log.snapshot()
         _trace_dir = options.get("trace_dir", None)
         if _trace_dir:
             import jax.profiler as _jprof
@@ -1831,9 +1559,9 @@ class GP:
                 "cg_threshold_n", 32768
             ) else "exact"
         if method == "cg":
-            return self._fit_cg_path(
-                hyp0, LB, UB, PLB, PUB, options, tol_opt, s_N,
-                _t_start, _trace_dir
+            return _cg_fit.fit_cg_path(
+                self, hyp0, LB, UB, PLB, PUB, options, tol_opt, s_N,
+                _t_start, _trace_dir,
             )
         if method != "exact":
             raise ValueError(f"Unknown fit method {method!r}")
@@ -1850,10 +1578,10 @@ class GP:
         # hyp0 is this object's previous fit output, from the state the
         # last fit stored.
         if sampler_name == "slicelite" and s_N > 0:
-            warm = self._slicelite_ess(hyp0, options, thin)
+            warm = _sampling.slicelite_ess(self, hyp0, options, thin)
             if warm is not None:
-                return self._slicelite_warm_refit(
-                    warm, s_N, LB, UB, PLB, PUB, widths, options,
+                return _sampling.slicelite_warm_refit(
+                    self, warm, s_N, LB, UB, PLB, PUB, widths, options,
                     _t_start, _trace_dir,
                 )
 
@@ -2108,12 +1836,15 @@ class GP:
                 time.perf_counter() - _t_start
                 - sum(self.fit_timings.values())
             )
+            self._finish_compile_log()
             if _trace_dir:
                 _jprof.stop_trace()
             return hyp_start, optimize_result, None
 
-        ## Slice sampling of the hyperposterior.
-        eff_s_N = s_N * thin
+        ## Slice sampling of the hyperposterior
+        ## (inference/sampling.py; the validation precedes the factor
+        ## release inside run_sampling — a bad 'sampler' must not leave
+        ## a previously usable GP without factors).
         if sampler_name not in (
             "slicesample",
             "slicelite",
@@ -2123,330 +1854,28 @@ class GP:
             "hmc",
         ):
             raise ValueError("Unknown sampler!")
-        # Release the PREVIOUS fit's device posterior factors (after the
-        # option validation above — a bad 'sampler' must not leave a
-        # previously usable GP without factors): nothing below reads
-        # them and update(hyp=samples) rebuilds them at the end of this
-        # fit, but left alive they co-reside with the chain program's
-        # live (B, N, N) temps — at N=16384, 8 stale samples are ~8 GB
-        # of the 15.75 GB HBM, and the warm 2-chain refit OOMed
-        # (r4 RESOURCE_EXHAUSTED) until this release.
-        self._release_posterior_factors()
-        # 'covsample' (gplite_train.m:392-407) is eissample_lite with a
-        # single walker: one random-direction slice move per iteration
-        # instead of a full coordinate sweep.  It runs through the
-        # device slice chain with move='rd' (device-backend only).
-        slice_move = "rd" if sampler_name == "covsample" else "cw"
-        if sampler_name == "mala":
-            # MALA moves all dimensions at once: the gplite driver
-            # scales the effective sample count, burn-in and thinning
-            # by the number of hyperparameters to keep the per-dimension
-            # exploration comparable to the coordinate-wise slice
-            # sampler (gplite_train.m:413,424,431).
-            hyp_N = int(np.size(LB))
-            thin = thin * hyp_N
-            eff_s_N = s_N * thin
-            burn_in = burn_in * hyp_N
-
-        # Robustness guard: an f32 MAP point can sit where the objective
-        # is borderline non-finite (Cholesky retry exhaustion); the
-        # samplers require a finite start.  Fall back to the best finite
-        # candidate among the optimized restarts / starting points.
-        # (The optimizer already evaluated hyp_start — reuse its value
-        # instead of paying another device round trip.)
-        if f_start is None:
-            f_start = self._objective(hyp_start)
-        if not np.isfinite(f_start):
-            if X0_dev is not None:
-                # Reuse the fused program's sorted candidate pool (kept
-                # device-resident; its objective values already exist).
-                cand = np.asarray(X0_dev)
-                vals = np.asarray(y0_dev)
-            else:
-                cand = np.asarray(hyp)
-                vals = self._objective_batch(cand)
-            finite = np.isfinite(vals)
-            if not np.any(finite):
-                raise ValueError(
-                    "No finite starting point for hyperparameter "
-                    "sampling (all candidates evaluate to Inf/NaN)."
-                )
-            hyp_start = cand[np.argmin(np.where(finite, vals, np.inf))]
-            warnings.warn(
-                "MAP optimum evaluated non-finite; starting MCMC from "
-                "the best finite candidate instead.",
-                stacklevel=2,
-            )
-
         if widths is None:
             widths = widths_default
         else:
             widths = np.minimum(widths, widths_default)
-
-        backend = options.get("sampler_backend", "device")
-        if sampler_name == "mala":
-            # Metropolis-adjusted Langevin: gradient-informed global
-            # proposals via the autodiff bundle, fully on device
-            # (gplite_train.m:409-431; inference/mala.py).
-            fns, obj_args = self._obj_args()
-            key = jax.random.key(int(np.random.randint(0, 2**31 - 1)))
-            sampling_result, _ = _mala.sample(
-                fns["log_post_raw"],
-                hyp_start,
-                key,
-                n_samples=eff_s_N,
-                widths=widths,
-                LB=LB,
-                UB=UB,
-                burn=burn_in,
-                step_size=options.get("step_size", None),
-                f_args=obj_args,
-                log_prior=(
-                    None if self.no_prior else fns["log_prior_raw"]
-                ),
-                diagnostics=options.get("sampler_diagnostics", True),
-                seg_iters=_map_optimize.chain_segment_plan(
-                    obj_args[0].shape[0]
-                ),
-            )
-        elif sampler_name == "hmc":
-            # Leapfrog HMC: full-trajectory gradient proposals via the
-            # autodiff bundle (gplite_train.m:433-447; no Nhyp count
-            # scaling — one proposal already traverses every dimension).
-            fns, obj_args = self._obj_args()
-            key = jax.random.key(int(np.random.randint(0, 2**31 - 1)))
-            n_leap = int(options.get("hmc_steps", 10))
-            sampling_result, _ = _hmc.sample(
-                fns["log_post_raw"],
-                hyp_start,
-                key,
-                n_samples=eff_s_N,
-                widths=widths,
-                LB=LB,
-                UB=UB,
-                burn=burn_in,
-                step_size=options.get("step_size", None),
-                n_leapfrog=n_leap,
-                f_args=obj_args,
-                log_prior=(
-                    None if self.no_prior else fns["log_prior_raw"]
-                ),
-                diagnostics=options.get("sampler_diagnostics", True),
-                seg_iters=_map_optimize.chain_segment_plan(
-                    obj_args[0].shape[0],
-                    # one HMC iteration costs n_leap value_and_grad
-                    # evaluations (~2.5 forward NLMLs each)
-                    2.5 * n_leap,
-                ),
-            )
-        elif sampler_name == "eissample":
-            # Ensemble slice sampling (MATLAB gplite_train.m sampler;
-            # absent from the Python reference).  Walkers start from a
-            # jittered cloud around the MAP.
-            fns, obj_args = self._obj_args()
-            key = jax.random.key(int(np.random.randint(0, 2**31 - 1)))
-            sampling_result, _ = _ensemble_slice.sample(
-                fns["log_post_chain_raw"],
-                hyp_start,
-                key,
-                n_samples=eff_s_N,
-                widths=widths,
-                LB=LB,
-                UB=UB,
-                burn=burn_in,
-                f_args=obj_args,
-                log_prior=(
-                    None if self.no_prior else fns["log_prior_raw"]
-                ),
-                diagnostics=options.get("sampler_diagnostics", True),
-                seg_iters=_map_optimize.chain_segment_plan(
-                    obj_args[0].shape[0],
-                    # one ensemble iteration moves every walker
-                    # (~2.5 evaluations each)
-                    2.5 * 2 * (int(np.size(hyp_start)) + 1),
-                ),
-            )
-        elif (
-            backend == "device"
-            and int(options.get("n_chains", 1)) > 1
-        ):
-            # Chain-parallel slice sampling (SURVEY.md section 2.3): B
-            # independent chains from the MAP point, batched into one
-            # program — and sharded across the mesh when one is set.
-            # Cross-chain Gelman-Rubin replaces the single-chain
-            # split-R-hat (more chains = a stronger diagnostic).
-            fns, obj_args = self._obj_args()
-            key = jax.random.key(int(np.random.randint(0, 2**31 - 1)))
-            B = int(options.get("n_chains"))
-            n_per = -(-eff_s_N // B)
-            if (
-                n_per < 2
-                and options.get("sampler_diagnostics", True)
-                and B >= 2
-            ):
-                # Cross-chain R-hat needs within-chain variance: with
-                # one draw per chain W = 0/0.  Collect two per chain
-                # (one extra sweep, vmapped -> ~free) and keep eff_s_N.
-                n_per = 2
-            # Burn-in is per-chain work: every chain must adapt its
-            # widths and forget the start over the FULL burn window
-            # (only the collection phase is divisible across chains).
-            # The chains are vmapped: at small N the lanes fill the
-            # chip and the burn costs ~one chain's wall-clock; at large
-            # N a single Cholesky already saturates the MXU, so the
-            # batch buys convergence structure (independent chains for
-            # cross-chain R-hat), not per-sweep speed.
-            burn_per = burn_in
-            group_sizes, group_keys = self._chain_group_plan(
-                B, obj_args[0].shape[0], key
-            )
-            starts = np.tile(np.reshape(hyp_start, (1, -1)), (B, 1))
-            # Overdispersed starts (the Gelman-Rubin prerequisite:
-            # chains started identically make R-hat optimistic).
-            # Chain 0 stays at the MAP point; the rest jitter by a
-            # fraction of the slice widths, clipped to bounds.  The
-            # posterior at large N is far narrower than the plausible
-            # box, so 0.1 widths is genuinely overdispersed.
-            start_jit = float(options.get("chain_start_jitter", 0.1))
-            if B > 1 and start_jit > 0:
-                jrng = np.random.default_rng(
-                    int(np.random.randint(0, 2**31 - 1))
-                )
-                pert = (
-                    start_jit
-                    * np.asarray(widths, dtype=np.float64)
-                    * jrng.standard_normal((B - 1, starts.shape[1]))
-                )
-                starts[1:] = np.clip(starts[1:] + pert, LB, UB)
-            # In-chain thinned collection: same kept-draw count (the
-            # diagnostics' sample size), each draw chain_thin sweeps
-            # apart — the autocorrelation-time lever for the eff_N
-            # exit criterion (docstring above).
-            chain_thin = max(1, int(options.get("chain_thin", 1)))
-            parts_x, parts_f = [], []
-            off = 0
-            for b_i, key_i in zip(group_sizes, group_keys):
-                cx_i, cf_i = _device_slice.sample_chains(
-                    # Memory-lean forward (core.nlml.nlz_chain): ~3
-                    # instead of ~5 live (B, N, N) buffers per batched
-                    # eval — the thing that capped B at 2 on a 16 GB
-                    # chip at N=16384 (VERDICT r4 #2).
-                    fns["log_post_chain_raw"],
-                    starts[off : off + b_i],
-                    key_i,
-                    widths=widths,
-                    LB=LB,
-                    UB=UB,
-                    n_samples=n_per,
-                    thin=chain_thin,
-                    burn=burn_per,
-                    f_args=obj_args,
-                    mesh=self.mesh,
-                    seg_sweeps=_map_optimize.sweep_segment_plan(
-                        obj_args[0].shape[0],
-                        1 if slice_move == "rd"
-                        else int(np.size(hyp_start)),
-                        chains=b_i,
-                    ),
-                    move=slice_move,
-                )
-                parts_x.append(np.asarray(cx_i))
-                parts_f.append(np.asarray(cf_i))
-                off += b_i
-            chain_x = np.concatenate(parts_x, axis=0)  # (B, n_per, D)
-            chain_f = np.concatenate(parts_f, axis=0)
-            # Interleave iteration-major so thinning strides across all
-            # chains evenly.
-            samples = chain_x.transpose(1, 0, 2).reshape(
-                -1, chain_x.shape[2]
-            )[:eff_s_N]
-            f_vals = chain_f.T.reshape(-1)[:eff_s_N]
-            # The chain targets the log posterior; split the prior out
-            # of f_vals per the sampling_result contract.
-            log_priors = self._sample_log_priors(
-                samples, fns, obj_args
-            )
-            f_vals = f_vals - log_priors
-            if options.get("sampler_diagnostics", True) and B >= 2:
-                # Cross-chain SPLIT R-hat (Stan practice; each chain's
-                # draws split in half -> 2B sequences).  Plain
-                # cross-chain R-hat over 2 chains estimates the
-                # between-chain variance with ONE degree of freedom:
-                # even perfectly mixed chains then fail max R-hat <
-                # 1.1 across D dims most of the time (chi^2_1 noise).
-                # Splitting doubles the sequences (3+ dof at B=2) and
-                # additionally detects within-chain nonstationarity.
-                # Reference diagnostics: slice_sample.py:701-836 (the
-                # reference splits its single chain the same way).
-                half = chain_x.shape[1] // 2
-                if half >= 2:
-                    split_x = np.concatenate(
-                        [chain_x[:, :half], chain_x[:, half : 2 * half]],
-                        axis=0,
-                    )
-                else:
-                    # < 4 draws per chain: halves would be length-1
-                    # sequences (within-chain variance undefined).
-                    split_x = chain_x
-                R = gelman_rubin(split_x)
-                eff_N = effective_n(split_x)
-                if np.any(R > 1.5):
-                    exit_flag = -3
-                elif np.any(R > 1.1):
-                    exit_flag = -2
-                elif np.any(eff_N < eff_s_N / 10.0):
-                    exit_flag = -1
-                else:
-                    exit_flag = 1
-            else:
-                exit_flag, R, eff_N = 0, None, None
-            sampling_result = {
-                "samples": samples,
-                "f_vals": f_vals.reshape(-1, 1),
-                "log_priors": log_priors,
-                "exit_flag": exit_flag,
-                "R": R,
-                "eff_N": eff_N,
-                "n_chains": B,
-            }
-        elif backend == "device":
-            # Fully-jitted chain: zero host round-trips per NLML eval.
-            fns, obj_args = self._obj_args()
-            key = jax.random.key(
-                int(np.random.randint(0, 2**31 - 1))
-            )
-            sampling_result, _ = _device_slice.sample(
-                fns["log_post_chain_raw"],
-                hyp_start,
-                key,
-                widths=widths,
-                LB=LB,
-                UB=UB,
-                n_samples=eff_s_N,
-                thin=1,
-                burn=burn_in,
-                f_args=obj_args,
-                step_out=options.get("step_out", False),
-                diagnostics=options.get("sampler_diagnostics", True),
-                display=options.get("display", "off"),
-                seg_sweeps=_map_optimize.sweep_segment_plan(
-                    obj_args[0].shape[0],
-                    1 if slice_move == "rd" else int(np.size(hyp_start)),
-                ),
-                move=slice_move,
-            )
-        else:
-            if sampler_name == "covsample":
-                raise ValueError(
-                    "sampler='covsample' requires the device sampler "
-                    "backend (sampler_backend='device')."
-                )
-            sample_f = lambda hyp_: self._objective(hyp_, swap_sign=True)
-            sampler_opts = {"display": "off", "diagnostics": False}
-            slicer = SliceSampler(
-                sample_f, hyp_start, widths, LB, UB, sampler_opts
-            )
-            sampling_result = slicer.sample(eff_s_N, burn=burn_in)
+        sampling_result, thin = _sampling.run_sampling(
+            self,
+            sampler_name=sampler_name,
+            options=options,
+            s_N=s_N,
+            thin=thin,
+            burn_in=burn_in,
+            widths=widths,
+            hyp_start=hyp_start,
+            f_start=f_start,
+            # Candidate pool for the non-finite-start fallback: the
+            # fused program keeps its sorted design device-resident
+            # with objective values already evaluated.
+            cand=X0_dev if X0_dev is not None else hyp,
+            cand_vals=y0_dev if X0_dev is not None else None,
+            LB=LB,
+            UB=UB,
+        )
 
         hyp_pre_thin = sampling_result["samples"]
         hyp = hyp_pre_thin[thin - 1 :: thin, :]
@@ -2454,262 +1883,17 @@ class GP:
             time.perf_counter() - _t_start
             - sum(self.fit_timings.values())
         )
-        self._store_warm_state(hyp, sampling_result, thin, widths)
+        _sampling.store_warm_state(self, hyp, sampling_result, thin, widths)
 
         self.update(hyp=hyp)
         self.fit_timings["posterior_s"] = (
             time.perf_counter() - _t_start
             - sum(self.fit_timings.values())
         )
+        self._finish_compile_log()
         if _trace_dir:
             _jprof.stop_trace()
         return hyp, optimize_result, sampling_result
-
-    # ------------------------------------------------------------------
-    # slicelite warm-refit machinery (gplite_train.m:178-197, 359-390)
-    # ------------------------------------------------------------------
-
-    def _release_posterior_factors(self):
-        """Free the previous fit's device posterior factors (same field
-        semantics as clean(), keeping hyp).  Called before a sampling
-        phase whose chain program needs the HBM: at N=16384 f32, 8
-        stale samples pin ~8 GB of a 15.75 GB chip next to the chain
-        eval's ~5 live (B, N, N) temps (r4 RESOURCE_EXHAUSTED, twice —
-        the standard phase and the slicelite warm refit)."""
-        self._stack_cache = {}
-        if self.posteriors is not None:
-            for _p in self.posteriors:
-                _p.alpha = None
-                _p.sW = None
-                _p.L = None
-                _p.sn2_mult = None
-                _p.L_chol = None
-
-    def _chain_group_plan(self, B, n_padded, key):
-        """Split B parallel chains into sequential device-memory-sized
-        groups with independent keys.
-
-        HBM sizing: the batched eval holds 3.31 live copies of the
-        per-device (B_g, N, N) kernel array (attempt-0 kernel/factor
-        pair + the jitter-retry rebuild/carry — AOT-measured,
-        ``_chain_batch_hbm_estimate``).  A batch that cannot fit runs as
-        sequential GROUPS: independent chains compose exactly for
-        cross-chain R-hat (and at large N one Cholesky already
-        saturates the MXU, so grouping costs no per-sweep throughput).
-        Used by BOTH batched-chain sampling paths — fit(n_chains=...)
-        and the slicelite warm refit (whose s_N chains hit the same
-        wall at 16k).
-        """
-        n_dev = 1 if self.mesh is None else int(self.mesh.devices.size)
-        per_chain = _chain_batch_hbm_estimate(
-            1, n_padded, self.dtype.itemsize
-        )
-        try:
-            hbm = jax.devices()[0].memory_stats()["bytes_limit"]
-        except Exception:
-            hbm = 16e9
-        g_max = (
-            max(1, int((hbm - _CHAIN_HBM_RESERVE) // max(per_chain, 1)))
-            * n_dev
-        )
-        n_groups = -(-B // g_max)
-        if n_groups > 1:
-            warnings.warn(
-                f"n_chains={B} at N={n_padded} exceeds device memory "
-                f"as one batch (~{per_chain * B / n_dev / 1e9:.0f} GB "
-                f"needed, {hbm / 1e9:.1f} GB available): running "
-                f"{n_groups} sequential groups of <= {g_max} chains.",
-                stacklevel=3,
-            )
-        g = -(-B // n_groups)
-        group_sizes = [g] * (n_groups - 1) + [B - g * (n_groups - 1)]
-        group_keys = (
-            [key] if n_groups == 1
-            else list(jax.random.split(key, n_groups))
-        )
-        return group_sizes, group_keys
-
-    def _sample_log_priors(self, samples, fns, obj_args):
-        """Per-sample log priors in one batched device program, for the
-        sampler branches whose chains return log-POSTERIOR values
-        (chain-parallel, slicelite refresh): the sampling_result
-        contract splits f_vals = log posterior - log prior like every
-        other backend (reference slice_sample.py:281-284)."""
-        if self.no_prior:
-            return np.zeros((samples.shape[0],))
-        from .inference.ensemble_slice import _log_prior_batch_fn
-
-        lp_fn = _log_prior_batch_fn(fns["log_prior_raw"], len(obj_args))
-        return np.asarray(
-            lp_fn(samples.astype(self.dtype), *obj_args)
-        ).ravel().astype(np.float64)
-
-    def _store_warm_state(self, hyp, sampling_result, thin, widths):
-        """Record the fit's hyperposterior samples, their log-posterior
-        values, and the slice widths used, so a later
-        ``fit(sampler='slicelite')`` can evaluate the ESS shortcut
-        (the MATLAB driver's LogP input, gplite_train.m:178-186).
-        Host-side numpy only; not persisted by save() — the first
-        refit after a load runs the full pipeline."""
-        f_vals = np.asarray(sampling_result["f_vals"]).ravel()
-        log_priors = np.asarray(
-            sampling_result["log_priors"]
-        ).ravel()
-        logp = (f_vals + log_priors)[thin - 1 :: thin][: hyp.shape[0]]
-        if logp.shape[0] == hyp.shape[0] and np.all(np.isfinite(logp)):
-            self._warm_hyp = np.array(hyp, dtype=np.float64)
-            self._warm_logp = logp
-            self._warm_widths = (
-                None if widths is None else np.array(widths)
-            )
-
-    def _slicelite_ess(self, hyp0, options, thin):
-        """Importance-weight effective-sample-size test of the previous
-        hyperposterior samples under the new data
-        (gplite_train.m:178-197).  Returns ``(starts, thin_eff,
-        ess_frac)`` when the shortcut applies, else None."""
-        hyp_prev = np.atleast_2d(np.asarray(hyp0, dtype=np.float64))
-        if hyp_prev.shape[0] < 2:
-            return None
-        # "log_P" is the reference's (accepted-but-unused) spelling for
-        # the previous samples' log posteriors (reference
-        # gaussian_process.py:997, gplite_train.m LogP); accept it as a
-        # drop-in alias of hyp0_logp.
-        logp_prev = options.get(
-            "hyp0_logp", options.get("log_P", None)
-        )
-        if logp_prev is None:
-            warm_hyp = getattr(self, "_warm_hyp", None)
-            if (
-                warm_hyp is not None
-                and warm_hyp.shape == hyp_prev.shape
-                and np.array_equal(warm_hyp, hyp_prev)
-            ):
-                logp_prev = self._warm_logp
-        if logp_prev is None:
-            return None
-        logp_prev = np.asarray(logp_prev, dtype=np.float64).ravel()
-        if logp_prev.shape[0] != hyp_prev.shape[0]:
-            raise ValueError(
-                "hyp0_logp must have one log-posterior value per hyp0 "
-                "row."
-            )
-        # New log posterior of the old samples: one batched device
-        # program (the driver's per-row gp_objfun loop, :181-182).
-        nll_new = np.asarray(self._objective_batch(hyp_prev))
-        lnw = -nll_new - logp_prev
-        finite = np.isfinite(lnw)
-        if not np.any(finite):
-            return None
-        w = np.where(finite, np.exp(lnw - np.max(lnw[finite])), 0.0)
-        w = w / np.sum(w)
-        ess_frac = (1.0 / np.sum(w**2)) / hyp_prev.shape[0]
-        ess_thresh = options.get("ess_thresh", 0.5)
-        if ess_frac <= ess_thresh:
-            return None
-        # Refresh budget shrinks as the overlap grows (:192-195).
-        thin_eff = max(
-            1,
-            round(
-                thin
-                * (1 - (ess_frac - ess_thresh) / (1 - ess_thresh))
-            ),
-        )
-        return hyp_prev, int(thin_eff), float(ess_frac)
-
-    def _slicelite_warm_refit(
-        self, warm, s_N, LB, UB, PLB, PUB, widths, options,
-        _t_start, _trace_dir,
-    ):
-        """The ESS-shortcut sampling phase: each previous sample seeds a
-        no-adaptation slice chain advanced ``thin_eff`` sweeps, all
-        chains batched into one device program (gplite_train.m:370-380
-        slicelite with Nopts==0: Adaptive=false, starts = previous
-        samples replicated to Ns rows, Burnin = Thin_eff*Ns)."""
-        hyp_prev, thin_eff, ess_frac = warm
-        self.fit_timings["design_s"] = 0.0
-        self.fit_timings["optimize_s"] = (
-            time.perf_counter() - _t_start
-        )
-        widths_w = widths
-        if widths_w is None:
-            widths_w = getattr(self, "_warm_widths", None)
-        if widths_w is None:
-            widths_w = PUB - PLB
-        # Recycle the previous samples round-robin onto s_N chains
-        # (the driver's repmat, :376-378), clamped inside the current
-        # bounds (the f32 noise floor may have moved LB).
-        x0s = hyp_prev[np.arange(s_N) % hyp_prev.shape[0]]
-        x0s = np.minimum(np.maximum(x0s, LB), UB)
-        fns, obj_args = self._obj_args()
-        key = jax.random.key(int(np.random.randint(0, 2**31 - 1)))
-        # Non-divisible chain counts are padded to the mesh inside
-        # sample_chains (VERDICT r3 Weak #4) — no silent degradation.
-        # Memory-sized sequential groups (the same ~5×(B,N,N) live-copy
-        # wall as fit(n_chains=...): s_N=8 chains at N=16384 f32 need
-        # ~41 GB as one batch — compile-time OOM on a 16 GB chip), and
-        # the previous fit's device factors released first (they pin
-        # ~8 GB at 16k×8 samples; update(hyp=samples) below rebuilds
-        # them).
-        self._release_posterior_factors()
-        mesh = self.mesh
-        group_sizes, group_keys = self._chain_group_plan(
-            s_N, obj_args[0].shape[0], key
-        )
-        parts_x, parts_f = [], []
-        off = 0
-        for b_i, key_i in zip(group_sizes, group_keys):
-            cx_i, cf_i = _device_slice.sample_chains(
-                fns["log_post_chain_raw"],
-                x0s[off : off + b_i],
-                key_i,
-                widths=widths_w,
-                LB=LB,
-                UB=UB,
-                n_samples=1,
-                thin=1,
-                burn=thin_eff - 1,
-                adaptive=False,
-                f_args=obj_args,
-                mesh=mesh,
-                seg_sweeps=_map_optimize.sweep_segment_plan(
-                    obj_args[0].shape[0], int(np.size(LB)), chains=b_i
-                ),
-            )
-            parts_x.append(np.asarray(cx_i))
-            parts_f.append(np.asarray(cf_i))
-            off += b_i
-        samples = np.concatenate(parts_x, axis=0)[:, 0, :]
-        f_vals = np.concatenate(parts_f, axis=0)[:, 0]
-        # The refreshed chains target the log posterior; split the
-        # prior out of f_vals per the sampling_result contract.
-        log_priors = self._sample_log_priors(samples, fns, obj_args)
-        f_vals = f_vals - log_priors
-        sampling_result = {
-            "samples": samples,
-            "f_vals": f_vals.reshape(-1, 1),
-            "log_priors": log_priors,
-            "exit_flag": 0,
-            "R": None,
-            "eff_N": None,
-            "ess_frac": ess_frac,
-            "thin_eff": thin_eff,
-        }
-        self.fit_timings["sample_s"] = (
-            time.perf_counter() - _t_start
-            - sum(self.fit_timings.values())
-        )
-        self._store_warm_state(samples, sampling_result, 1, widths_w)
-        self.update(hyp=samples)
-        self.fit_timings["posterior_s"] = (
-            time.perf_counter() - _t_start
-            - sum(self.fit_timings.values())
-        )
-        if _trace_dir:
-            import jax.profiler as _jprof
-
-            _jprof.stop_trace()
-        return samples, None, sampling_result
 
     # ------------------------------------------------------------------
     # Likelihood / posterior evaluations
