@@ -148,3 +148,55 @@ def test_slicelite_warm_refit_memory_groups(monkeypatch):
     assert np.all(np.isfinite(sr2["f_vals"]))
     mu, s2 = gp.predict(np.random.uniform(-3, 3, (8, 2)))
     assert np.all(np.isfinite(mu)) and np.all(s2 > 0)
+
+
+def test_slicelite_shifted_data_scales_thin_eff():
+    """The degradation path engages GRADUALLY (VERDICT r4 #5, the
+    PyVBMC inner-loop pattern): identical data refreshes with
+    thin_eff=1 (ESS ~ 1); a moderate data shift lowers the ESS
+    fraction into (ess_thresh, 1) and scales thin_eff up by the
+    documented formula (gplite_train.m:192-195); a wholesale shift
+    falls back to the full pipeline."""
+    opts = dict(_OPTS)
+    opts["thin"] = 5
+
+    # Identical data: full overlap, minimal refresh budget.
+    gp, X, y = _make(n=40)
+    gp.fit(X=X, y=y, options=dict(opts))
+    _, o_i, s_i = gp.fit(X=X, y=y, options=dict(opts))
+    assert o_i is None
+    assert s_i["ess_frac"] > 0.95
+    assert s_i["thin_eff"] == 1
+
+    # Moderate shift (+4 of 40 points, 10%): the shortcut still fires
+    # but with degraded ESS and a scaled-up refresh budget.
+    gp2, _, _ = _make(n=40)
+    gp2.fit(X=X, y=y, options=dict(opts))
+    np.random.seed(504)
+    Xn = np.vstack([X, np.random.uniform(-3, 3, (4, 2))])
+    yn = np.vstack(
+        [y, (np.sin(np.sum(Xn[-4:], 1)) + 0.1 * np.random.randn(4))[
+            :, None
+        ]]
+    )
+    _, o_s, s_s = gp2.fit(X=Xn, y=yn, options=dict(opts))
+    assert o_s is None
+    assert 0.5 < s_s["ess_frac"] < 0.95
+    assert s_s["thin_eff"] > s_i["thin_eff"]
+    # The budget matches the documented formula exactly.
+    expected = max(
+        1, round(5 * (1 - (s_s["ess_frac"] - 0.5) / 0.5))
+    )
+    assert s_s["thin_eff"] == expected
+
+    # Wholesale shift: ESS collapses below threshold -> full pipeline
+    # (covered in spirit by test_slicelite_low_ess_runs_full_pipeline;
+    # asserted here to pin the three-regime progression in one place).
+    gp3, _, _ = _make(n=40)
+    gp3.fit(X=X, y=y, options=dict(opts))
+    np.random.seed(99)
+    X2 = np.random.uniform(-3, 3, (40, 2))
+    y2 = (5.0 * np.cos(2.0 * X2[:, 0] * X2[:, 1]))[:, None]
+    _, o_f, s_f = gp3.fit(X=X2, y=y2, options=dict(opts))
+    assert o_f is not None
+    assert "ess_frac" not in s_f
