@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from . import _compile_log
 from . import covariance_functions as _cov_mod
 from . import mean_functions as _mean_mod
-from .core.model import ModelSpec, cov_matrix, mean_value
+from .core.model import ModelSpec
 from .core.nlml import get_fns
 from .core.priors import build_prior_pack
 from .f_min_fill import (
@@ -45,7 +45,6 @@ from .inference import cg_fit as _cg_fit
 from .inference import device_slice as _device_slice
 from .inference import map_optimize as _map_optimize
 from .inference import sampling as _sampling
-from .ops.linalg import neg_inverse_from_chol, robust_cholesky
 from .serving import (  # noqa: F401 (re-exported for tests/back-compat)
     _MXU_PREDICT_MIN_M,
     _MXU_PREDICT_MIN_N,
@@ -62,7 +61,7 @@ from .serving import (  # noqa: F401 (re-exported for tests/back-compat)
 )
 
 from functools import lru_cache
-from jax.scipy.linalg import solve_triangular as _jsolve_tri
+
 
 
 class Posterior:

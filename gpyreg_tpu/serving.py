@@ -10,7 +10,6 @@ predict_full :1561-1661, quadrature :1818-1981, random functions
 factors, mesh-sharded variants).
 """
 
-import math
 
 import numpy as np
 
