@@ -30,19 +30,58 @@ from jax import lax
 from ..core.model import ModelSpec, cov_matrix, mean_value, noise_variance
 
 
-def _panel_matvec(spec: ModelSpec, hyp_cov, X, V, sn2_vec, row_chunk):
+def _cross_pallas_ok(spec: ModelSpec, X):
+    """Gate for the fused Pallas CROSS-panel build inside the CG/SLQ
+    matvec (f32 TPU, every kernel family in the Pallas zoo).
+
+    The matrix-free tier's cost is overwhelmingly kernel-panel
+    REBUILDS — dozens of CG iterations and Lanczos steps per NLML
+    evaluation, each one full pass over the implicit N x N operator.
+    None of those passes are ever differentiated (the Hutchinson
+    gradient flows only through the single `surrogate` matvec in
+    `_cg_nlml_impl`, which keeps the XLA build), so the forward-only
+    one-pass Pallas tile (ops/pallas_kernels.kernel_cross_pallas,
+    no custom VJP needed) serves them: it skips the materialized
+    (chunk, N) distance matrix and its extra HBM round trips.
+    """
+    import os
+
+    if X.dtype != jnp.float32:
+        return False
+    if os.environ.get("GPYREG_TPU_NO_FUSED_KERNEL"):
+        return False
+    iso = spec.cov.endswith("_iso")
+    base = spec.cov[:-4] if iso else spec.cov
+    if base not in ("se", "m1", "m3", "m5", "rq"):
+        return False
+    if X.shape[1] >= 128:
+        return False
+    from .pallas_kernels import INTERPRET
+
+    return bool(INTERPRET) or jax.default_backend() == "tpu"
+
+
+def _panel_matvec(
+    spec: ModelSpec, hyp_cov, X, V, sn2_vec, row_chunk, pallas=False
+):
     """(K + diag(sn2)) @ V without materializing K.
 
     X: (N, D) with N a multiple of row_chunk; V: (N, B).
     One lax.map step builds a (row_chunk, N) kernel panel and contracts
-    it with V on the MXU.
+    it with V on the MXU.  ``pallas`` selects the one-pass fused panel
+    build (forward-only — see :func:`_cross_pallas_ok`).
     """
     N = X.shape[0]
     n_panels = N // row_chunk
     X_panels = X.reshape(n_panels, row_chunk, -1)
 
     def panel(Xp):
-        Kp = cov_matrix(spec, hyp_cov, Xp, Z=X)  # (chunk, N)
+        if pallas:
+            from .pallas_kernels import kernel_matrix_pallas
+
+            Kp = kernel_matrix_pallas(spec.cov, hyp_cov, Xp, Z=X)
+        else:
+            Kp = cov_matrix(spec, hyp_cov, Xp, Z=X)  # (chunk, N)
         return jnp.matmul(Kp, V, precision=lax.Precision.HIGHEST)
 
     # Rematerialize each panel under autodiff: without this, reverse
@@ -403,10 +442,10 @@ def _cg_nlml_impl(spec, compute_grad, row_chunk, max_iter, n_probes,
             m = m * mask[:, None] + y * (1.0 - mask[:, None])
         return hyp_cov, sn2_vec, m
 
-    def make_mv(hyp_cov_h, sn2_h):
+    def make_mv(hyp_cov_h, sn2_h, pallas=False):
         if mask is None:
             return lambda V: _panel_matvec(
-                spec, hyp_cov_h, X, V, sn2_h, row_chunk
+                spec, hyp_cov_h, X, V, sn2_h, row_chunk, pallas=pallas
             )
 
         def mv_masked(V):
@@ -417,6 +456,7 @@ def _cg_nlml_impl(spec, compute_grad, row_chunk, max_iter, n_probes,
                 V * mask[:, None],
                 jnp.zeros_like(sn2_h),
                 row_chunk,
+                pallas=pallas,
             )
             return out * mask[:, None] + sn2_h[:, None] * V
 
@@ -424,7 +464,10 @@ def _cg_nlml_impl(spec, compute_grad, row_chunk, max_iter, n_probes,
 
     hyp_cov, sn2_vec, m = parts(hyp)
     r = y - m
-    mv = make_mv(hyp_cov, sn2_vec)
+    # The CG iterations + SLQ Lanczos passes below are forward-only:
+    # the fused Pallas panel build serves them (the `surrogate` matvec
+    # — the ONE differentiated pass — keeps the XLA build).
+    mv = make_mv(hyp_cov, sn2_vec, pallas=_cross_pallas_ok(spec, X))
 
     # Shared CG batch: [r | probes]; u = A^{-1} z reused by the gradient.
     Z = jax.random.rademacher(key, (N, n_probes), dtype=dtype)
@@ -680,7 +723,10 @@ def cg_posterior_weights(
     m = mean_value(spec, hyp_mean, X)[:, None]
     r = y - m
 
-    mv = lambda V: _panel_matvec(spec, hyp_cov, X, V, sn2_vec, row_chunk)
+    mv = lambda V: _panel_matvec(
+        spec, hyp_cov, X, V, sn2_vec, row_chunk,
+        pallas=_cross_pallas_ok(spec, X),
+    )
     alpha, res, iters = _cg(mv, r, tol, max_iter)
     return alpha, res, iters
 
@@ -702,6 +748,7 @@ def _cg_solve_fn(spec: ModelSpec, row_chunk: int, max_iter: int,
                 V * mask[:, None],
                 jnp.zeros_like(sn2_vec),
                 row_chunk,
+                pallas=_cross_pallas_ok(spec, Xp),
             )
             return out * mask[:, None] + sn2_vec[:, None] * V
 
