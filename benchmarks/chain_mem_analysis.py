@@ -50,11 +50,28 @@ def main():
 
     bnn = B * N * N * 4 / 2**30
     print(f"(B,N,N) f32 = {bnn:.2f} GiB")
-    for name in ("log_post_raw", "log_post_chain_raw"):
+    # Lean chain schedule FIRST: on TPU .compile() is a real compile,
+    # and the general path OOMs at B=4 N=16384 (21.03 GB vs 15.75 HBM,
+    # 2026-08-19 log) — it must not kill the measurement of the lean one.
+    for name in ("log_post_chain_raw", "log_post_raw"):
         f = jax.jit(jax.vmap(lambda h: fns[name](h, X, y)))
-        c = f.lower(jnp.asarray(hyps)).compile()
-        m = c.memory_analysis()
         out = {"fn": name, "B": B, "N": N}
+        try:
+            c = f.lower(jnp.asarray(hyps)).compile()
+        except Exception as e:
+            msg = str(e)
+            out["compile_error"] = msg[:300]
+            import re as _re
+
+            mm = _re.search(r"Used ([0-9.]+)G of ([0-9.]+)G hbm", msg)
+            if mm:
+                out["hbm_needed_gib"] = float(mm.group(1))
+                out["real_BNN_copies_incl_frag"] = round(
+                    float(mm.group(1)) / bnn, 2
+                )
+            print(json.dumps(out), flush=True)
+            continue
+        m = c.memory_analysis()
         if m is not None:
             for k in (
                 "temp_size_in_bytes",

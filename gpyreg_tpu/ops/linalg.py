@@ -389,24 +389,36 @@ _VJP_MATMUL_MIN_N = 1024
 
 # G^{-1} evaluation strategy inside the f32 matmul-path NLML adjoint
 # (benchmarks/adjoint_bench.py measures all of them on the chip):
+#   auto       — shape-dispatched default (see _ginv_from_chol_f32)
 #   compose    — tri_inv then sym_tri_product (the round-3 pipeline)
-#   gram       — tri_inv_gram w/ doubling half-inverses (round-5 default)
+#   gram       — tri_inv_gram w/ doubling half-inverses
 #   gram_nodbl — tri_inv_gram w/ recursive half-inverses
 #   dense      — tri_inv_doubling + one dense W^T W matmul
 # Read at TRACE time: flip before building a fresh jitted program.
-_GINV_MODE = "compose"
+_GINV_MODE = "auto"
 
 
 def _ginv_from_chol_f32(L):
     """Explicit G^{-1} from the lower factor on the f32 matmul path,
     dispatching on :data:`_GINV_MODE` (see benchmarks/adjoint_bench.py
-    for the measured comparison)."""
+    for the measured comparison).
+
+    ``auto`` dispatches on the trace-time matrix size, per the v5e
+    measurements (2026-08-19): the fused-top-level Gram saves the
+    full-size W = L^{-1} HBM round-trip and wins at the headline shape
+    (B=8, N=4096: 28.4 vs 30.1 ms, +2.2% end-to-end NLML+grad), while
+    the flat composed pipeline wins at N=16384 (109.8 vs 129.3 ms —
+    the half-inverse recursion's small deep-level matmuls underuse the
+    MXU at large N)."""
     p = lax.Precision.HIGH
-    if _GINV_MODE == "gram":
+    mode = _GINV_MODE
+    if mode == "auto":
+        mode = "gram_nodbl" if L.shape[-1] <= 4096 else "compose"
+    if mode == "gram":
         return tri_inv_gram(L, block=1024, precision=p)
-    if _GINV_MODE == "gram_nodbl":
+    if mode == "gram_nodbl":
         return tri_inv_gram(L, block=1024, precision=p, doubling=False)
-    if _GINV_MODE == "dense":
+    if mode == "dense":
         W = tri_inv_doubling(L, base=256, precision=p)
         return jnp.matmul(jnp.swapaxes(W, -1, -2), W, precision=p)
     W = tri_inv(L, block=1024, precision=p)
