@@ -424,3 +424,42 @@ class TestSegmentedFitEndToEnd:
         finally:
             mo.segment_plan = orig_plan
         np.testing.assert_allclose(h_seg, h_seg_mesh, rtol=1e-7)
+
+
+def test_chain_protocol_change_compile_reuse():
+    """A chain protocol change (burn / chain_thin) at fixed B must
+    REUSE the compiled segment programs (VERDICT r4 #7): the phase
+    totals enter the per-dispatch program as TRACED args (limit / i0)
+    and the sweeps-per-dispatch budget depends only on (nr, n_dims,
+    B), so only the small kept-draw pack program (static thin, new
+    eff_N shape) may recompile.  Guards the minutes-scale remote
+    recompile bill a 16k protocol change would otherwise pay."""
+    from gpyreg_tpu import _compile_log
+
+    orig_min = mo.SEG_MIN_N
+    mo.SEG_MIN_N = 1  # force the segmented chain path at small N
+    try:
+        X, y = _problem()
+        np.random.seed(99)
+        gp = _make_gp()
+        opts = {
+            "n_samples": 4,
+            "thin": 2,
+            "burn": 4,
+            "opts_N": 1,
+            "init_N": 16,
+            "n_chains": 2,
+        }
+        gp.fit(X=X, y=y, options=opts)
+        n_cold = gp.fit_timings["n_compiles"]
+        assert n_cold > 0  # the cold fit really compiled programs
+
+        # Protocol change at fixed B: longer burn + in-chain thinning.
+        gp.fit(options={**opts, "burn": 8, "chain_thin": 2})
+        n_warm = gp.fit_timings["n_compiles"]
+        assert n_warm <= 4, (
+            f"protocol change recompiled {n_warm} programs "
+            f"(cold: {n_cold}) — segment-program reuse broken"
+        )
+    finally:
+        mo.SEG_MIN_N = orig_min
