@@ -14,6 +14,11 @@ TPU and wildly slow); numerical parity with the f64 reference (1e-8 rtol)
 is validated separately in tests/test_parity_reference.py on the CPU
 backend.  Float32 NLML at N=4096 agrees with the reference to ~1e-4
 relative, which is far below hyperparameter-fit tolerance.
+
+Protocol note: batch width B=8 is validated by
+benchmarks/headline_batch_sweep.py — B in {4, 8, 16, 32} measured
+{134.2, 135.2, 135.6, 132.0} evals/s (2026-08-19), a ±1% spread within
+tunnel variance, so B=8 is the honest width (BASELINE.md round-5).
 """
 
 import json
