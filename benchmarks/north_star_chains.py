@@ -84,6 +84,9 @@ def main():
     seed1 = 1
     if "--seed" in sys.argv:
         seed1 = int(sys.argv[sys.argv.index("--seed") + 1])
+    label_override = None
+    if "--label" in sys.argv:
+        label_override = sys.argv[sys.argv.index("--label") + 1]
     t_start = time.perf_counter()
 
     import gpyreg_tpu as gpr
@@ -140,7 +143,8 @@ def main():
         # One labeled row (e.g. the warm converged run after the cold
         # row already landed): warm-vs-cold is whatever the persistent
         # compile cache holds.
-        run(BURN, seed=seed1, label=f"warm_burn{BURN}_thin{THIN}{suffix}")
+        label = label_override or f"warm_burn{BURN}_thin{THIN}{suffix}"
+        run(BURN, seed=seed1, label=label)
         return
     # Cold run pays every remote compile (design/MAP programs are shared
     # with the ordinary fit; the B-chain segments are new).
