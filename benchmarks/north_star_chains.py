@@ -101,6 +101,11 @@ def main():
         dtype=np.float32,
     )
 
+    group = None
+    if "--group" in sys.argv:
+        group = int(sys.argv[sys.argv.index("--group") + 1])
+    no_base = "--no-base-widths" in sys.argv
+
     def run(burn, seed, label):
         opts = {
             "n_samples": S_N,
@@ -112,6 +117,10 @@ def main():
         }
         if CHAIN_THIN > 1:
             opts["chain_thin"] = CHAIN_THIN
+        if group is not None:
+            opts["chain_group"] = group
+        if no_base:
+            opts["sample_width_base"] = False
         np.random.seed(seed)
         t0 = time.perf_counter()
         hyp, _, sr = gp.fit(X=X, y=y, options=opts)
@@ -123,6 +132,8 @@ def main():
             "n_chains": B,
             "burn": burn,
             "chain_thin": CHAIN_THIN,
+            "chain_group": group,
+            "width_base": not no_base,
             "fit_wall_s": round(wall, 1),
             "timings_s": {
                 k: round(v, 1) for k, v in gp.fit_timings.items()

@@ -1400,6 +1400,22 @@ class GP:
           k sweeps apart, cutting its autocorrelation time ~k× — the
           lever for clearing the reference's eff_N >= kept/10 bar
           (slice_sample.py:632-639) when the R-hat already passes.
+          ``chain_group`` caps the batched-chain group size below the
+          memory-derived maximum: at compute-saturating N the batched
+          eval wall is linear in the group size while lockstep
+          batching pays the WORST lane's shrinkage count per move, so
+          ``chain_group=1`` (fully sequential chains) is the fastest
+          single-chip plan at large N (measured: see
+          ``inference.sampling.chain_group_plan``).
+        - ``sample_width_base`` (default True, the reference's
+          behavior): the MAP-phase widths act as a geometric FLOOR on
+          the end-of-burn 5*std width adaptation (reference
+          slice_sample.py:535-543).  ``False`` lets the 5*std rule
+          stand alone — on tight large-N hyperposteriors the floor
+          holds widths at ~50 sigma (measured at the 16k north star),
+          costing ~2.6x the density evals per shrinkage move;
+          shrinkage-only slice moves are valid MCMC at any width, and
+          the R-hat / eff_N diagnostics certify mixing either way.
         - ``outwarp_fun``: attach an output-warping function at fit
           time (the MATLAB oracle's OutwarpFun train option,
           gplite_train.m:39; the Python reference accepts but ignores

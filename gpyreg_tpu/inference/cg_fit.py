@@ -252,6 +252,9 @@ def fit_cg_path(
                     "diagnostics": options.get(
                         "sampler_diagnostics", True
                     ),
+                    "width_base": options.get(
+                        "sample_width_base", True
+                    ),
                 },
             )
             sampling_result = slicer.sample(
@@ -275,6 +278,7 @@ def fit_cg_path(
                 ),
                 f_args=tuple(f_args),
                 seg_moves=seg,
+                width_base=options.get("sample_width_base", True),
             )
         samples = np.asarray(sampling_result["samples"])
         hyp = samples[thin - 1 :: thin][:s_N]

@@ -1157,6 +1157,7 @@ def sample(
     seg_sweeps: int = None,
     seg_moves: int = None,
     move: str = "cw",
+    width_base: bool = True,
 ):
     """Draw ``n_samples`` (thinned) samples from ``log_f`` on device.
 
@@ -1195,6 +1196,19 @@ def sample(
     gplite_train.m:392-407 / eissample_lite.m:938-980; see
     :func:`_rd_sweep`).  'rd' does not support ``step_out`` (the
     oracle's StepOut branch errors, eissample_lite.m:1126).
+
+    ``width_base`` (default True, the reference's behavior): caller-
+    supplied ``widths`` also act as the end-of-burn adaptation FLOOR —
+    the adapted widths become ``max(5*std, sqrt(5*std * widths))``
+    (reference slice_sample.py:535-543, "bias towards keeping larger
+    widths").  ``width_base=False`` keeps the caller widths for the
+    burn-in but lets the 5*std rule stand alone afterwards: on tight
+    large-N GP hyperposteriors the geometric floor holds post-burn
+    widths at ~sqrt(base/5*std) times the posterior scale (measured
+    ~50 sigma at the 16k north-star shape, costing ~2.6x the density
+    evals per shrinkage move of the 5*std width) — shrinkage-only
+    slice moves are valid MCMC at ANY width, so the diagnostics
+    (R-hat / eff_N), not the floor, certify mixing.
     """
     if move not in ("cw", "rd"):
         raise ValueError("move must be 'cw' or 'rd'.")
@@ -1235,7 +1249,8 @@ def sample(
         w = np.broadcast_to(
             np.asarray(widths, dtype=np.float64).ravel(), (D,)
         ).copy()
-        base_widths = w
+        if width_base:
+            base_widths = w
     w = np.where(np.isinf(w), 10.0, w)
     w = np.where(LB == UB, 1.0, w)
     if np.any(w <= 0) or np.any(~np.isfinite(w)):
@@ -1390,9 +1405,13 @@ def sample_chains(
     mesh=None,
     seg_sweeps: int = None,
     move: str = "cw",
+    width_base: bool = True,
 ):
     """Run B independent chains in parallel (vmapped), one per row of
     ``x0s`` (B, D).  Returns (samples (B, n, D), f_vals (B, n)).
+
+    ``width_base=False`` drops the end-of-burn geometric width floor
+    (see :func:`sample`); the 5*std rule alone sets post-burn widths.
 
     This is the TPU answer to the reference's single sequential chain:
     the NLML evaluations of all chains batch into one XLA Cholesky per
@@ -1444,7 +1463,8 @@ def sample_chains(
         w = np.broadcast_to(
             np.asarray(widths, dtype=np.float64).ravel(), (D,)
         ).copy()
-        base_widths = w
+        if width_base:
+            base_widths = w
     w = np.where(np.isinf(w), 10.0, w)
     w = np.where(LB == UB, 1.0, w)
 

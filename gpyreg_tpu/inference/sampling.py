@@ -53,9 +53,19 @@ def release_posterior_factors(gp):
             _p.L_chol = None
 
 
-def chain_group_plan(gp, B, n_padded, key):
+def chain_group_plan(gp, B, n_padded, key, group=None):
     """Split B parallel chains into sequential device-memory-sized
     groups with independent keys.
+
+    ``group`` (``options["chain_group"]``) caps the group size BELOW
+    the memory-derived maximum.  At compute-saturating N the batched
+    eval wall is linear in the group size (measured 78/164/317 ms at
+    B=1/2/4, N=16384 — benchmarks/chain_bscale.py) while lockstep
+    batching steps every lane until the WORST lane's shrinkage loop
+    accepts (~1.3x the mean eval count at 2 lanes) — so
+    ``chain_group=1`` trades batching for per-lane eval counts and is
+    the fastest single-chip plan at large N.  Small N (one lane far
+    from filling the chip) wants the default full batch.
 
     HBM sizing: the batched eval holds 3.31 live copies of the
     per-device (B_g, N, N) kernel array (attempt-0 kernel/factor
@@ -81,8 +91,10 @@ def chain_group_plan(gp, B, n_padded, key):
         max(1, int((hbm - gpm._CHAIN_HBM_RESERVE) // max(per_chain, 1)))
         * n_dev
     )
+    if group is not None:
+        g_max = max(1, min(g_max, int(group)))
     n_groups = -(-B // g_max)
-    if n_groups > 1:
+    if n_groups > 1 and group is None:
         warnings.warn(
             f"n_chains={B} at N={n_padded} exceeds device memory "
             f"as one batch (~{per_chain * B / n_dev / 1e9:.0f} GB "
@@ -225,7 +237,8 @@ def slicelite_warm_refit(
     release_posterior_factors(gp)
     mesh = gp.mesh
     group_sizes, group_keys = chain_group_plan(
-        gp, s_N, obj_args[0].shape[0], key
+        gp, s_N, obj_args[0].shape[0], key,
+        group=options.get("chain_group"),
     )
     parts_x, parts_f = [], []
     off = 0
@@ -480,6 +493,7 @@ def run_sampling(
                 1 if slice_move == "rd" else int(np.size(hyp_start)),
             ),
             move=slice_move,
+            width_base=options.get("sample_width_base", True),
         )
     else:
         if sampler_name == "covsample":
@@ -528,7 +542,8 @@ def _run_chain_parallel(
     # cross-chain R-hat), not per-sweep speed.
     burn_per = burn_in
     group_sizes, group_keys = chain_group_plan(
-        gp, B, obj_args[0].shape[0], key
+        gp, B, obj_args[0].shape[0], key,
+        group=options.get("chain_group"),
     )
     starts = np.tile(np.reshape(hyp_start, (1, -1)), (B, 1))
     # Overdispersed starts (the Gelman-Rubin prerequisite:
@@ -579,6 +594,7 @@ def _run_chain_parallel(
                 chains=b_i,
             ),
             move=slice_move,
+            width_base=options.get("sample_width_base", True),
         )
         parts_x.append(np.asarray(cx_i))
         parts_f.append(np.asarray(cf_i))

@@ -111,6 +111,12 @@ class SliceSampler:
             )
 
         opts = options or {}
+        if not opts.get("width_base", True):
+            # Drop the end-of-burn geometric width floor (reference
+            # slice_sample.py:535-543): the 5*std rule alone sets the
+            # post-burn widths.  See device_slice.sample(width_base=...)
+            # for the measured large-N rationale.
+            self.base_widths = None
         self.step_out = opts.get("step_out", False)
         self.display = opts.get("display", "full")
         self.adaptive = opts.get("adaptive", True)

@@ -463,3 +463,93 @@ def test_chain_protocol_change_compile_reuse():
         )
     finally:
         mo.SEG_MIN_N = orig_min
+
+
+def test_chain_group_override_sequential_chains():
+    """``chain_group=1`` runs the B chains as sequential single-chain
+    groups (the fastest single-chip plan at compute-saturating N —
+    see inference.sampling.chain_group_plan): same public contract,
+    valid cross-chain diagnostics, B distinct chains."""
+    mo_orig = mo.SEG_MIN_N
+    mo.SEG_MIN_N = 1
+    try:
+        X, y = _problem()
+        np.random.seed(123)
+        gp = _make_gp()
+        opts = {
+            "n_samples": 6,
+            "thin": 2,
+            "burn": 6,
+            "opts_N": 1,
+            "init_N": 16,
+            "n_chains": 3,
+            "chain_group": 1,
+        }
+        hyp, _, sr = gp.fit(X=X, y=y, options=opts)
+        assert hyp.shape[0] == 6
+        assert sr["n_chains"] == 3
+        assert sr["R"] is not None and sr["R"].shape == (5,)
+        assert np.all(np.isfinite(sr["R"]))
+        # Groups of one chain each: the chains are genuinely distinct
+        # (independent keys), so the pooled draws are not degenerate.
+        assert np.std(np.asarray(hyp), axis=0).max() > 0
+    finally:
+        mo.SEG_MIN_N = mo_orig
+
+
+def test_sample_width_base_false_drops_floor():
+    """``width_base=False`` removes the end-of-burn geometric floor:
+    the adapted widths land at 5*std of the burn window instead of
+    max(5*std, sqrt(5*std*base)) (reference slice_sample.py:535-543),
+    and the chain stays a valid sampler of the target."""
+    log_f = lambda x: -0.5 * jnp.sum((x / 0.05) ** 2)  # sigma=0.05
+    key = jax.random.key(11)
+    wide = np.array([10.0, 10.0])  # caller widths >> posterior scale
+    _, st_base = ds.sample(
+        log_f, np.zeros(2), key, widths=wide, n_samples=50, burn=100
+    )
+    _, st_free = ds.sample(
+        log_f, np.zeros(2), key, widths=wide, n_samples=50, burn=100,
+        width_base=False,
+    )
+    w_base = np.asarray(st_base.widths)
+    w_free = np.asarray(st_free.widths)
+    # Floor path: sqrt(5*std * 10) ~ sqrt(0.25*10) ~ 1.6 (>> 5*std).
+    # Free path: 5*std ~ 0.25.
+    assert np.all(w_free < 0.5)
+    assert np.all(w_base > 1.0)
+    np.testing.assert_allclose(w_base**2, w_free * 10.0, rtol=0.35)
+    # Moments still correct without the floor.
+    res, _ = ds.sample(
+        log_f, np.zeros(1), jax.random.key(12), widths=np.array([5.0]),
+        n_samples=3000, burn=200, width_base=False,
+    )
+    s = np.asarray(res["samples"])
+    assert abs(np.mean(s)) < 0.01
+    assert abs(np.std(s) - 0.05) < 0.01
+
+
+def test_fit_sample_width_base_option():
+    """The fit-level ``sample_width_base=False`` option reaches the
+    device chain: the fit completes and samples the same posterior
+    (pooled mean within tolerance of the default-protocol fit)."""
+    X, y = _problem()
+    np.random.seed(321)
+    gp1 = _make_gp()
+    base_opts = {
+        "n_samples": 8,
+        "thin": 2,
+        "burn": 20,
+        "opts_N": 1,
+        "init_N": 16,
+    }
+    hyp1, _, _ = gp1.fit(X=X, y=y, options=base_opts)
+    np.random.seed(321)
+    gp2 = _make_gp()
+    hyp2, _, _ = gp2.fit(
+        X=X, y=y, options={**base_opts, "sample_width_base": False}
+    )
+    # Same posterior, different width protocol: agree loosely.
+    m1, m2 = np.mean(np.asarray(hyp1), 0), np.mean(np.asarray(hyp2), 0)
+    sd = np.std(np.asarray(hyp1), 0) + np.std(np.asarray(hyp2), 0) + 0.3
+    assert np.all(np.abs(m1 - m2) < 4 * sd)
