@@ -146,6 +146,9 @@ def main():
             "hyp_mean": [round(float(v), 3) for v in np.mean(hyp, 0)],
             "hyp_std": [round(float(v), 3) for v in np.std(hyp, 0)],
         }
+        n_ev = sr.get("n_evals")
+        if n_ev is not None:
+            rec["n_evals_per_chain"] = [int(v) for v in n_ev]
         print(json.dumps(rec), flush=True)
         return rec
 

@@ -782,8 +782,15 @@ def _chain_seg_impl(
     the PRNG stream is untouched).  This keeps every segment — ragged
     tail included — ONE static shape: a second shape costs a
     minutes-long remote compile at 16k (CLAUDE.md).
+
+    Returns an ``ev`` density-evaluation count alongside the carried
+    state (the reference sampler's ``funccount`` analog,
+    slice_sample.py:157): each shrinkage proposal is one evaluation,
+    so the per-sweep count is ``sum(shrinks)`` (plus step-out walks,
+    which are not counted — the fit paths run step_out=False).
     """
     fixed = LB == UB
+    D = LB.shape[0]
     logpdf = _masked_log_f(log_f, LB, UB, f_args, log_prior)
     sweep_adapt, sweep_fixed = _make_sweeps(
         move, logpdf, LB, UB, LB_out, UB_out, fixed, max_shrink, step_out
@@ -791,21 +798,29 @@ def _chain_seg_impl(
     sweep = sweep_adapt if adapt else sweep_fixed
 
     def body(carry, i):
-        state, s_sum, s_sq = carry
+        state, s_sum, s_sq, ev = carry
         live = i < limit
-        state = lax.cond(live, lambda s: sweep(s)[0], lambda s: s, state)
+        state, shr = lax.cond(
+            live,
+            sweep,
+            lambda s: (s, jnp.zeros((D,), dtype=jnp.int32)),
+            state,
+        )
+        ev = ev + jnp.sum(shr, dtype=jnp.int32)
         in_window = jnp.logical_and(i >= half, live)
         s_sum = jnp.where(in_window, s_sum + state.x, s_sum)
         s_sq = jnp.where(in_window, s_sq + state.x**2, s_sq)
         out = (state.x, state.log_Px) if collect else None
-        return (state, s_sum, s_sq), out
+        return (state, s_sum, s_sq, ev), out
 
-    (state, s_sum, s_sq), out = lax.scan(
-        body, (state, s_sum, s_sq), i0 + jnp.arange(seg)
+    (state, s_sum, s_sq, ev), out = lax.scan(
+        body,
+        (state, s_sum, s_sq, jnp.zeros((), dtype=jnp.int32)),
+        i0 + jnp.arange(seg),
     )
     if collect:
-        return state, s_sum, s_sq, out[0], out[1]
-    return state, s_sum, s_sq
+        return state, s_sum, s_sq, ev, out[0], out[1]
+    return state, s_sum, s_sq, ev
 
 
 _chain_seg = partial(jax.jit, static_argnames=_CHAIN_SEG_STATICS)(
@@ -837,8 +852,9 @@ def _chain_seg_b(
 ):
     """Batched twin of :func:`_chain_seg`: one bounded dispatch advances
     ALL B chains ``seg`` sweeps — the chains' NLML evaluations batch
-    into one XLA Cholesky per step, so B chains cost far less than B
-    sequential dispatch streams (chain parallelism under the watchdog)."""
+    into one XLA Cholesky per step (but each batched eval costs ~B
+    lanes of compute at large N, and lockstep batching pays the worst
+    lane's shrinkage count — see sampling.chain_group_plan)."""
     return jax.vmap(
         lambda st, ss, sq: _chain_seg_impl(
             log_f,
@@ -939,18 +955,23 @@ def _run_chain_segmented(
     """Bounded-dispatch twin of :func:`_run_chain`: same chain, same
     random stream, same packed output — but no dispatch executes more
     than ``seg`` sweeps.  All dispatches are issued asynchronously; the
-    single blocking pull happens in the caller."""
+    single blocking pull happens in the caller.
+
+    Returns ``(state, packed, n_evals)``; ``n_evals`` is a device
+    scalar (the chain's total density-evaluation count — funccount),
+    accumulated lazily so the per-segment dispatches stay async."""
     D = int(np.asarray(state.x).shape[-1])
     state = _chain_init(log_f, state, LB, UB, f_args, log_prior)
     init_log_Px = state.log_Px
     z = np.zeros((D,), dtype=np.float64)
     s_sum, s_sq = z, z
+    evs = []
     half = np.int64(_burn_half(move, burn))
     # Every dispatch runs the full static ``seg`` sweeps; the traced
     # ``limit`` masks the tail overshoot as PRNG-preserving no-ops, so
     # each phase compiles exactly ONE program shape.
     for i in range(0, burn, seg):
-        state, s_sum, s_sq = _chain_seg(
+        state, s_sum, s_sq, ev_i = _chain_seg(
             log_f,
             state,
             s_sum,
@@ -971,6 +992,7 @@ def _run_chain_segmented(
             False,
             str(move),
         )
+        evs.append(ev_i)
     if burn > 0 and adaptive:
         n_st = np.float64(burn - _burn_half(move, burn))
         state = _adapt_widths(
@@ -992,7 +1014,7 @@ def _run_chain_segmented(
     # [:n_samples] slice never reaches them.
     no_win = np.int64(eff_N + seg + 1)
     for i in range(0, eff_N, seg):
-        state, _, _, xs, lps = _chain_seg(
+        state, _, _, ev_i, xs, lps = _chain_seg(
             log_f,
             state,
             z,
@@ -1015,6 +1037,7 @@ def _run_chain_segmented(
         )
         xs_blocks.append(xs)
         lp_blocks.append(lps)
+        evs.append(ev_i)
     packed = _pack_chain(
         init_log_Px,
         tuple(xs_blocks),
@@ -1023,7 +1046,9 @@ def _run_chain_segmented(
         int(n_samples),
         log_prior,
     )
-    return state, packed
+    # One eager stack+sum (a single tunnel op), pulled by the caller.
+    n_evals = jnp.sum(jnp.stack(evs)) if evs else jnp.zeros((), jnp.int32)
+    return state, packed, n_evals
 
 
 def _run_chains_segmented(
@@ -1055,15 +1080,16 @@ def _run_chains_segmented(
     ``states`` is a SliceState with leading chain axis (B, ...); when
     its leaves are mesh-sharded on that axis, every dispatch runs the
     per-device chain slabs in parallel (computation-follows-data).
-    Returns (states, packed (B, n_samples + 1, D + 2))."""
+    Returns (states, packed (B, n_samples + 1, D + 2), n_evals (B,))."""
     B, D = np.asarray(states.x).shape
     states = _chain_init_b(log_f, states, LB, UB, f_args, log_prior)
     init_log_Px = states.log_Px
     z = np.zeros((B, D), dtype=np.float64)
     s_sum, s_sq = z, z
+    evs = []
     half = np.int64(_burn_half(move, burn))
     for i in range(0, burn, seg):
-        states, s_sum, s_sq = _chain_seg_b(
+        states, s_sum, s_sq, ev_i = _chain_seg_b(
             log_f,
             states,
             s_sum,
@@ -1084,6 +1110,7 @@ def _run_chains_segmented(
             False,
             str(move),
         )
+        evs.append(ev_i)
     if burn > 0 and adaptive:
         n_st = np.float64(burn - _burn_half(move, burn))
         states = _adapt_widths(
@@ -1102,7 +1129,7 @@ def _run_chains_segmented(
     xs_blocks, lp_blocks = [], []
     no_win = np.int64(eff_N + seg + 1)
     for i in range(0, eff_N, seg):
-        states, _, _, xs, lps = _chain_seg_b(
+        states, _, _, ev_i, xs, lps = _chain_seg_b(
             log_f,
             states,
             z,
@@ -1125,6 +1152,7 @@ def _run_chains_segmented(
         )
         xs_blocks.append(xs)
         lp_blocks.append(lps)
+        evs.append(ev_i)
     packed = _pack_chain_b(
         init_log_Px,
         tuple(xs_blocks),
@@ -1133,7 +1161,12 @@ def _run_chains_segmented(
         int(n_samples),
         log_prior,
     )
-    return states, packed
+    n_evals = (
+        jnp.sum(jnp.stack(evs), axis=0)
+        if evs
+        else jnp.zeros((B,), jnp.int32)
+    )
+    return states, packed, n_evals
 
 
 def sample(
@@ -1279,6 +1312,7 @@ def sample(
 
     LB_out = np.nextafter(LB, -np.inf)
     UB_out = np.nextafter(UB, np.inf)
+    n_evals = None  # funccount: counted on the segmented paths only
     if seg_moves is not None:
         if move != "cw":
             raise ValueError(
@@ -1303,7 +1337,7 @@ def sample(
             int(seg_moves),
         )
     elif seg_sweeps is not None:
-        state, packed = _run_chain_segmented(
+        state, packed, n_evals = _run_chain_segmented(
             log_f,
             state,
             LB,
@@ -1385,6 +1419,9 @@ def sample(
         "exit_flag": exit_flag,
         "R": R,
         "eff_N": eff_N,
+        # funccount analog (reference slice_sample.py:157); None on the
+        # monolithic / move-segmented paths (uncounted).
+        "n_evals": None if n_evals is None else int(np.asarray(n_evals)),
     }
     return result, state
 
@@ -1501,7 +1538,7 @@ def sample_chains(
         # Batched bounded dispatches: all B chains advance together in
         # each watchdog-safe segment (their evals share one batched
         # Cholesky), mesh sharding of the chain axis included.
-        _, packed = _run_chains_segmented(
+        _, packed, n_evals = _run_chains_segmented(
             log_f,
             states,
             LB,
@@ -1521,6 +1558,10 @@ def sample_chains(
             str(move),
         )
         packed = np.asarray(packed)
+        # Per-chain funccount, surfaced as a function attribute so the
+        # (samples, f_vals) return contract stays unchanged; callers
+        # that want it read it immediately after the call.
+        sample_chains.last_n_evals = np.asarray(n_evals)[:B_real]
         return packed[:B_real, 1:, 2:], packed[:B_real, 1:, 0]
 
     def one(state):
@@ -1546,4 +1587,5 @@ def sample_chains(
 
     # One pull for all chains (packed rows: see _run_chain).
     packed = np.asarray(jax.vmap(one)(states))
+    sample_chains.last_n_evals = None  # uncounted on this path
     return packed[:B_real, 1:, 2:], packed[:B_real, 1:, 0]

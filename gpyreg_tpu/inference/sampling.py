@@ -568,7 +568,7 @@ def _run_chain_parallel(
     # apart — the autocorrelation-time lever for the eff_N
     # exit criterion (see GP.fit docstring).
     chain_thin = max(1, int(options.get("chain_thin", 1)))
-    parts_x, parts_f = [], []
+    parts_x, parts_f, parts_ev = [], [], []
     off = 0
     for b_i, key_i in zip(group_sizes, group_keys):
         cx_i, cf_i = _device_slice.sample_chains(
@@ -598,6 +598,10 @@ def _run_chain_parallel(
         )
         parts_x.append(np.asarray(cx_i))
         parts_f.append(np.asarray(cf_i))
+        ev_i = getattr(
+            _device_slice.sample_chains, "last_n_evals", None
+        )
+        parts_ev.append(ev_i)
         off += b_i
     chain_x = np.concatenate(parts_x, axis=0)  # (B, n_per, D)
     chain_f = np.concatenate(parts_f, axis=0)
@@ -652,4 +656,11 @@ def _run_chain_parallel(
         "R": R,
         "eff_N": eff_N,
         "n_chains": B,
+        # Per-chain density-evaluation counts (funccount analog) when
+        # the segmented drivers counted them, else None.
+        "n_evals": (
+            np.concatenate(parts_ev)
+            if all(p is not None for p in parts_ev) and parts_ev
+            else None
+        ),
     }

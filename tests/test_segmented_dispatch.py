@@ -553,3 +553,27 @@ def test_fit_sample_width_base_option():
     m1, m2 = np.mean(np.asarray(hyp1), 0), np.mean(np.asarray(hyp2), 0)
     sd = np.std(np.asarray(hyp1), 0) + np.std(np.asarray(hyp2), 0) + 0.3
     assert np.all(np.abs(m1 - m2) < 4 * sd)
+
+
+def test_chain_eval_counts_reported():
+    """The segmented chain drivers count density evaluations (the
+    reference sampler's funccount, slice_sample.py:157): every
+    shrinkage proposal is one eval, so each sweep costs >= D evals;
+    the count is surfaced per chain by fit(n_chains=...) and on the
+    single-chain result dict."""
+    log_f = lambda x: -0.5 * jnp.sum(x**2)
+    res, _ = ds.sample(
+        log_f, np.zeros(3), jax.random.key(21),
+        n_samples=10, burn=10, seg_sweeps=4,
+    )
+    assert res["n_evals"] is not None
+    assert res["n_evals"] >= 20 * 3  # (burn+kept) sweeps x D moves
+
+    x0s = np.zeros((2, 3))
+    s, f = ds.sample_chains(
+        log_f, x0s, jax.random.key(22),
+        n_samples=5, burn=5, seg_sweeps=3,
+    )
+    ev = ds.sample_chains.last_n_evals
+    assert ev is not None and ev.shape == (2,)
+    assert np.all(ev >= 10 * 3)
