@@ -177,7 +177,13 @@ def _chain_batch_hbm_estimate(n_chains, n_padded, itemsize, n_dev=1):
     top (``_CHAIN_HBM_RESERVE``) rather than a fractional headroom —
     at 16 GB HBM a 15% fraction was refusing B=4 at N=16384 (14.2 GB
     predicted, 15.75 available), the configuration the lean schedule
-    exists to enable."""
+    exists to enable.  On-TPU check (2026-08-20): the real compiler's
+    ``memory_analysis`` reports 4.02 copies for the lean schedule yet
+    ACCEPTS the B=4 N=16384 program against its 15.75 G budget (the
+    analysis temp sum over-counts vs the allocator's effective peak),
+    and rejects the general path at 5.26 copies — so the 3.31
+    multiplier matches the compiler's effective accounting and stays
+    the gate."""
     return int(
         3.31 * -(-n_chains // n_dev) * n_padded**2 * itemsize
     )
