@@ -46,6 +46,10 @@ def row(tag, gp, wall, sr, extra=None):
             if k in sr:
                 v = sr[k]
                 out[k] = round(float(v), 3) if v is not None else None
+    # The measured fraction even when the shortcut was rejected.
+    v = getattr(gp, "slicelite_ess_frac", None)
+    if v is not None and "ess_frac" not in out:
+        out["ess_frac_rejected"] = round(float(v), 3)
     if extra:
         out.update(extra)
     print(json.dumps(out), flush=True)

@@ -189,6 +189,11 @@ def slicelite_ess(gp, hyp0, options, thin):
     w = w / np.sum(w)
     ess_frac = (1.0 / np.sum(w**2)) / hyp_prev.shape[0]
     ess_thresh = options.get("ess_thresh", 0.5)
+    # Surface the measured fraction even when the shortcut is
+    # REJECTED (the fallback's full-pipeline result has no ess_frac
+    # of its own).  NOT in fit_timings: phase timings are computed as
+    # wall - sum(fit_timings.values()), which must stay all-seconds.
+    gp.slicelite_ess_frac = float(ess_frac)
     if ess_frac <= ess_thresh:
         return None
     # Refresh budget shrinks as the overlap grows (:192-195).
