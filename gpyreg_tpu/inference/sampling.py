@@ -94,19 +94,29 @@ def chain_group_plan(gp, B, n_padded, key, group=None):
     if group is not None:
         g_max = max(1, min(g_max, int(group)))
     n_groups = -(-B // g_max)
-    if n_groups > 1 and group is None:
-        warnings.warn(
-            f"n_chains={B} at N={n_padded} exceeds device memory "
-            f"as one batch (~{per_chain * B / n_dev / 1e9:.0f} GB "
-            f"needed, {hbm / 1e9:.1f} GB available): running "
-            f"{n_groups} sequential groups of <= {g_max} chains.",
-            stacklevel=3,
-        )
-    g = -(-B // n_groups)
-    group_sizes = [g] * (n_groups - 1) + [B - g * (n_groups - 1)]
+    if n_groups == 1:
+        group_sizes = [B]
+    else:
+        # EQUAL group sizes — the largest divisor of B within g_max —
+        # so every group runs the SAME compiled batched-chain shape:
+        # a ragged split like (3, 3, 2) compiles two multi-minute
+        # 16k-scale segment programs where one suffices, and at the
+        # only N that reach here (over-memory, compute-saturating)
+        # the eval wall is linear in group size, so extra smaller
+        # groups cost no device time (measured, chain_bscale.py).
+        g = max(d for d in range(1, g_max + 1) if B % d == 0)
+        group_sizes = [g] * (B // g)
+        if group is None:
+            warnings.warn(
+                f"n_chains={B} at N={n_padded} exceeds device memory "
+                f"as one batch (~{per_chain * B / n_dev / 1e9:.0f} GB "
+                f"needed, {hbm / 1e9:.1f} GB available): running "
+                f"{len(group_sizes)} sequential groups of {g} chains.",
+                stacklevel=3,
+            )
     group_keys = (
-        [key] if n_groups == 1
-        else list(jax.random.split(key, n_groups))
+        [key] if len(group_sizes) == 1
+        else list(jax.random.split(key, len(group_sizes)))
     )
     return group_sizes, group_keys
 

@@ -577,3 +577,43 @@ def test_chain_eval_counts_reported():
     ev = ds.sample_chains.last_n_evals
     assert ev is not None and ev.shape == (2,)
     assert np.all(ev >= 10 * 3)
+
+
+def test_chain_group_plan_equal_sizes():
+    """Over-memory chain batches split into EQUAL-size groups (the
+    largest divisor of B within the memory cap): one compiled batched
+    shape serves every group — a ragged (3, 3, 2) split would compile
+    two multi-minute 16k segment programs."""
+    import gpyreg_tpu.gp as gpm
+    from gpyreg_tpu.inference import sampling as sp
+
+    gp = _make_gp()
+    orig = gpm._chain_batch_hbm_estimate
+    # Force g_max = 3 regardless of the device: 3 chains fit, 4 don't.
+    gpm._chain_batch_hbm_estimate = (
+        lambda b, n, it, n_dev=1: int(4e9)
+    )
+    try:
+        try:
+            import jax as _jax
+
+            hbm = _jax.devices()[0].memory_stats()["bytes_limit"]
+        except Exception:
+            hbm = 16e9
+        g_max = max(1, int((hbm - gpm._CHAIN_HBM_RESERVE) // int(4e9)))
+        sizes, keys = sp.chain_group_plan(
+            gp, 8, 16384, jax.random.key(0)
+        )
+        if g_max >= 8:
+            assert sizes == [8]
+        else:
+            g = max(d for d in range(1, g_max + 1) if 8 % d == 0)
+            assert sizes == [g] * (8 // g)
+        assert len(keys) == len(sizes)
+        # Explicit override: fully sequential.
+        sizes1, keys1 = sp.chain_group_plan(
+            gp, 5, 16384, jax.random.key(0), group=1
+        )
+        assert sizes1 == [1] * 5 and len(keys1) == 5
+    finally:
+        gpm._chain_batch_hbm_estimate = orig
