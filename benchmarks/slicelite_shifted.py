@@ -113,6 +113,11 @@ def main():
         {"N": n + grow, "shortcut_fired": opt_res is None})
 
     if "--full" in sys.argv:
+        # Release the slicelite model's device posterior factors first:
+        # two live 17k posteriors (~9.5 GB of factors each side) do not
+        # fit one 16 GB chip — the first run of this script died
+        # RESOURCE_EXHAUSTED in the second model's posterior build.
+        gp.clean()
         gpf = gpr.GP(
             D=d,
             covariance=gpr.covariance_functions.SquaredExponential(),

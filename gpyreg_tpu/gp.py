@@ -18,6 +18,7 @@ can swap backends.  The numerics differ in implementation only:
 
 import time
 import warnings
+import weakref
 from textwrap import indent
 from typing import Union
 
@@ -193,6 +194,16 @@ def _chain_batch_hbm_estimate(n_chains, n_padded, itemsize, n_dev=1):
 # when sizing chain groups (see _chain_batch_hbm_estimate).
 _CHAIN_HBM_RESERVE = 1.2e9
 
+# All live GP instances (weak): a large-N fit pre-flight sums the
+# device posterior factors OTHER instances pin, because two live 16k+
+# models do not fit one 16 GB chip — measured: a second full fit at
+# N=17203 beside a live 8-sample posterior (9.5 GB of factors) dies
+# in the posterior build with RESOURCE_EXHAUSTED (2026-08-20,
+# benchmarks/slicelite_shifted.py --full, first version).
+_LIVE_GPS = weakref.WeakSet()
+_OTHER_GP_FACTOR_WARN_BYTES = 2e9
+_OTHER_GP_FACTOR_WARN_MIN_N = 8192
+
 
 # Matrix-free (CG) hyperposterior chains segment far earlier than the
 # Cholesky paths' SEG_MIN_N: every chain evaluation is a full CG+SLQ
@@ -330,10 +341,38 @@ class GP:
 
         # Scratch dict used by PyVBMC (reference gaussian_process.py:61-62).
         self.temporary_data = {}
+        _LIVE_GPS.add(self)
 
     # ------------------------------------------------------------------
     # Device plumbing
     # ------------------------------------------------------------------
+
+    def _device_factor_bytes(self):
+        """Device bytes pinned by this model's posterior factors and
+        stacked-factor cache (0 for host/NumPy state).  Used by the
+        large-N fit pre-flight: OTHER live models' factors compete with
+        the fit's working set for HBM."""
+        total = 0
+        seen = set()
+
+        def add(v):
+            nonlocal total
+            if (
+                v is not None
+                and not isinstance(v, np.ndarray)
+                and hasattr(v, "nbytes")
+                and id(v) not in seen
+            ):
+                seen.add(id(v))
+                total += int(v.nbytes)
+
+        if self.posteriors is not None:
+            for p in np.atleast_1d(self.posteriors):
+                for name in ("_alpha", "_sW", "_L"):
+                    add(getattr(p, name, None))
+        for v in getattr(self, "_stack_cache", {}).values():
+            jax.tree_util.tree_map(add, v)
+        return total
 
     def _spec(self) -> ModelSpec:
         p = self.noise.parameters
@@ -1478,6 +1517,29 @@ class GP:
         if s2 is not None:
             self.s2 = s2
         self._invalidate()
+
+        # Large-N pre-flight: other live GP instances' device posterior
+        # factors compete with this fit's working set for HBM (measured:
+        # a second 17k fit beside a live 8-sample 17k posterior dies
+        # RESOURCE_EXHAUSTED in the posterior build).  Warn so the user
+        # can .clean() models they are done with.
+        if (
+            self.X is not None
+            and self.X.shape[0] >= _OTHER_GP_FACTOR_WARN_MIN_N
+        ):
+            other = sum(
+                g._device_factor_bytes()
+                for g in _LIVE_GPS
+                if g is not self
+            )
+            if other > _OTHER_GP_FACTOR_WARN_BYTES:
+                warnings.warn(
+                    f"Other live GP models pin {other / 1e9:.1f} GB of "
+                    "device posterior factors; a large-N fit may run "
+                    "out of device memory. Call .clean() on models you "
+                    "are done with to release them.",
+                    stacklevel=2,
+                )
 
         # MATLAB oracle's OutwarpFun train option (gplite_train.m:39;
         # the Python reference accepts "outwarp_fun" but ignores it,

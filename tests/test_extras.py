@@ -148,3 +148,61 @@ def test_fmin_and_sample_raise_cleanly_on_matrix_free():
         gp.fmin()
     with pytest.raises(ValueError, match="posterior factors"):
         gp.sample(10)
+
+
+def test_fit_warns_when_other_models_pin_device_factors():
+    """Large-N fit pre-flight: other live GP instances' device
+    posterior factors compete with the fit's HBM working set (a second
+    17k fit beside a live 17k posterior dies RESOURCE_EXHAUSTED) —
+    fit() warns and points at .clean()."""
+    import warnings as _w
+
+    import gpyreg_tpu as gpr
+    import gpyreg_tpu.gp as gpm
+
+    rng = np.random.default_rng(3)
+    X = rng.uniform(-3, 3, (30, 2))
+    y = np.sin(X).sum(1, keepdims=True)
+
+    def make():
+        return gpr.GP(
+            D=2,
+            covariance=gpr.covariance_functions.SquaredExponential(),
+            mean=gpr.mean_functions.ConstantMean(),
+            noise=gpr.noise_functions.GaussianNoise(constant_add=True),
+        )
+
+    gp1 = make()
+    gp1.fit(X=X, y=y, options={"n_samples": 2, "opts_N": 1, "init_N": 8})
+    assert gp1._device_factor_bytes() > 0  # factors live on device
+
+    gp2 = make()
+    orig_b, orig_n = (
+        gpm._OTHER_GP_FACTOR_WARN_BYTES,
+        gpm._OTHER_GP_FACTOR_WARN_MIN_N,
+    )
+    gpm._OTHER_GP_FACTOR_WARN_BYTES = 0
+    gpm._OTHER_GP_FACTOR_WARN_MIN_N = 1
+    try:
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            gp2.fit(
+                X=X, y=y,
+                options={"n_samples": 0, "opts_N": 1, "init_N": 8},
+            )
+        assert any("clean()" in str(r.message) for r in rec)
+        # After clean(), the pinned bytes drop to zero and a fresh fit
+        # does not warn.
+        gp1.clean()
+        assert gp1._device_factor_bytes() == 0
+        gpm._OTHER_GP_FACTOR_WARN_BYTES = orig_b
+        with _w.catch_warnings(record=True) as rec2:
+            _w.simplefilter("always")
+            gp2.fit(
+                X=X, y=y,
+                options={"n_samples": 0, "opts_N": 1, "init_N": 8},
+            )
+        assert not any("clean()" in str(r.message) for r in rec2)
+    finally:
+        gpm._OTHER_GP_FACTOR_WARN_BYTES = orig_b
+        gpm._OTHER_GP_FACTOR_WARN_MIN_N = orig_n
